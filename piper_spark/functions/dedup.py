@@ -1,0 +1,251 @@
+"""Deduplication operators (SURVEY.md §2B / LLM-pipeline mandate).
+
+Three tiers, in increasing scale-fitness:
+
+- ``dedup_jaccard``  — exact word-set Jaccard over a bounded pair set.
+  O(n²) by construction; it is the ORACLE for the approximate paths.
+- ``dedup_minhash``  — MinHash + LSH banding: shingle → k minhashes →
+  band hashes → equi-join on (band, hash). The join is a plain shuffle
+  hash join on a 64-bit key, which is the shape that survives 100 TB;
+  no cross product ever materializes. Engine hash (xxhash64) → not
+  DuckDB-expressible → rows-only check.
+- ``dedup_simhash``  — 32-bit SimHash + banded candidate pairs with a
+  Hamming-distance cut. Same scale shape as minhash. Rows-only.
+
+Generic library entry points (`exact_dedup`, `hash_split`) operate on
+arbitrary DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piper_spark.registry import register
+from piper_spark.session import table
+
+SHINGLE_SIZE = 3
+NUM_MINHASHES = 8
+MINHASH_BANDS = 4  # 2 minhashes per band
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key, the one with the minimum order_col.
+
+    Never dropDuplicates (partition-order-dependent survivor). At scale,
+    grouping on xxhash64(key) and resolving collisions on the full key
+    avoids shuffling wide payloads.
+    """
+    w_min = F.min(order_col).alias("__keep")
+    keep = df.groupBy(*key_cols).agg(w_min)
+    return df.join(keep, on=key_cols, how="inner").filter(
+        F.col(order_col) == F.col("__keep")
+    ).drop("__keep")
+
+
+def hash_split(df: DataFrame, key: str, train_pct: int = 80, seed: int = 42) -> Column:
+    """Deterministic split tag from a key hash (reference loader.rs:21-45)."""
+    return F.when(
+        F.pmod(F.xxhash64(F.col(key), F.lit(seed)), 100) < train_pct,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+
+
+def shingles(text: Column | str = "text", n: int = SHINGLE_SIZE) -> Column:
+    """n-word shingles as strings: sliding windows over the word array."""
+    w = F.split(text, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+
+
+@register(
+    "dedup_jaccard",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+""",
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard ≥ 0.5 pairs on a bounded doc subset.
+
+    Deliberately O(n²) on ≤200 docs — this is the ground truth the LSH
+    path (`dedup_minhash`) approximates; never run this shape unbounded.
+    """
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signature(text_col: Column | str = "text") -> list[Column]:
+    """k minhash values over word shingles, via seeded xxhash64."""
+    sh = shingles(text_col)
+    return [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))).alias(
+            f"mh{i}"
+        )
+        for i in range(NUM_MINHASHES)
+    ]
+
+
+@register("dedup_minhash")  # engine-hash based → rows-only check (SURVEY.md §7)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs over ALL documents.
+
+    shingle → 8 minhashes → 4 bands of 2 → equi-join on (band, hash).
+    The only shuffle is on the band-hash key; pair explosion is bounded
+    by bucket sizes, not by n².
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", *minhash_signature("text")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("bh"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = d.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    return pairs.orderBy("id1", "id2")
+
+
+def simhash32(text_col: Column | str = "text") -> Column:
+    """32-bit SimHash from xxhash64 word hashes (distinct words)."""
+    wh = F.transform(
+        F.array_distinct(F.split(text_col, " ")), lambda w: F.xxhash64(w)
+    )
+
+    def bit_vote(j: int):
+        # pyspark introspects lambda arity — keep exactly (acc, x) params
+        return lambda acc, x: acc + (F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    out = F.lit(0).cast("long")
+    for j in range(32):
+        bit_sum = F.aggregate(wh, F.lit(0).cast("long"), bit_vote(j))
+        out = out + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+@register("dedup_simhash")  # engine-hash based → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 4 bands of 8 bits, Hamming ≤ 6 cut."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", simhash32("text").alias("sh")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(0xFF)).alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = d.select("doc_id", "sh", F.explode(bands).alias("bb")).select(
+        "doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+        .orderBy("id1", "id2")
+    )
+
+
+@register(
+    "dedup_embed",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+  FROM embeddings WHERE vec_id < 200
+),
+s AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_sum(list_transform(a.ed, (x, i) -> x * b.ed[i]))
+           / (sqrt(list_sum(list_transform(a.ed, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.ed, x -> x * x)))) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, round(cos, 4) AS cos_sim
+FROM s WHERE cos >= 0.95
+""",
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95) on a bounded subset.
+
+    The oracle-checked exact form; the scale path buckets by coarse
+    quantization first (see functions/similarity.py).
+    """
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.ed"), F.col("b.ed"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    cos = dot / (norm(F.col("a.ed")) * norm(F.col("b.ed")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.95)
+        .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
+    )

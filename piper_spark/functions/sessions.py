@@ -1,0 +1,100 @@
+"""Event sessionization + tumbling windows (batch twins of streaming ops).
+
+These two queries carry the correctness burden for the streaming layer
+(piper_spark/streaming/) — the streaming versions run the SAME column
+expressions behind watermarks (SURVEY.md §2B note on streaming).
+
+All session arithmetic is exact integer microseconds; tumbling totals
+use the exact-decimal sum recipe — both hash-match DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from piper_spark.functions.numeric import dsum, sql_dsum
+from piper_spark.registry import register
+from piper_spark.session import table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity gap
+
+
+@register(
+    "event_sessions",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM s
+GROUP BY user_id, session_id
+""",
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events per user with a 30-minute inactivity gap.
+
+    lag → gap flag → running sum = session id → per-session rollup. One
+    shuffle on user_id; per-user partitions stay bounded at any scale.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(run).cast("long")
+    )
+    us = F.unix_micros(F.col("ts"))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )
+
+
+@register(
+    "event_tumbling",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS cnt,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event type — batch twin of F.window.
+
+    Uses the streaming-native `F.window` primitive (window.start ==
+    date_trunc('day') under UTC), so the streaming layer reuses this
+    exact expression behind a watermark.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("day"), "event_type", "cnt", "total_value"
+        )
+    )

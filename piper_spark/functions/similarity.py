@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (SURVEY.md §2B `sim_topk`).
+
+- ``sim_topk``   — exact brute-force cosine top-k against one query
+  vector. One scan + TakeOrderedAndProject; the baseline and oracle.
+- ``sim_ann_ivf`` — IVF-style approximate search: a small deterministic
+  codebook is broadcast, every vector is assigned to its nearest
+  centroid (one narrow pass), and queries probe only the closest cells.
+  At 100 TB the assignment is a broadcast join + argmin, and the search
+  reads only the probed cells' partitions (cluster_id is the natural
+  partition/bucket key for the vector table).
+
+All vector math is built-in higher-order functions (zip_with/aggregate)
+— JVM-side, no Python. Elements are cast to double BEFORE arithmetic so
+folds match DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from piper_spark.registry import register
+from piper_spark.session import table
+
+NUM_CENTROIDS = 8
+NUM_PROBES = 2
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (left-to-right fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "sim_topk",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+),
+q AS (SELECT ed AS qd FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_sum(list_transform(ed, (x, i) -> x * qd[i]))
+             / (sqrt(list_sum(list_transform(ed, x -> x * x)))
+                * sqrt(list_sum(list_transform(qd, x -> x * x)))), 4) AS cos_sim
+FROM e, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of the vec_id=0 embedding.
+
+    The query vector rides along via a broadcast single-row cross join
+    (no driver collect), then one narrow scan + top-k.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("ed").alias("qd"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("ed"), F.col("qd")), 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast + argmin).
+
+    vectors: (vec_id, ed array<double>); centroids: (cid, cd array<double>).
+    Deterministic tie-break on cid.
+    """
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", sq_dist(F.col("ed"), F.col("cd")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "ed", "cid")
+    )
+
+
+@register("sim_ann_ivf")  # approximate path → rows-only check
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for the vec_id=0 query, probing 2 of 8 cells.
+
+    Codebook = the 8 lowest-vec_id embeddings (deterministic stand-in
+    for a trained k-means codebook; the plumbing is identical).
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    cents = e.filter(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("ed").alias("cd")
+    )
+    assigned = assign_cells(e, cents)
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("ed").alias("qd"))
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", sq_dist(F.col("qd"), F.col("cd")))
+        .orderBy("d2", "cid")
+        .limit(NUM_PROBES)
+        .select("cid")
+    )
+    candidates = assigned.join(F.broadcast(probe), "cid").filter(F.col("vec_id") != 0)
+    return (
+        candidates.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("ed"), F.col("qd")), 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -1,0 +1,211 @@
+"""Text analysis operators (SURVEY.md §2B "LLM-data-pipeline extensions").
+
+Everything here is pure built-in column expressions (split/transform/
+aggregate/explode) — JVM-side, whole-stage-codegen'd, no Python in the
+hot path. Documents.text is space-separated lowercase words
+(FIXTURES.md), so whitespace tokenization is lossless.
+
+Cross-engine notes: Spark `size()`/`length()`/`ascii()` return INT →
+cast to long; DuckDB integer sums return HUGEINT → oracle casts to
+BIGINT. Lambda indexes: Spark `transform` passes a 0-based index,
+DuckDB `list_transform` a 1-based one — Spark side uses (i+1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piper_spark.registry import register
+from piper_spark.session import table
+
+#: High-frequency filler words in the synthetic corpus (FIXTURES.md vocab).
+STOPWORDS = ("the", "a")
+
+#: Marker-word chain for the n-gram-style language-ID heuristic.
+LANG_MARKERS = (("spark", "en"), ("merge", "de"), ("vector", "fr"), ("window", "es"))
+
+
+def words_col(text: Column | str = "text") -> Column:
+    """Whitespace tokenization (lossless on this corpus)."""
+    return F.split(text, " ")
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+       CAST(sum(len(list_distinct(string_split(text, ' ')))) AS BIGINT)
+           AS total_distinct_words,
+       CAST(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+            AS DOUBLE) AS avg_words
+FROM documents
+GROUP BY lang
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-count / distinct-word stats per language."""
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    d = d.select(
+        "lang",
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_distinct").alias("total_distinct_words"),
+        (F.sum("n_words").cast("double") / F.count(F.lit(1))).alias("avg_words"),
+    )
+
+
+@register(
+    "text_topwords",
+    oracle="""
+SELECT word, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY freq DESC, word
+LIMIT 10
+""",
+)
+def text_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 words by frequency (explode → agg → top-k)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(10)
+    )
+
+
+@register(
+    "text_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+            AS BIGINT) AS n_tokens
+FROM documents
+""",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: ceil(len/4) tokens per word, summed per doc."""
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    tok = F.transform(w, lambda x: F.ceil(F.length(x) / 4.0).cast("long"))
+    n_tokens = F.aggregate(tok, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        n_tokens.alias("n_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       round(CAST(list_sum(list_transform(string_split(text, ' '),
+                                          w -> CAST(length(w) AS BIGINT)))
+                  AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ('the', 'a'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stop_ratio
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals: avg word length + stopword ratio."""
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    n_words = F.size(w).cast("long")
+    total_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(total_len.cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(n_stop.cast("double") / n_words, 4).alias("stop_ratio"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(CASE WHEN (CASE
+            WHEN list_contains(string_split(text, ' '), 'spark')  THEN 'en'
+            WHEN list_contains(string_split(text, ' '), 'merge')  THEN 'de'
+            WHEN list_contains(string_split(text, ' '), 'vector') THEN 'fr'
+            WHEN list_contains(string_split(text, ' '), 'window') THEN 'es'
+            ELSE 'en' END) = lang THEN 1.0 ELSE 0.0 END) * 100, 4) AS acc_pct
+FROM documents
+GROUP BY lang
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic + accuracy vs the labeled lang.
+
+    (On real corpora the markers would be character n-gram profiles; the
+    operator shape — deterministic classify + accuracy rollup — is the
+    same.)
+    """
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    pred = F.lit("en")
+    for marker, lang in reversed(LANG_MARKERS):
+        pred = F.when(F.array_contains(w, marker), F.lit(lang)).otherwise(pred)
+    hit = F.when(pred == F.col("lang"), F.lit(1.0)).otherwise(F.lit(0.0))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(hit) * 100, 4).alias("acc_pct"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+            (w, i) -> i * (CAST(length(w) AS BIGINT) * 131
+                           + ascii(substr(w, 1, 1)) * 31
+                           + ascii(right(w, 1))))) AS BIGINT)
+         % 2147483647 AS fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint (position-weighted word codes).
+
+    Deliberately built from arithmetic both engines share (length/ascii)
+    rather than an engine hash, so it IS oracle-checkable; the
+    xxhash64-based 64-bit fingerprint for production lives in
+    piper_spark.functions.dedup.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    # Spark lambda index is 0-based; DuckDB's is 1-based → use (i + 1).
+    weighted = F.transform(
+        w,
+        lambda x, i: (i + 1).cast("long")
+        * (
+            F.length(x).cast("long") * 131
+            + F.ascii(F.substring(x, 1, 1)).cast("long") * 31
+            + F.ascii(x.substr(F.length(x), F.lit(1))).cast("long")
+        ),
+    )
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return d.select("doc_id", (total % 2147483647).alias("fp"))

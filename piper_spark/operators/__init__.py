@@ -1,0 +1,16 @@
+"""Relational operator library — one module per SURVEY.md §2B family.
+
+Importing this package registers every operator query with
+piper_spark.registry.
+"""
+
+from piper_spark.operators import (  # noqa: F401
+    scans,
+    filters,
+    joins,
+    aggregates,
+    windows,
+    sorts,
+    scalars,
+    sampling,
+)

@@ -1,0 +1,134 @@
+"""Aggregations (SURVEY.md §2B "Aggregations").
+
+`agg_group` is the flagship TPC-H Q1 shape; `accuracy_group` re-expresses
+the reference's accuracy metric (reference: src/burn-nn/src/utils/metrics.rs:3-9
+— argmax(pred)==target → % correct) as a relational aggregate over the
+embeddings table, with `array_position(arr, array_max(arr))` standing in
+for the per-row argmax (reference: inference.rs:7-12).
+
+Scale notes: all hash aggregates with map-side partial aggregation;
+grouping keys are low-cardinality so the final shuffle is tiny.
+`agg_distinct` uses count(DISTINCT) which Spark plans as a two-phase
+expand+agg — fine for one distinct column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piper_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from piper_spark.registry import register
+from piper_spark.session import table
+
+
+@register(
+    "agg_group",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount', 4)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped group-by over lineitem (the flagship query)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        # prices/discounts/taxes are exact 2-decimal values, so the
+        # products are exact at 4 resp. 6 decimals — rounding AT that
+        # scale never lands on a midpoint, which is what keeps Spark's
+        # and DuckDB's round() in agreement (SURVEY.md §7).
+        dsum(disc_price, 4).alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        davg(F.col("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS uniq_users,
+       count(*) AS cnt
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT user_id) per event type."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("uniq_users"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT r_name, n_name, count(*) AS cust_cnt
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) customer counts — null-marker subtotal rows."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+
+
+@register(
+    "accuracy_group",
+    oracle="""
+SELECT label,
+       count(*) AS n,
+       round(avg(CASE WHEN list_position(embedding, list_max(embedding)) = label + 1
+                      THEN 1.0 ELSE 0.0 END) * 100, 4) AS acc_pct
+FROM embeddings
+GROUP BY label
+""",
+)
+def accuracy_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference accuracy metric (metrics.rs:3-9) as a relational agg.
+
+    pred = 0-based argmax of the embedding (inference.rs:7-12's
+    max_dim_with_indices); accuracy = % rows where pred == label.
+    Sum of 0.0/1.0 doubles is exact in any order, so plain avg matches.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    pred_1based = F.array_position(F.col("embedding"), F.array_max(F.col("embedding")))
+    hit = F.when(pred_1based == F.col("label") + 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(hit) * 100, 4).alias("acc_pct"),
+    )

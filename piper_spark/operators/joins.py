@@ -1,0 +1,152 @@
+"""Joins (SURVEY.md §2B "Joins").
+
+The reference has no joins (SURVEY.md §2A: category absent); these are
+the required relational surface, expressed so Catalyst picks the right
+physical join at any scale:
+
+- dimension tables (customer/orders at the small end) are explicitly
+  `F.broadcast()`-hinted where they are guaranteed small relative to
+  the fact side — at 100 TB the lineitem side never shuffles for them;
+- the range join is an equi-join on the user key with the range
+  predicate as a join filter (SortMergeJoin + filter), NOT a broadcast
+  nested loop over the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piper_spark.functions.numeric import dsum, sql_dsum
+from piper_spark.registry import register
+from piper_spark.session import table
+
+
+@register(
+    "join_inner",
+    oracle="""
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join orders ⋈ customer; customer broadcast (small dimension)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+SELECT c_mktsegment,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way fact⋈dim⋈dim join + aggregate; both dims broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(dsum(rev, 4).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — customers with zero orders kept (count = 0)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join (left semi) — no duplication of the left side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation join (left anti) — complement of join_semi."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+SELECT a.event_id AS event_id, count(*) AS n_followers
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.event_id
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events followed by same-user events within 10 minutes.
+
+    Expressed as equi-join on user_id with the time range as a join
+    filter → SortMergeJoin, never a nested-loop cross product. At 100 TB
+    the per-user groups stay bounded, so the shuffle is the only cost.
+    """
+    e = table(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_followers"))
+    )

@@ -1,0 +1,114 @@
+"""Scalar functions: string / date / JSON / array (SURVEY.md §2B).
+
+`arr_norm` re-expresses the reference's tensor normalization + u8→f32
+scaling (reference: src/burn-nn/src/model/normalize.rs:8-28,
+data/conversion.rs:9-26) as array-column math; `arr_argmax` is the
+reference's top-1 inference (inference.rs:7-12).
+
+Cross-engine type notes: Spark length/year/month return INT where
+DuckDB returns BIGINT → Spark side casts to long. DuckDB
+date_trunc('month') returns DATE → oracle casts to TIMESTAMP. All array
+folds run left-to-right from 0.0 in both engines, so doubles match
+bit-for-bit (elements are cast to double BEFORE any arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piper_spark.registry import register
+from piper_spark.session import table
+
+
+@register(
+    "str_funcs",
+    oracle="""
+SELECT p_partkey,
+       lower(p_name) AS name_lc,
+       substr(p_type, 1, 5) AS type5,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat(p_brand, '#', p_type) AS brand_type
+FROM part
+WHERE p_name LIKE '%a%'
+""",
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/substr/length/concat/LIKE over part."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       count(*) AS cnt
+FROM orders
+GROUP BY 1, 2, 3
+""",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/date_trunc buckets of o_orderdate."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "json_extract",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(*) AS cnt
+FROM events
+GROUP BY 1
+""",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull props.k out of the JSON string column and aggregate by it."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "arr_norm",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))), 4) AS l2_norm
+FROM embeddings
+""",
+)
+def arr_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row L2 norm of the embedding (reference normalize.rs semantics)."""
+    e = table(spark, sf_dir, "embeddings")
+    squares = F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x)
+    sumsq = F.aggregate(squares, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select("vec_id", F.round(F.sqrt(sumsq), 4).alias("l2_norm"))
+
+
+@register(
+    "arr_argmax",
+    oracle="""
+SELECT vec_id,
+       CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_idx
+FROM embeddings
+""",
+)
+def arr_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-based index of the max embedding element, first-occurrence ties."""
+    e = table(spark, sf_dir, "embeddings")
+    idx = F.array_position(F.col("embedding"), F.array_max(F.col("embedding")))
+    return e.select("vec_id", idx.alias("argmax_idx"))

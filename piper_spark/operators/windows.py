@@ -1,0 +1,93 @@
+"""Window functions (SURVEY.md §2B "Window functions").
+
+`win_rank` generalizes the reference's top-1 argmax inference
+(reference: src/burn-nn/src/inference.rs:7-12) to top-k per group;
+`win_running` is the batch analogue of the training loop's gradient
+accumulation (reference: training.rs:243-254 — an ordered running sum).
+
+Every ORDER BY carries a unique tie-break key (event_id / o_orderkey)
+so results are total-ordered and oracle-reproducible. Running sums use
+the exact-decimal recipe (functions/numeric.py) so prefix sums match
+DuckDB bit-for-bit regardless of each engine's accumulation strategy.
+
+Scale notes: window partitions are per-user / per-customer — bounded
+size, one shuffle on the partition key, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from piper_spark.registry import register
+from piper_spark.session import table
+
+
+@register(
+    "win_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price, deterministic tie-break."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_running",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_value
+FROM events
+""",
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum of value per user (exact decimal prefix sums)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = (
+        F.sum(F.round(F.col("value"), 2).cast(DecimalType(18, 2)))
+        .over(w)
+        .cast("double")
+    )
+    return e.select("event_id", "user_id", running.alias("running_value"))
+
+
+@register(
+    "win_lag",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS gap_us
+FROM events
+""",
+)
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap in microseconds (exact integer math)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return e.select("event_id", "user_id", gap.alias("gap_us"))

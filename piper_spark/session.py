@@ -1,0 +1,86 @@
+"""SparkSession bootstrap + table catalog.
+
+The reference enables AQE + partition coalescing explicitly
+(reference: src/piper/spark/data_augment.py:102-108); we keep those and
+add the settings that matter for oracle-exact results (UTC session
+timezone — testdata timestamps are naive) and for local iteration
+(shuffle partitions sized to the local core count rather than the 200
+default; on a real cluster this is AQE-managed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes at every scale factor (TESTDATA.md).
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "piper_spark") -> SparkSession:
+    """Create (or reuse) a local SparkSession tuned for this engine.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything set here is safe to carry over (AQE, UTC, Arrow).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    # The driver may hand us a session it built itself; enforce the two
+    # settings correctness depends on (runtime-settable).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Parquet → columnar scan with pushdown.
+
+    events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as long nanos (legacy conf) and convert to
+    microsecond timestamps — the same ns→us truncation DuckDB applies,
+    so both engines see identical values. This is a narrow per-row
+    projection, free at any scale.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Testdata timestamps are naive; interpret them in UTC no matter what
+    # session the caller (e.g. the driver) hands us, or every
+    # date_trunc/window bucket shifts on a non-UTC host.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so spark.sql() works on bare names."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,121 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Runs every registered query on Spark AND its oracle SQL on DuckDB over
+the same parquet dir, then compares row count, column names, and
+order-insensitive values EXACTLY (floats must match bit-for-bit, like
+the driver's value-hash).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from piper_spark import registry
+from piper_spark.session import TABLE_NAMES, get_spark
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, rows by all values — order-insensitive form."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        errs.append(f"columns: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        return errs
+    if len(spark_df) != len(duck_df):
+        errs.append(f"rows: spark={len(spark_df)} duck={len(duck_df)}")
+        return errs
+    s, d = normalize(spark_df), normalize(duck_df)
+    for c in s.columns:
+        sv, dv = s[c].to_numpy(), d[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            sv = sv.astype(np.float64)
+            dv = dv.astype(np.float64)
+            both_nan = np.isnan(sv) & np.isnan(dv)
+            eq = (sv == dv) | both_nan
+            if not eq.all():
+                bad = np.flatnonzero(~eq)[:3]
+                diffs = [f"{sv[i]!r} vs {dv[i]!r}" for i in bad]
+                errs.append(
+                    f"col {c}: {np.count_nonzero(~eq)} float mismatches, e.g. {diffs}; "
+                    f"maxdiff={np.nanmax(np.abs(sv - dv)):.3e}"
+                )
+        else:
+            eq = pd.Series(sv).astype(object).eq(pd.Series(dv).astype(object)) | (
+                pd.Series(sv).isna() & pd.Series(dv).isna()
+            )
+            if not eq.all():
+                bad = np.flatnonzero(~eq.to_numpy())[:3]
+                diffs = [f"{sv[i]!r} vs {dv[i]!r}" for i in bad]
+                errs.append(f"col {c}: {(~eq).sum()} mismatches, e.g. {diffs}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    con = duck_connection(sf_dir)
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    failed = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        errs = compare(name, sdf, ddf)
+        if errs:
+            failed.append(name)
+            print(f"FAIL  {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            for e in errs:
+                print(f"      {e}")
+        else:
+            print(f"ok    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
