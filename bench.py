@@ -1,0 +1,61 @@
+"""Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is executed end-to-end into a noop sink (full compute, no
+driver-side materialization cost). A tiny warm-up query absorbs JVM/
+codegen start-up so per-query numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from piper_spark import registry
+from piper_spark.session import get_spark
+
+
+def run_to_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("piper_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = registry.all_queries()
+
+    # Warm-up: JVM + codegen + parquet footer caches.
+    run_to_noop(queries["scan_count"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        run_to_noop(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock for all registered queries, noop sink",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Structured Streaming twins of the batch event operators.
+
+The LOGIC is the exact same column expressions as the oracle-checked
+batch queries (functions/sessions.py) — `F.window` for tumbling,
+`F.session_window` for sessionization — wrapped in readStream /
+writeStream with watermarks for late data. Batch mode carries the
+correctness burden (SURVEY.md §2B streaming note); stream mode is
+smoke-tested for batch/stream parity via the availableNow trigger
+(tests/test_streaming.py).
+
+The reference has NO streaming — its Luigi keep_alive worker loop is
+batch re-polling (reference: docker/luigi_worker.sh:2-14, SURVEY.md
+§2A) — so this layer is new engine surface, not a port.
+
+Scale notes: state is keyed by (window, event_type) / (session, user)
+— bounded by the watermark horizon; shuffle partitions carry state
+shards, and `spark.sql.streaming.statefulOperator.*` defaults apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from piper_spark.functions.numeric import dsum
+
+#: Schema of the events table AFTER the ns→us shim (session.table).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over parquet event batches."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_tumbling(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day per-type counts — streaming twin of `event_tumbling`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("day"), "event_type", "cnt", "total_value")
+    )
+
+
+def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user — native stateful twin of `event_sessions`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drain all available input through the stream into a memory sink.
+
+    Result readable as ``spark.table(name)``. availableNow processes the
+    backlog with watermark semantics, then stops — the batch/stream
+    parity harness.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

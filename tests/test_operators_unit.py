@@ -1,0 +1,132 @@
+"""Per-operator unit tests on tiny inline DataFrames — edge cases the
+synthetic tables don't exercise (SURVEY.md §5 strategy #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from piper_spark.functions.dedup import (
+    exact_dedup,
+    hash_split,
+    minhash_signature,
+    shingles,
+    simhash32,
+)
+from piper_spark.functions.numeric import dsum
+from piper_spark.functions.similarity import assign_cells, cosine, dot, sq_dist
+
+
+def test_exact_dedup_keeps_min_key(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y"), (5, "x")], "id long, k string"
+    )
+    out = exact_dedup(df, ["k"], "id").collect()
+    kept = {r.k: r.id for r in out}
+    assert kept == {"x": 1, "y": 2}
+
+
+def test_exact_dedup_idempotent(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], "id long, k string")
+    once = exact_dedup(df, ["k"], "id")
+    twice = exact_dedup(once, ["k"], "id")
+    assert sorted(r.id for r in twice.collect()) == sorted(
+        r.id for r in once.collect()
+    )
+
+
+def test_exact_dedup_empty_input(spark):
+    df = spark.createDataFrame([], "id long, k string")
+    assert exact_dedup(df, ["k"], "id").count() == 0
+
+
+def test_hash_split_deterministic_and_complementary(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    tagged = df.withColumn("split", hash_split(df, "id"))
+    counts = dict(tagged.groupBy("split").count().collect())
+    assert counts.get("train", 0) + counts.get("val", 0) == 500
+    # deterministic across runs
+    again = dict(
+        df.withColumn("split", hash_split(df, "id")).groupBy("split").count().collect()
+    )
+    assert counts == again
+    # roughly 80/20
+    assert 0.7 < counts["train"] / 500 < 0.9
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",), ("a",)], "text string")
+    rows = df.select(shingles("text").alias("s")).collect()
+    assert rows[0].s == ["a b"]  # doc shorter than shingle size → one shingle
+    assert rows[1].s == ["a"]
+
+
+def test_minhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "x1 x2 x3 x4 x5")],
+        "doc_id long, text string",
+    )
+    sig = df.select("doc_id", *minhash_signature("text")).collect()
+    by_id = {r.doc_id: [r[f"mh{i}"] for i in range(8)] for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    rows = df.select("doc_id", simhash32("text").alias("sh")).collect()
+    sh = {r.doc_id: r.sh for r in rows}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+    assert 0 <= sh[1] < 2**32
+
+
+def test_vector_ops(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [3.0, 4.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+        sq_dist(F.col("a"), F.col("b")).alias("s"),
+    ).collect()
+    assert rows[0].d == 25.0 and abs(rows[0].c - 1.0) < 1e-12 and rows[0].s == 0.0
+    assert rows[1].d == 0.0 and rows[1].c == 0.0 and rows[1].s == 2.0
+
+
+def test_assign_cells_tie_break(spark):
+    vectors = spark.createDataFrame(
+        [(10, [0.0, 0.0])], "vec_id long, ed array<double>"
+    )
+    # two centroids equidistant → lowest cid wins
+    cents = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (1, [-1.0, 0.0])], "cid long, cd array<double>"
+    )
+    out = assign_cells(vectors, cents).collect()
+    assert out[0].cid == 1
+
+
+def test_dsum_exact_across_partition_counts(spark):
+    data = [(float(f"{i % 97}.{i % 100:02d}"),) for i in range(1, 2000)]
+    df1 = spark.createDataFrame(data, "v double").repartition(1)
+    df32 = spark.createDataFrame(data, "v double").repartition(32)
+    s1 = df1.agg(dsum(F.col("v")).alias("s")).collect()[0].s
+    s32 = df32.agg(dsum(F.col("v")).alias("s")).collect()[0].s
+    assert s1 == s32  # bit-identical regardless of partitioning
+
+
+def test_win_rank_tie_break(spark):
+    from piper_spark.operators import windows  # noqa: F401  (registry)
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1, 100, 50.0), (1, 99, 50.0), (1, 98, 60.0)],
+        "cust long, okey long, price double",
+    )
+    w = Window.partitionBy("cust").orderBy(F.col("price").desc(), F.col("okey"))
+    rows = df.withColumn("rn", F.row_number().over(w)).orderBy("rn").collect()
+    assert [r.okey for r in rows] == [98, 99, 100]  # ties broken by key

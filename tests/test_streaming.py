@@ -1,0 +1,63 @@
+"""Batch/stream parity smoke tests (SURVEY.md §5 strategy #5).
+
+The streaming twins must produce the same rows as their oracle-checked
+batch counterparts when the whole input is drained via availableNow.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from piper_spark.functions.sessions import event_sessions, event_tumbling
+from piper_spark.session import table
+from piper_spark.streaming import (
+    read_event_stream,
+    run_available_now,
+    stream_sessionize,
+    stream_tumbling,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """events table re-materialized as clean (µs-timestamp) parquet files."""
+    d = tempfile.mkdtemp(prefix="piper_events_")
+    table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _per_user_totals(df):
+    return {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+
+
+def test_stream_tumbling_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    run_available_now(stream_tumbling(stream), "tumbling_out")
+    got = {
+        (r.day, r.event_type): (r.cnt, r.total_value)
+        for r in spark.table("tumbling_out").collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.cnt, r.total_value)
+        for r in event_tumbling(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_stream_sessionize_matches_batch_totals(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    run_available_now(stream_sessionize(stream), "sessions_out")
+    # session_window merges by gap exactly like the lag-based batch op:
+    # same session count and event total per user
+    got = _per_user_totals(spark.table("sessions_out"))
+    want = _per_user_totals(event_sessions(spark, SF_SMOKE))
+    assert got == want
