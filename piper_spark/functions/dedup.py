@@ -101,15 +101,75 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_hashes(text_col: Column | str = "text") -> Column:
+    """xxhash64 of each shingle — build the shingle STRINGS only once;
+    all k 'permutations' then re-hash these longs, which is ~free."""
+    return F.transform(shingles(text_col), lambda s: F.xxhash64(s))
+
+
 def minhash_signature(text_col: Column | str = "text") -> list[Column]:
-    """k minhash values over word shingles, via seeded xxhash64."""
-    sh = shingles(text_col)
+    """k minhash values over word shingles as array expressions.
+
+    Fine for small inputs / unit tests; the scale path is
+    :func:`minhash_signatures` (explode + codegen'd hash aggregate) —
+    higher-order functions are interpreted, not codegen'd.
+    """
+    sh = shingle_hashes(text_col)
     return [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))).alias(
+        F.array_min(F.transform(sh, lambda h: F.xxhash64(F.lit(i), h))).alias(
             f"mh{i}"
         )
         for i in range(NUM_MINHASHES)
     ]
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, mh0..mhk-1) for every document — the 100 TB shape.
+
+    explode(shingle hashes) → groupBy(id).agg(min(rehash_i)): every
+    operator is whole-stage-codegen'd, the only shuffle is the hash
+    aggregate on the id key (pre-aggregated map-side).
+    """
+    ex = docs.select(id_col, F.explode(shingle_hashes(text_col)).alias("h"))
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
+            for i in range(NUM_MINHASHES)
+        ]
+    )
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(id, sh) SimHash per document — the 100 TB shape.
+
+    explode(distinct word hashes) → per-bit set-counts in ONE codegen'd
+    hash aggregate → majority vote per bit. ~10× the interpreted
+    array-lambda form (:func:`simhash32`). 64-bit default — the
+    standard near-dup configuration; with 4×16-bit LSH bands every pair
+    at Hamming distance ≤ 3 shares at least one band (pigeonhole).
+    """
+    wh = F.transform(
+        F.array_distinct(F.split(text_col, " ")), lambda w: F.xxhash64(w)
+    )
+    ex = docs.select(id_col, F.explode(wh).alias("h"))
+    g = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+            for j in range(bits)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    # Disjoint bit patterns OR together via long addition (never overflows:
+    # adding bit 63's pattern is adding a negative).
+    sh = F.lit(0).cast("long")
+    for j in range(bits):
+        sh = sh + F.when(
+            F.col(f"b{j}") * 2 > F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select(id_col, sh.alias("sh"))
 
 
 @register("dedup_minhash")  # engine-hash based → rows-only check (SURVEY.md §7)
@@ -120,9 +180,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The only shuffle is on the band-hash key; pair explosion is bounded
     by bucket sizes, not by n².
     """
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", *minhash_signature("text")
-    )
+    # Materialize signatures once before the self-join — the LSH
+    # candidate join reads the signature relation twice, and in a real
+    # pipeline signatures are a persisted table between stages.
+    d = minhash_signatures(table(spark, sf_dir, "documents")).localCheckpoint()
     bands = F.array(
         *[
             F.struct(
@@ -145,36 +206,45 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id1", "id2")
 
 
-def simhash32(text_col: Column | str = "text") -> Column:
-    """32-bit SimHash from xxhash64 word hashes (distinct words)."""
-    wh = F.transform(
-        F.array_distinct(F.split(text_col, " ")), lambda w: F.xxhash64(w)
+def simhash32(text_col: str = "text") -> Column:
+    """32-bit SimHash from xxhash64 word hashes (distinct words).
+
+    Single pass over the word hashes with a 32-wide vote accumulator —
+    higher-order functions are interpreted (no codegen), so 32 separate
+    aggregate() traversals would cost ~32× this. Written as a SQL
+    expression because the Python `shiftright` wrapper only accepts a
+    literal int shift, while the SQL form takes the lambda index.
+    """
+    return F.expr(
+        f"""
+aggregate(
+  zip_with(
+    aggregate(
+      transform(array_distinct(split({text_col}, ' ')), w -> xxhash64(w)),
+      array_repeat(0L, 32),
+      (acc, x) -> transform(acc, (v, j) -> v + (shiftright(x, j) & 1L) * 2 - 1)
+    ),
+    sequence(0, 31),
+    (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)
+  ),
+  0L, (acc, x) -> acc + x)
+"""
     )
-
-    def bit_vote(j: int):
-        # pyspark introspects lambda arity — keep exactly (acc, x) params
-        return lambda acc, x: acc + (F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    out = F.lit(0).cast("long")
-    for j in range(32):
-        bit_sum = F.aggregate(wh, F.lit(0).cast("long"), bit_vote(j))
-        out = out + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
 
 
 @register("dedup_simhash")  # engine-hash based → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 4 bands of 8 bits, Hamming ≤ 6 cut."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", simhash32("text").alias("sh")
-    )
+    """SimHash near-dup pairs: 64-bit signature, 4 bands of 16 bits,
+    Hamming ≤ 3 cut (every such pair is guaranteed a band collision)."""
+    # Materialized once — see dedup_minhash note.
+    d = simhash_signatures(table(spark, sf_dir, "documents")).localCheckpoint()
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(0xFF)).alias("bh"),
+                F.shiftright(F.col("sh"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bh"),
             )
             for b in range(4)
         ]
@@ -192,7 +262,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id2"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 3)
         .distinct()
         .orderBy("id1", "id2")
     )

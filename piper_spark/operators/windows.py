@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType
 
 from piper_spark.registry import register
 from piper_spark.session import table
@@ -53,26 +52,24 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running",
     oracle="""
 SELECT event_id, user_id,
-       CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS running_value
+            AS DOUBLE) / 100.0 AS running_value
 FROM events
 """,
 )
 def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum of value per user (exact decimal prefix sums)."""
+    """Running sum of value per user (exact scaled-long prefix sums —
+    same recipe as functions/numeric.py, windowed)."""
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = (
-        F.sum(F.round(F.col("value"), 2).cast(DecimalType(18, 2)))
-        .over(w)
-        .cast("double")
-    )
+    scaled = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    running = F.sum(scaled).over(w).cast("double") / 100.0
     return e.select("event_id", "user_id", running.alias("running_value"))
 
 

@@ -10,8 +10,10 @@ from piper_spark.functions.dedup import (
     exact_dedup,
     hash_split,
     minhash_signature,
+    minhash_signatures,
     shingles,
     simhash32,
+    simhash_signatures,
 )
 from piper_spark.functions.numeric import dsum
 from piper_spark.functions.similarity import assign_cells, cosine, dot, sq_dist
@@ -82,6 +84,25 @@ def test_simhash_similar_docs_close(spark):
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
     assert 0 <= sh[1] < 2**32
+
+
+def test_signature_paths_agree(spark):
+    """The interpreted array-lambda forms and the explode+agg scale
+    forms must produce identical signatures."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "a b")],
+        "doc_id long, text string",
+    )
+    slow_sh = {r.doc_id: r.sh for r in df.select("doc_id", simhash32("text").alias("sh")).collect()}
+    fast_sh = {r.doc_id: r.sh for r in simhash_signatures(df, bits=32).collect()}
+    assert slow_sh == fast_sh
+    slow_mh = {r.doc_id: [r[f"mh{i}"] for i in range(8)]
+               for r in df.select("doc_id", *minhash_signature("text")).collect()}
+    fast_mh = {r.doc_id: [r[f"mh{i}"] for i in range(8)]
+               for r in minhash_signatures(df).collect()}
+    assert slow_mh == fast_mh
 
 
 def test_vector_ops(spark):
