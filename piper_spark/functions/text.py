@@ -176,6 +176,40 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigrams",
+    oracle="""
+SELECT bigram, count(*) AS freq
+FROM (
+  SELECT unnest(list_transform(
+           string_split(text, ' ')[1:len(string_split(text, ' ')) - 1],
+           (w, i) -> concat(w, ' ', string_split(text, ' ')[i + 1]))) AS bigram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+)
+GROUP BY bigram
+ORDER BY freq DESC, bigram
+LIMIT 10
+""",
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 adjacent word pairs (2-gram shingles) by frequency."""
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    bigrams = F.transform(
+        F.slice(w, 1, F.size(w) - 1),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(w, i + 2)),
+    )
+    return (
+        d.filter(F.size(w) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram")
+        .limit(10)
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
 SELECT doc_id,

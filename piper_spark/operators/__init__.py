@@ -8,6 +8,7 @@ from piper_spark.operators import (  # noqa: F401
     scans,
     filters,
     joins,
+    asof,
     aggregates,
     windows,
     sorts,

@@ -108,6 +108,23 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all grouping-set combos."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
     "accuracy_group",
     oracle="""
 SELECT label,

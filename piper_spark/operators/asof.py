@@ -1,0 +1,106 @@
+"""As-of join — match each row to the most recent earlier row of another
+stream (SURVEY.md §2B custom-operator mandate; Spark has no native
+ASOF JOIN, DuckDB 1.0 does — which makes it oracle-checkable).
+
+Implementation is the scalable union-and-carry shape, NOT a per-row
+subquery or range cross join:
+
+  tag both sides → union → window over (key ORDER BY ts, side) →
+  last_value(right payload, ignorenulls) carries the latest right row
+  forward → keep left rows.
+
+One shuffle on the join key; no nested-loop, no range explosion. This
+is the batch twin of a stream-stream join with state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from piper_spark.registry import register
+from piper_spark.session import table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    right_ts <= left_ts (strict: < left_ts) within the same `on` key.
+
+    Returns the left columns + right_payload columns (null when no
+    earlier right row exists).
+    """
+    lt = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.struct(*left.columns).alias("__l"),
+    )
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
+    )
+    # strict: right rows at the same ts sort AFTER left rows → not visible.
+    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).select(
+        "__side",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
+            for c in right_payload
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__rv_{c}").alias(f"r_{c}") for c in right_payload],
+    )
+    return out
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts, s.ts AS r_ts, s.event_id AS r_event_id
+FROM (SELECT * FROM events WHERE event_type <> 'signup') e
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id, ts) s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach each non-signup event to the user's most recent signup
+    at-or-before it (classic enrich-with-latest-state shape).
+
+    The right side is deduped to one row per (key, ts) — ASOF tie
+    behavior on duplicate timestamps is engine-arbitrary otherwise.
+    """
+    e = table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["ts", "event_id"],
+    )

@@ -22,6 +22,28 @@ from piper_spark.registry import register
 from piper_spark.session import table
 
 
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side deterministically,
+    replicate the small side across salts, join on (key, salt).
+
+    AQE's skew-join split handles moderate skew automatically; this is
+    the explicit form for pathological hot keys (one key ≫ one
+    executor's memory). Deterministic salt (hash of a unique column),
+    so retries and re-runs place rows identically.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_key)), F.lit(n_salts))
+    left = skewed.withColumn("__salt", salt)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    right = small.select("*", salts).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return left.join(right, [on, "__salt"]).drop("__salt")
+
+
 @register(
     "join_inner",
     oracle="""

@@ -21,6 +21,29 @@ from piper_spark.session import table
 
 
 @register(
+    "sample_stratified",
+    oracle="""
+SELECT lang, count(*) AS sampled, CAST(min(doc_id) AS BIGINT) AS min_id
+FROM documents
+WHERE doc_id % 10 < 3
+GROUP BY lang
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~30% key-hash sample with per-stratum counts.
+
+    Unlike df.sample(), re-runs and retries see the same rows — the
+    property the reference gets from fixed seeds (loader.rs:37-39),
+    without depending on partition layout.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 3)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("sampled"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+@register(
     "split_hash",
     oracle="""
 SELECT CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'val' END AS split,

@@ -74,6 +74,34 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_movavg",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / 100.0
+         / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS mov_avg
+FROM events
+""",
+)
+def win_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per user — bounded sliding frame (exact
+    scaled-long sums over the frame, then one double division)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    scaled = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    mov = F.sum(scaled).over(w).cast("double") / 100.0 / F.count(F.lit(1)).over(w)
+    return e.select("event_id", "user_id", mov.alias("mov_avg"))
+
+
+@register(
     "win_lag",
     oracle="""
 SELECT event_id, user_id,
