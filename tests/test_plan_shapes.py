@@ -1,0 +1,71 @@
+"""Physical-plan regression tests — the scale contract (SURVEY.md §4).
+
+Correctness says the operator computes the right answer; these say it
+computes it the way that survives 100 TB: pruned scans, pushed filters,
+broadcast dimension joins, partial (map-side) aggregation, top-k
+without a global sort, and no cartesian products where an equi-join is
+intended.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from piper_spark import registry
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.all_queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prune_reads_only_projected_columns(spark):
+    plan = plan_of(spark, "scan_prune")
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_extendedprice" not in scan and "l_comment" not in scan
+
+
+def test_filter_pred_pushes_predicates_to_scan(spark):
+    plan = plan_of(spark, "filter_pred")
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PushedFilters: [" in scan
+    assert "o_totalprice" in scan.split("PushedFilters")[1][:200]
+
+
+def test_join_multiway_broadcasts_both_dimensions(spark):
+    plan = plan_of(spark, "join_multiway")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_agg_group_has_partial_aggregation(spark):
+    plan = plan_of(spark, "agg_group")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_sort_limit_is_top_k_not_global_sort(spark):
+    plan = plan_of(spark, "sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_join_range_is_not_cartesian(spark):
+    plan = plan_of(spark, "join_range")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_join_is_equi_join_on_band_hash(spark):
+    plan = plan_of(spark, "dedup_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["agg_group", "proj_math", "clamp_scale"])
+def test_hot_paths_are_whole_stage_codegen(spark, name):
+    df = registry.all_queries()[name](spark, SF_SMOKE)
+    df.collect()  # AQE finalizes this DataFrame's own query execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan  # whole-stage-codegen stage marker
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
