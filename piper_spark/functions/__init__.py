@@ -9,4 +9,5 @@ from piper_spark.functions import (  # noqa: F401
     dedup,
     similarity,
     sessions,
+    udfs,
 )

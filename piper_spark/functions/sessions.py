@@ -70,6 +70,31 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_sliding",
+    oracle="""
+SELECT win_start, event_type, count(*) AS cnt
+FROM (
+  SELECT unnest([CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP)]) AS win_start,
+         event_type
+  FROM events
+)
+GROUP BY win_start, event_type
+""",
+)
+def event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day windows advancing 1 day — each event lands in two
+    windows (F.window with slide; the oracle expands the two candidate
+    starts explicitly)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
+    )
+
+
+@register(
     "event_tumbling",
     oracle=f"""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

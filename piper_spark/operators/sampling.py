@@ -21,6 +21,32 @@ from piper_spark.session import table
 
 
 @register(
+    "shuffle_det",
+    oracle="""
+SELECT vec_id,
+       row_number() OVER (ORDER BY (vec_id * 48271) % 65537, vec_id) AS pos
+FROM embeddings
+""",
+)
+def shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset shuffle (reference R2: seeded permutation,
+    loader.rs:37-39) — rank by an LCG of the key, so both engines (and
+    every re-run) agree on the permutation. orderBy(rand(seed)) would
+    NOT be partition-stable in Spark.
+
+    Scale note: the global row_number is for the oracle; at 100 TB you
+    keep only the sort key (`(key*48271) % 65537`) and let the shuffle
+    write order rows — no global window needed.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    key = (F.col("vec_id") * 48271) % 65537
+    w = Window.orderBy(key, "vec_id")
+    return e.select("vec_id", F.row_number().over(w).alias("pos"))
+
+
+@register(
     "sample_stratified",
     oracle="""
 SELECT lang, count(*) AS sampled, CAST(min(doc_id) AS BIGINT) AS min_id
