@@ -154,10 +154,17 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         F.array_distinct(F.split(text_col, " ")), lambda w: F.xxhash64(w)
     )
     ex = docs.select(id_col, F.explode(wh).alias("h"))
+    # SWAR-packed counters: aggregate k sums (h >> k) & 0x0001000100010001,
+    # giving four 16-bit per-bit-position counters per long — bits/4
+    # aggregates instead of `bits`, a ~4× smaller agg buffer + codegen.
+    # Safe for up to 65535 distinct words per document.
+    mask = 0x0001000100010001
     g = ex.groupBy(id_col).agg(
         *[
-            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
-            for j in range(bits)
+            F.sum(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(mask))).alias(
+                f"c{k}"
+            )
+            for k in range(16)
         ],
         F.count(F.lit(1)).alias("n"),
     )
@@ -165,8 +172,10 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     # adding bit 63's pattern is adding a negative).
     sh = F.lit(0).cast("long")
     for j in range(bits):
+        k, m = j % 16, j // 16
+        cnt = F.shiftright(F.col(f"c{k}"), 16 * m).bitwiseAND(F.lit(0xFFFF))
         sh = sh + F.when(
-            F.col(f"b{j}") * 2 > F.col("n"),
+            cnt * 2 > F.col("n"),
             F.shiftleft(F.lit(1).cast("long"), j),
         ).otherwise(F.lit(0).cast("long"))
     return g.select(id_col, sh.alias("sh"))

@@ -195,9 +195,13 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 adjacent word pairs (2-gram shingles) by frequency."""
     d = table(spark, sf_dir, "documents")
     w = words_col()
-    bigrams = F.transform(
+    # zip the array with its own shift — NEVER index the outer array
+    # inside the lambda (element_at(w, i) re-evaluates the split per
+    # element → O(words²) per document).
+    bigrams = F.zip_with(
         F.slice(w, 1, F.size(w) - 1),
-        lambda x, i: F.concat(x, F.lit(" "), F.element_at(w, i + 2)),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return (
         d.filter(F.size(w) >= 2)

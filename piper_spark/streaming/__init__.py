@@ -4,6 +4,7 @@ from piper_spark.streaming.events import (  # noqa: F401
     EVENTS_SCHEMA,
     read_event_stream,
     run_available_now,
+    stream_dedup,
     stream_sessionize,
     stream_tumbling,
 )

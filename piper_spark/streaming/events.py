@@ -84,6 +84,15 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop duplicate event_ids arriving within the watermark horizon —
+    streaming twin of exact dedup; state is bounded by the watermark
+    (dropDuplicatesWithinWatermark), so it runs forever at any rate."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain all available input through the stream into a memory sink.
 

@@ -16,6 +16,7 @@ from piper_spark.session import table
 from piper_spark.streaming import (
     read_event_stream,
     run_available_now,
+    stream_dedup,
     stream_sessionize,
     stream_tumbling,
 )
@@ -51,6 +52,16 @@ def test_stream_tumbling_matches_batch(spark, events_dir):
         for r in event_tumbling(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_drops_watermark_duplicates(spark, events_dir):
+    # duplicate the whole input: two copies of every event_id arrive
+    doubled = tempfile.mkdtemp(prefix="piper_events_dup_")
+    e = table(spark, SF_SMOKE, "events")
+    e.unionAll(e).repartition(4).write.mode("overwrite").parquet(doubled)
+    stream = read_event_stream(spark, doubled)
+    run_available_now(stream_dedup(stream), "dedup_out", output_mode="append")
+    assert spark.table("dedup_out").count() == e.count()
 
 
 def test_stream_sessionize_matches_batch_totals(spark, events_dir):
