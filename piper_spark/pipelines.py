@@ -1,0 +1,93 @@
+"""End-to-end training-data pipeline — the engine's equivalent of the
+reference's whole purpose (Luigi DAG → prepare a training dataset,
+luigi_tasks.py:328-347), re-expressed as one deterministic dataflow:
+
+  documents
+    → quality filter        (length + stopword-ratio gates)
+    → exact dedup           (min-doc_id keeper per text)
+    → near-dup removal      (MinHash-LSH candidates; drop the larger id)
+    → deterministic split   (key-hash 80/20 train/val)
+    → partitioned parquet   (split=…/lang=… layout)
+
+Where the reference sequences stages with file-existence markers and a
+polling worker (luigi_tasks.py:45-51, docker/luigi_worker.sh:2-14),
+here the stages are one lazy plan: idempotence comes from deterministic
+transforms + overwrite-mode writes, retries from Spark task retry, and
+lineage replaces markers. Each stage is independently usable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piper_spark.functions.dedup import minhash_signatures
+from piper_spark.session import table
+from piper_spark.sources.sinks import write_partitioned
+
+MINHASH_BANDS = 4
+
+
+def quality_filter(docs: DataFrame, min_words: int = 5,
+                   max_stop_ratio: float = 0.5) -> DataFrame:
+    """Drop too-short and stopword-dominated documents."""
+    w = F.split("text", " ")
+    n = F.size(w)
+    stop = F.size(F.filter(w, lambda x: x.isin("the", "a")))
+    return docs.filter(
+        (n >= min_words) & (stop.cast("double") / n <= max_stop_ratio)
+    )
+
+
+def dedup_exact_docs(docs: DataFrame) -> DataFrame:
+    """One row per distinct text — deterministic min-doc_id keeper."""
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, ["text", "doc_id"], "inner")
+
+
+def dedup_near_docs(docs: DataFrame) -> DataFrame:
+    """Remove MinHash-LSH near-duplicates, keeping the smaller doc_id.
+
+    Candidate pairs come from band-hash buckets (equi-join — the scale
+    shape); every doc that appears as the LARGER member of any candidate
+    pair is dropped via a left-anti join.
+    """
+    sig = minhash_signatures(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("bh"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    losers = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(losers, "doc_id", "left_anti")
+
+
+def tag_split(docs: DataFrame, train_pct: int = 80) -> DataFrame:
+    """Deterministic key-hash split tag (reference loader.rs:21-45)."""
+    split = F.when(F.col("doc_id") % 100 < train_pct, F.lit("train")).otherwise(
+        F.lit("val")
+    )
+    return docs.withColumn("split", split)
+
+
+def run_training_data_pipeline(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Full pipeline; writes split=…/lang=… parquet, returns the final DF."""
+    docs = table(spark, sf_dir, "documents")
+    cleaned = tag_split(dedup_near_docs(dedup_exact_docs(quality_filter(docs))))
+    write_partitioned(cleaned, out_dir, ["split", "lang"])
+    return cleaned

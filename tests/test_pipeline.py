@@ -1,0 +1,81 @@
+"""End-to-end training-data pipeline tests (the reference-parity flow)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from piper_spark.pipelines import (
+    dedup_exact_docs,
+    dedup_near_docs,
+    quality_filter,
+    run_training_data_pipeline,
+    tag_split,
+)
+from piper_spark.session import table
+from tests.conftest import SF_SMOKE
+
+
+def test_quality_filter_gates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "the a the a the a"), (3, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in quality_filter(df).collect()}
+    assert kept == {3}  # 1 too short, 2 stopword-dominated
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "x y z"), (2, "x y z"), (9, "p q r")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.text) for r in dedup_exact_docs(df).collect()}
+    assert out == {(2, "x y z"), (9, "p q r")}
+
+
+def test_dedup_near_removes_larger_member(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_near_docs(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_full_pipeline_end_to_end(spark):
+    out = tempfile.mkdtemp(prefix="piper_pipe_")
+    final = run_training_data_pipeline(spark, SF_SMOKE, out)
+    back = spark.read.parquet(out)
+    assert back.count() == final.count() > 0
+    # no duplicate texts survive
+    assert back.select("text").distinct().count() == back.count()
+    # both splits present, complementary, deterministic tag
+    splits = dict(back.groupBy("split").count().collect())
+    assert set(splits) == {"train", "val"}
+    bad = back.filter(
+        ((F.col("doc_id") % 100 < 80) & (F.col("split") != "train"))
+        | ((F.col("doc_id") % 100 >= 80) & (F.col("split") != "val"))
+    )
+    assert bad.count() == 0
+    # idempotent: re-run overwrites to the identical result
+    # (capture before the rewrite — the old DataFrame's file index
+    # goes stale once overwrite replaces the files)
+    n_before = back.count()
+    ids_before = sorted(r.doc_id for r in back.select("doc_id").collect())
+    run_training_data_pipeline(spark, SF_SMOKE, out)
+    again = spark.read.parquet(out)
+    assert again.count() == n_before
+    assert sorted(r.doc_id for r in again.select("doc_id").collect()) == ids_before
+
+
+def test_pipeline_monotone_shrinking(spark):
+    docs = table(spark, SF_SMOKE, "documents")
+    q = quality_filter(docs)
+    e = dedup_exact_docs(q)
+    n = dedup_near_docs(e)
+    c0, c1, c2, c3 = docs.count(), q.count(), e.count(), n.count()
+    assert c0 >= c1 >= c2 >= c3 > 0
+    s = tag_split(n)
+    assert s.count() == c3
