@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from piper_spark.functions.dedup import minhash_signatures
+from piper_spark.registry import register
 from piper_spark.session import table
 from piper_spark.sources.sinks import write_partitioned
 
@@ -91,3 +92,36 @@ def run_training_data_pipeline(
     cleaned = tag_split(dedup_near_docs(dedup_exact_docs(quality_filter(docs))))
     write_partitioned(cleaned, out_dir, ["split", "lang"])
     return cleaned
+
+
+@register(
+    "pipeline_stats",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, text, lang
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+    AND CAST(len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a'))) AS DOUBLE)
+        / len(string_split(text, ' ')) <= 0.5
+),
+e AS (
+  SELECT q.doc_id, q.lang FROM q
+  JOIN (SELECT text, min(doc_id) AS doc_id FROM q GROUP BY text) k
+    ON q.text = k.text AND q.doc_id = k.doc_id
+)
+SELECT CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'val' END AS split,
+       lang, count(*) AS cnt
+FROM e
+GROUP BY 1, 2
+""",
+)
+def pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, lang) counts after the deterministic pipeline spine
+    (quality filter → exact dedup → split). The near-dup stage is
+    excluded here because its engine hash isn't oracle-expressible —
+    it's covered by dedup_minhash and the end-to-end pipeline test.
+    """
+    docs = table(spark, sf_dir, "documents")
+    cleaned = tag_split(dedup_exact_docs(quality_filter(docs)))
+    return cleaned.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("cnt"))

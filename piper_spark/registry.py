@@ -38,7 +38,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    from piper_spark import operators, functions, sources  # noqa: F401
+    from piper_spark import operators, functions, sources, pipelines  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
