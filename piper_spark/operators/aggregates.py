@@ -108,6 +108,33 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_median",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS q1,
+       quantile_cont(l_extendedprice, 0.5)  AS med,
+       quantile_cont(l_extendedprice, 0.75) AS q3
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles per return flag — sort-based aggregation.
+
+    Spark's exact `percentile` and DuckDB's `quantile_cont` use the
+    same linear interpolation on the same doubles → bit-identical
+    (verified). For 100 TB use `approx_percentile` (mergeable KLL-style
+    sketch) — not oracle-comparable, hence the exact form here.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+
+
+@register(
     "agg_cube",
     oracle="""
 SELECT l_returnflag, l_linestatus, count(*) AS cnt
