@@ -107,6 +107,51 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_distinct")  # HLL sketch — engine-specific → rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct(user_id) per event type — the 100 TB path
+    for distinct counts: HyperLogLog++ sketches are fixed-size and
+    mergeable (map-side partials, no expand), unlike exact
+    count(DISTINCT). Accuracy vs the exact form is unit-tested
+    (tests/test_operators_unit.py::test_approx_distinct_close)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "sql_api",
+    oracle="""
+SELECT event_type,
+       count(*) AS cnt,
+       count(DISTINCT user_id) AS uniq_users
+FROM events
+WHERE value > 50.0
+GROUP BY event_type
+""",
+)
+def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL entry point: identical text runs on spark.sql() over
+    registered views and on the DuckDB oracle — demonstrating the
+    engine's second query API next to the DataFrame one."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS cnt,
+               count(DISTINCT user_id) AS uniq_users
+        FROM events
+        WHERE value > 50.0
+        GROUP BY event_type
+        """
+    )
+
+
 @register(
     "agg_median",
     oracle="""

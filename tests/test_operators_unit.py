@@ -140,6 +140,16 @@ def test_dsum_exact_across_partition_counts(spark):
     assert s1 == s32  # bit-identical regardless of partitioning
 
 
+def test_approx_distinct_close(spark):
+    from piper_spark.operators.aggregates import agg_approx_distinct, agg_distinct
+    from tests.conftest import SF_SMOKE
+
+    approx = {r.event_type: r.approx_users for r in agg_approx_distinct(spark, SF_SMOKE).collect()}
+    exact = {r.event_type: r.uniq_users for r in agg_distinct(spark, SF_SMOKE).collect()}
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(2, 0.05 * ex), (k, approx[k], ex)
+
+
 def test_win_rank_tie_break(spark):
     from piper_spark.operators import windows  # noqa: F401  (registry)
     from pyspark.sql import Window
