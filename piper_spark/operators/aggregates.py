@@ -139,13 +139,14 @@ def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL entry point: identical text runs on spark.sql() over
     registered views and on the DuckDB oracle — demonstrating the
     engine's second query API next to the DataFrame one."""
-    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # unique view name — never clobber a caller-registered `events` view
+    table(spark, sf_dir, "events").createOrReplaceTempView("piper_sql_events")
     return spark.sql(
         """
         SELECT event_type,
                count(*) AS cnt,
                count(DISTINCT user_id) AS uniq_users
-        FROM events
+        FROM piper_sql_events
         WHERE value > 50.0
         GROUP BY event_type
         """

@@ -67,6 +67,55 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_arith",
+    oracle="""
+SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_lag_days,
+       count(*) AS cnt
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+GROUP BY 1
+""",
+)
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag histogram — timestamp difference arithmetic."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lag_days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(lag_days.alias("ship_lag_days"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "null_funcs",
+    oracle="""
+SELECT coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status,
+       CAST(coalesce(NULL, -1) AS BIGINT) AS missing_label,
+       count(*) AS cnt
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: nullif/coalesce — the reference's missing-label
+    sentinel (conversion.rs:79-83, Annotation missing → -1) as
+    relational null handling."""
+    o = table(spark, sf_dir, "orders")
+    status = F.coalesce(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+    )
+    return o.groupBy(
+        status.alias("status"),
+        F.coalesce(F.lit(None), F.lit(-1)).cast("long").alias("missing_label"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
     "json_extract",
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
