@@ -173,10 +173,18 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch) — not oracle-comparable, hence the exact form here.
     """
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            # one aggregation buffer for all three quantiles, not three
+            F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("qs")
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("q1"),
+            F.col("qs")[1].alias("med"),
+            F.col("qs")[2].alias("q3"),
+        )
     )
 
 
