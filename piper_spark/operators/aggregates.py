@@ -107,6 +107,59 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_stringagg",
+    oracle="""
+SELECT n_name,
+       array_to_string(list_sort(list(c_mktsegment)), ',') AS segments
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: collect_list is partition-order-
+    dependent, so ALWAYS sort_array before joining (SURVEY.md §7
+    nondeterministic-keeper discipline applied to aggregation)."""
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_mktsegment")), ",").alias(
+                "segments"
+            )
+        )
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT user_id,
+       count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event-type counts per user. The pivot values are pinned
+    explicitly — letting Spark discover them adds a whole extra job
+    AND makes the output schema data-dependent."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
 @register("agg_approx_distinct")  # HLL sketch — engine-specific → rows-only
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct(user_id) per event type — the 100 TB path

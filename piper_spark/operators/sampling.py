@@ -43,7 +43,7 @@ def shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     key = (F.col("vec_id") * 48271) % 65537
     w = Window.orderBy(key, "vec_id")
-    return e.select("vec_id", F.row_number().over(w).alias("pos"))
+    return e.select("vec_id", F.row_number().over(w).cast("long").alias("pos"))
 
 
 @register(

@@ -42,7 +42,7 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -71,6 +71,37 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
     running = F.sum(scaled).over(w).cast("double") / 100.0
     return e.select("event_id", "user_id", running.alias("running_value"))
+
+
+@register(
+    "win_ranks",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       dense_rank() OVER w AS drnk,
+       rank()       OVER w AS rnk,
+       ntile(4)     OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderstatus, o_orderkey)
+""",
+)
+def win_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile in one pass — the rest of the ranking
+    family next to win_rank's row_number. ntile's ORDER BY carries the
+    unique o_orderkey tie-break so bucket assignment is total-ordered."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderstatus", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        # Spark rank fns return INT, DuckDB BIGINT → cast for schema parity
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.ntile(4).over(wq).cast("long").alias("quartile"),
+    )
 
 
 @register(

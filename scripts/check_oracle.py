@@ -54,6 +54,9 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         return errs
     s, d = normalize(spark_df), normalize(duck_df)
     for c in s.columns:
+        if s[c].dtype != d[c].dtype:
+            errs.append(f"dtype {c}: spark={s[c].dtype} duck={d[c].dtype}")
+    for c in s.columns:
         sv, dv = s[c].to_numpy(), d[c].to_numpy()
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
             sv = sv.astype(np.float64)
