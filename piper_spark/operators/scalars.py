@@ -67,6 +67,59 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "str_regexp",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_type, '([a-z]+)', 1) AS first_word,
+       regexp_replace(p_brand, '[0-9]+', '#') AS brand_masked,
+       CAST(regexp_matches(p_name, 'a.*e') AS BOOLEAN) AS has_ae
+FROM part
+""",
+)
+def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract/replace/match — patterns kept to the common subset
+    where Java and RE2 regex semantics agree."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+        F.col("p_name").rlike("a.*e").alias("has_ae"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+SELECT user_id, event_type AS modal_type, cnt
+FROM (
+  SELECT user_id, event_type, count(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events
+  GROUP BY user_id, event_type
+) WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type — mode() with a DETERMINISTIC tie-break
+    (engines' built-in mode() breaks ties arbitrarily; rank-over-counts
+    does not)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "cnt")
+    )
+
+
+@register(
     "date_arith",
     oracle="""
 SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_lag_days,

@@ -6,5 +6,6 @@ from piper_spark.streaming.events import (  # noqa: F401
     run_available_now,
     stream_dedup,
     stream_sessionize,
+    stream_sliding,
     stream_tumbling,
 )

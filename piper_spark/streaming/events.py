@@ -68,6 +68,16 @@ def stream_tumbling(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def stream_sliding(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Sliding 2-day/1-day per-type counts — twin of `event_sliding`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
+    )
+
+
 def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "1 hour") -> DataFrame:
     """Session windows per user — native stateful twin of `event_sessions`."""

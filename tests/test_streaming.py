@@ -11,13 +11,18 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from piper_spark.functions.sessions import event_sessions, event_tumbling
+from piper_spark.functions.sessions import (
+    event_sessions,
+    event_sliding,
+    event_tumbling,
+)
 from piper_spark.session import table
 from piper_spark.streaming import (
     read_event_stream,
     run_available_now,
     stream_dedup,
     stream_sessionize,
+    stream_sliding,
     stream_tumbling,
 )
 from tests.conftest import SF_SMOKE
@@ -50,6 +55,20 @@ def test_stream_tumbling_matches_batch(spark, events_dir):
     want = {
         (r.day, r.event_type): (r.cnt, r.total_value)
         for r in event_tumbling(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_stream_sliding_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    run_available_now(stream_sliding(stream), "sliding_out")
+    got = {
+        (r.win_start, r.event_type): r.cnt
+        for r in spark.table("sliding_out").collect()
+    }
+    want = {
+        (r.win_start, r.event_type): r.cnt
+        for r in event_sliding(spark, SF_SMOKE).collect()
     }
     assert got == want
 
