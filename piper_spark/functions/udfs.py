@@ -9,10 +9,11 @@ pickled rows; here the surface is explicit and Arrow-vectorized:
 - `applyInPandas`              — grouped map (per-group DataFrames)
 - `spark.udf.register`         — SQL-callable registration
 
-`embed_centroids` (applyInPandas) is registered rows-only: float mean
-summation order differs between numpy's pairwise sum and any SQL
-engine, so it is exercised by unit tests with tolerance instead of the
-bit-exact oracle.
+`embed_centroids` (applyInPandas) is oracle-checked bit-exactly: each
+element is quantized to a scaled long (the numeric.py recipe), summed
+exactly as int64, and divided back in a fixed IEEE order — numpy and
+DuckDB then agree to the last bit, and the result is an exploded
+``(label, dim, val)`` relation the driver's canonicalizer can sort.
 """
 
 from __future__ import annotations
@@ -39,7 +40,17 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register("vocab_density", vocab_density)
 
 
-def _centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+#: Fixed-point scale for centroid quantization (see numeric.py recipe).
+_CENTROID_SCALE = 1_000_000.0
+
+
+def centroid_arrays(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Library form: per-label centroid as one array<double> row per label.
+
+    Kept for programmatic callers; the *registered* query uses the
+    exploded scalar shape below because array columns are not
+    canonicalizable by the driver's comparator.
+    """
     emb = np.stack(pdf["embedding"].to_numpy())
     c = emb.astype(np.float64).mean(axis=0)
     return pd.DataFrame(
@@ -48,15 +59,46 @@ def _centroid(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register("embed_centroids")  # float-mean ordering → rows-only check
+def _centroid_exploded(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Quantize each float32 element to a scaled int64, sum exactly, then
+    # divide in the same IEEE order the oracle SQL uses:
+    #   (CAST(sum AS DOUBLE) / scale) / n
+    emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    scaled = np.floor(emb * _CENTROID_SCALE + 0.5).astype(np.int64)
+    sums = scaled.sum(axis=0)
+    vals = (sums.astype(np.float64) / _CENTROID_SCALE) / len(pdf)
+    return pd.DataFrame(
+        {
+            "label": np.full(emb.shape[1], int(pdf["label"].iloc[0]), dtype=np.int32),
+            "dim": np.arange(emb.shape[1], dtype=np.int32),
+            "val": vals,
+        }
+    )
+
+
+@register(
+    "embed_centroids",
+    oracle="""
+SELECT label, dim, CAST(sum(scaled) AS DOUBLE) / 1000000.0 / count(*) AS val
+FROM (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS scaled
+  FROM embeddings
+)
+GROUP BY label, dim
+""",
+)
 def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid via applyInPandas (grouped map).
 
     The batch-scoring shape of the reference's tensor batcher
     (batch.rs:57-94): groups arrive as pandas DataFrames over Arrow,
-    numpy does the math, results return as columnar batches.
+    numpy does the math, results return as columnar batches. Output is
+    the exploded (label, dim, val) relation with fixed-point-exact
+    values, so the DuckDB oracle matches bit-for-bit.
     """
     e = table(spark, sf_dir, "embeddings")
     return e.groupBy("label").applyInPandas(
-        _centroid, schema="label int, centroid array<double>, n long"
+        _centroid_exploded, schema="label int, dim int, val double"
     )

@@ -4,9 +4,13 @@ The reference has no joins (SURVEY.md §2A: category absent); these are
 the required relational surface, expressed so Catalyst picks the right
 physical join at any scale:
 
-- dimension tables (customer/orders at the small end) are explicitly
-  `F.broadcast()`-hinted where they are guaranteed small relative to
-  the fact side — at 100 TB the lineitem side never shuffles for them;
+- only BOUNDED dimension tables (region: 5 rows, nation: 25, supplier:
+  sub-linear) carry explicit `F.broadcast()` hints — they stay
+  broadcastable at any SF. Fact-scaled tables (orders, customer,
+  lineitem) are never hinted: an explicit hint overrides
+  autoBroadcastJoinThreshold and would OOM every executor at 100 TB.
+  AQE picks broadcast for them at small SF from runtime sizes, and
+  shuffled hash / sort-merge at scale — the right plan both times;
 - the range join is an equi-join on the user key with the range
   predicate as a join filter (SortMergeJoin + filter), NOT a broadcast
   nested loop over the cross product.
@@ -52,10 +56,11 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """,
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-join orders ⋈ customer; customer broadcast (small dimension)."""
+    """Equi-join orders ⋈ customer. Both sides fact-scaled, so no
+    broadcast hint — AQE broadcasts at small SF, shuffles at 100 TB."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
     )
 
@@ -73,14 +78,16 @@ GROUP BY c_mktsegment
 """,
 )
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way fact⋈dim⋈dim join + aggregate; both dims broadcast."""
+    """3-way fact⋈fact⋈fact join + aggregate. orders/customer grow with
+    SF, so no hints: AQE broadcasts them while small and switches to
+    shuffled joins at scale."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(dsum(rev, 4).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
@@ -159,8 +166,9 @@ LIMIT 10
 """,
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: shipping-priority top-10 — selective dim filter
-    broadcast against the fact, aggregate, top-k without global sort."""
+    """TPC-H Q3 shape: shipping-priority top-10 — selective filters
+    pushed to every scan, aggregate, top-k without a global sort.
+    orders/customer are fact-scaled → no broadcast hints (AQE decides)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -170,8 +178,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(rev, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -198,8 +206,10 @@ GROUP BY n_name
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join, local-supplier revenue by nation.
 
-    Every dimension broadcasts; the lineitem fact never shuffles before
-    aggregation.
+    Only the bounded dimensions (region 5 rows, nation 25, supplier
+    sub-linear) carry broadcast hints; orders/customer are fact-scaled,
+    so AQE picks their join strategy (broadcast while small, shuffled
+    hash / sort-merge at 100 TB).
     """
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation")
@@ -209,8 +219,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),

@@ -130,14 +130,15 @@ GROUP BY 1
 """,
 )
 def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-to-ship lag histogram — timestamp difference arithmetic."""
+    """Order-to-ship lag histogram — timestamp difference arithmetic.
+    orders is fact-scaled → no broadcast hint; AQE picks the strategy."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     lag_days = F.datediff(
         F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
     ).cast("long")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
         .groupBy(lag_days.alias("ship_lag_days"))
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -34,10 +34,36 @@ def test_filter_pred_pushes_predicates_to_scan(spark):
     assert "o_totalprice" in scan.split("PushedFilters")[1][:200]
 
 
-def test_join_multiway_broadcasts_both_dimensions(spark):
+def hints_of(spark, name: str) -> int:
+    """Count explicit join-strategy hints in the analyzed logical plan."""
+    df = registry.all_queries()[name](spark, SF_SMOKE)
+    lp = df._jdf.queryExecution().analyzed().toString()
+    return lp.count("ResolvedHint") + lp.count("UnresolvedHint")
+
+
+@pytest.mark.parametrize("name", ["join_multiway", "tpch_q3", "date_arith", "join_inner"])
+def test_fact_joins_carry_no_broadcast_hint(spark, name):
+    # orders/customer grow linearly with SF: a hard-coded F.broadcast()
+    # would OOM executors at 100 TB. The plan must leave the strategy to
+    # Catalyst/AQE (which still broadcasts at this tiny SF — asserted
+    # below — but from runtime sizes, not a pinned hint).
+    assert hints_of(spark, name) == 0
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_multiway_auto_broadcasts_small_sides(spark):
+    # With no hints, size-based planning still picks broadcast while the
+    # build sides are tiny — the fast plan at this SF.
     plan = plan_of(spark, "join_multiway")
     assert plan.count("BroadcastHashJoin") == 2
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_hints_only_bounded_dimensions(spark):
+    # region (5 rows), nation (25), supplier (sub-linear): exactly 3
+    # hints, none on the fact-scaled orders/customer/lineitem.
+    assert hints_of(spark, "tpch_q5") == 3
 
 
 def test_agg_group_has_partial_aggregation(spark):

@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from piper_spark.functions.udfs import embed_centroids, register_udfs, vocab_density
+from piper_spark.functions.udfs import (
+    centroid_arrays,
+    embed_centroids,
+    register_udfs,
+    vocab_density,
+)
 from piper_spark.session import table
 from tests.conftest import SF_SMOKE
 
@@ -29,14 +34,30 @@ def test_udf_sql_registration(spark):
     assert abs(r[0].d - 2 / 3) < 1e-12
 
 
+def test_centroid_arrays_library_form():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"label": [3, 3], "embedding": [[1.0, 2.0], [3.0, 4.0]]}
+    )
+    out = centroid_arrays(pdf)
+    assert out["label"].tolist() == [3] and out["n"].tolist() == [2]
+    np.testing.assert_allclose(out["centroid"].iloc[0], [2.0, 3.0])
+
+
 def test_embed_centroids_matches_numpy(spark):
-    out = {r.label: (r.centroid, r.n) for r in embed_centroids(spark, SF_SMOKE).collect()}
+    rows = embed_centroids(spark, SF_SMOKE).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.label, {})[r.dim] = r.val
     emb = table(spark, SF_SMOKE, "embeddings").toPandas()
     for label, grp in emb.groupby("label"):
         want = np.stack(grp["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
-        got, n = out[int(label)]
-        assert n == len(grp)
-        np.testing.assert_allclose(got, want, rtol=1e-12)
+        vals = got[int(label)]
+        assert sorted(vals) == list(range(len(want)))  # every dim present
+        np.testing.assert_allclose(
+            [vals[d] for d in range(len(want))], want, atol=1e-6
+        )
     # plan uses Arrow (FlatMapGroupsInPandas), not row pickling
     plan = embed_centroids(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
