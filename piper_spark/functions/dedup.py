@@ -2,14 +2,19 @@
 
 Three tiers, in increasing scale-fitness:
 
-- ``dedup_jaccard``  — exact word-set Jaccard over a bounded pair set.
-  O(n²) by construction; it is the ORACLE for the approximate paths.
+- ``dedup_jaccard`` / ``dedup_jaccard_shingle`` — exact Jaccard over a
+  bounded pair set, in the two token units the approximate paths use:
+  word SETS and 3-word SHINGLES. O(n²) by construction; these are the
+  ORACLES for the LSH paths (same unit ↔ same path:
+  shingle ground truth ↔ `dedup_minhash`; the word-set ground truth
+  validates the word-unit signature twin in tests/test_properties.py).
 - ``dedup_minhash``  — MinHash + LSH banding: shingle → k minhashes →
   band hashes → equi-join on (band, hash). The join is a plain shuffle
   hash join on a 64-bit key, which is the shape that survives 100 TB;
   no cross product ever materializes. Engine hash (xxhash64) → not
-  DuckDB-expressible → rows-only check.
-- ``dedup_simhash``  — 32-bit SimHash + banded candidate pairs with a
+  DuckDB-expressible → rows-only check; recall vs the shingle ground
+  truth is asserted in tests/test_properties.py.
+- ``dedup_simhash``  — 64-bit SimHash + banded candidate pairs with a
   Hamming-distance cut. Same scale shape as minhash. Rows-only.
 
 Generic library entry points (`exact_dedup`, `hash_split`) operate on
@@ -18,8 +23,9 @@ arbitrary DataFrames.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from piper_spark.registry import register
 from piper_spark.session import table
@@ -29,18 +35,27 @@ NUM_MINHASHES = 8
 MINHASH_BANDS = 4  # 2 minhashes per band
 
 
-def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
-    """Keep exactly one row per key, the one with the minimum order_col.
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep exactly ONE row per key: first by order_col, then tiebreaks.
 
-    Never dropDuplicates (partition-order-dependent survivor). At scale,
-    grouping on xxhash64(key) and resolving collisions on the full key
-    avoids shuffling wide payloads.
+    Never dropDuplicates (partition-order-dependent survivor). For a
+    deterministic survivor, ``[order_col] + tiebreak_cols`` must totally
+    order rows within a key; row_number() still guarantees exactly one
+    row per key either way (a bare min-join-back would keep every row
+    tied at the minimum). One shuffle on the key — the 100 TB shape; at
+    scale, group on xxhash64(key) first to avoid shuffling wide payloads.
     """
-    w_min = F.min(order_col).alias("__keep")
-    keep = df.groupBy(*key_cols).agg(w_min)
-    return df.join(keep, on=key_cols, how="inner").filter(
-        F.col(order_col) == F.col("__keep")
-    ).drop("__keep")
+    w = Window.partitionBy(*key_cols).orderBy(order_col, *(tiebreak_cols or []))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def hash_split(df: DataFrame, key: str, train_pct: int = 80, seed: int = 42) -> Column:
@@ -101,10 +116,66 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_jaccard_shingle",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 200
+),
+s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(w) - 1, 2))]) AS sh
+  FROM d
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+""",
+)
+def dedup_jaccard_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard ≥ 0.5 pairs on a bounded doc subset.
+
+    The SAME token unit `dedup_minhash` signs, so it is the aligned
+    ground truth for the LSH path (the word-set `dedup_jaccard` above
+    measures a different similarity — shared vocabulary — and is the
+    ground truth for the word-unit signature twin instead).
+    """
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
 def shingle_hashes(text_col: Column | str = "text") -> Column:
     """xxhash64 of each shingle — build the shingle STRINGS only once;
     all k 'permutations' then re-hash these longs, which is ~free."""
     return F.transform(shingles(text_col), lambda s: F.xxhash64(s))
+
+
+def word_hashes(text_col: Column | str = "text") -> Column:
+    """xxhash64 of each distinct word — the word-SET token unit."""
+    return F.transform(
+        F.array_distinct(F.split(text_col, " ")), lambda w: F.xxhash64(w)
+    )
 
 
 def minhash_signature(text_col: Column | str = "text") -> list[Column]:
@@ -124,19 +195,56 @@ def minhash_signature(text_col: Column | str = "text") -> list[Column]:
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       unit: str = "shingle") -> DataFrame:
     """(id, mh0..mhk-1) for every document — the 100 TB shape.
 
-    explode(shingle hashes) → groupBy(id).agg(min(rehash_i)): every
+    explode(token hashes) → groupBy(id).agg(min(rehash_i)): every
     operator is whole-stage-codegen'd, the only shuffle is the hash
-    aggregate on the id key (pre-aggregated map-side).
+    aggregate on the id key (pre-aggregated map-side). ``unit`` picks
+    the token unit the signature estimates Jaccard over: 3-word
+    "shingle" (near-dup detection, `dedup_jaccard_shingle` is the
+    ground truth) or distinct "word" (vocabulary overlap,
+    `dedup_jaccard` is the ground truth).
     """
-    ex = docs.select(id_col, F.explode(shingle_hashes(text_col)).alias("h"))
+    tokens = {"shingle": shingle_hashes, "word": word_hashes}[unit](text_col)
+    ex = docs.select(id_col, F.explode(tokens).alias("h"))
     return ex.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
             for i in range(NUM_MINHASHES)
         ]
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded-LSH candidate (id1 < id2) pairs from a signature relation.
+
+    Bands of 2 minhashes → 64-bit band hash → self-equi-join on
+    (band, hash). The only shuffle is on the band-hash key; pair
+    explosion is bounded by bucket sizes, never n². No global sort —
+    candidate pairs feed a verifier or a keep/drop vote, not a report.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("bh"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = sigs.select(id_col, F.explode(bands).alias("bb")).select(
+        F.col(id_col).alias("id"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
     )
 
 
@@ -150,8 +258,13 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     standard near-dup configuration; with 4×16-bit LSH bands every pair
     at Hamming distance ≤ 3 shares at least one band (pigeonhole).
     """
+    # Cap at 65535 distinct words per doc: the SWAR lanes below are
+    # 16-bit counters, and a larger doc would silently carry into the
+    # neighboring lane. The cap biases oversized docs' signatures
+    # (prefix vote) instead of corrupting them.
     wh = F.transform(
-        F.array_distinct(F.split(text_col, " ")), lambda w: F.xxhash64(w)
+        F.slice(F.array_distinct(F.split(text_col, " ")), 1, 65535),
+        lambda w: F.xxhash64(w),
     )
     ex = docs.select(id_col, F.explode(wh).alias("h"))
     # SWAR-packed counters: aggregate k sums (h >> k) & 0x0001000100010001,
@@ -187,32 +300,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle → 8 minhashes → 4 bands of 2 → equi-join on (band, hash).
     The only shuffle is on the band-hash key; pair explosion is bounded
-    by bucket sizes, not by n².
+    by bucket sizes, not by n². Recall vs `dedup_jaccard_shingle` is
+    asserted in tests/test_properties.py.
     """
     # Materialize signatures once before the self-join — the LSH
     # candidate join reads the signature relation twice, and in a real
     # pipeline signatures are a persisted table between stages.
-    d = minhash_signatures(table(spark, sf_dir, "documents")).localCheckpoint()
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("bh"),
-            )
-            for b in range(MINHASH_BANDS)
-        ]
+    # persist(DISK_ONLY) keeps the lineage (recomputable after executor
+    # loss, unlike localCheckpoint) without holding executor memory.
+    sigs = minhash_signatures(table(spark, sf_dir, "documents")).persist(
+        StorageLevel.DISK_ONLY
     )
-    buckets = d.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
-    )
-    return pairs.orderBy("id1", "id2")
+    return lsh_candidate_pairs(sigs)
 
 
 def simhash32(text_col: str = "text") -> Column:
@@ -246,7 +345,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, 4 bands of 16 bits,
     Hamming ≤ 3 cut (every such pair is guaranteed a band collision)."""
     # Materialized once — see dedup_minhash note.
-    d = simhash_signatures(table(spark, sf_dir, "documents")).localCheckpoint()
+    d = simhash_signatures(table(spark, sf_dir, "documents")).persist(
+        StorageLevel.DISK_ONLY
+    )
     bands = F.array(
         *[
             F.struct(
@@ -273,7 +374,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
         .distinct()
-        .orderBy("id1", "id2")
     )
 
 
@@ -292,14 +392,18 @@ s AS (
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT id1, id2, round(cos, 4) AS cos_sim
-FROM s WHERE cos >= 0.95
+FROM s WHERE cos >= 0.35
 """,
 )
 def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.95) on a bounded subset.
+    """Embedding-cosine near-dup pairs (cos ≥ 0.35) on a bounded subset.
 
     The oracle-checked exact form; the scale path buckets by coarse
-    quantization first (see functions/similarity.py).
+    quantization first (see functions/similarity.py). The synthetic
+    embeddings have no true near-dups (max pairwise cosine ≈ 0.51), so
+    the threshold sits below that to keep the oracle comparison
+    non-vacuous — it checks the pair math on ~40 real rows, not on an
+    empty set.
     """
     e = (
         table(spark, sf_dir, "embeddings")
@@ -325,6 +429,6 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id2"),
             cos.alias("cos"),
         )
-        .filter(F.col("cos") >= 0.95)
+        .filter(F.col("cos") >= 0.35)
         .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
     )

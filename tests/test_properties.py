@@ -11,8 +11,18 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from piper_spark.functions.dedup import exact_dedup
+from piper_spark.functions.dedup import (
+    MINHASH_BANDS,
+    dedup_jaccard,
+    dedup_minhash,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+)
 from piper_spark.functions.numeric import dsum
+from piper_spark.session import table
+from tests.conftest import SF_SMOKE
 
 SETTINGS = dict(
     max_examples=8,
@@ -61,6 +71,74 @@ def test_split_complementary_exhaustive(spark, ids):
     # membership is a pure function of the id
     for r in tagged.collect():
         assert r.split == ("train" if r.id % 100 < 80 else "val")
+
+
+def test_exact_dedup_keeps_one_row_even_on_order_ties(spark):
+    # Two rows tied at the minimum order value: exactly one survives,
+    # and the tiebreak column makes WHICH one deterministic.
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 5), (3, "a", 9), (4, "b", 1)],
+        "id long, k string, o long",
+    )
+    out = {(r.k, r.id) for r in exact_dedup(df, ["k"], "o", ["id"]).collect()}
+    assert out == {("a", 1), ("b", 4)}
+
+
+def _lsh_hit_prob(s: float, rows: int = 2, bands: int = MINHASH_BANDS) -> float:
+    """Theoretical LSH candidate probability for a pair at Jaccard s."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def test_minhash_recall_vs_shingle_ground_truth(spark):
+    """dedup_minhash signs 3-word shingles, so its ground truth is
+    shingle-Jaccard (dedup_jaccard_shingle's unit) — measured over the
+    FULL smoke corpus, recall must meet the LSH S-curve bound."""
+    d = table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.array_distinct(shingles("text")).alias("sh")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    )
+    truth = {
+        (r.id1, r.id2): r.j
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            jac.alias("j"),
+        )
+        .collect()
+    }
+    assert len(truth) >= 10  # the ground truth itself must be non-vacuous
+    cands = {(r.id1, r.id2) for r in dedup_minhash(spark, SF_SMOKE).collect()}
+    assert cands  # non-vacuous candidate set
+    recall = sum(1 for p in truth if p in cands) / len(truth)
+    expected = sum(_lsh_hit_prob(s) for s in truth.values()) / len(truth)
+    # Deterministic measurement (fixed hashes, fixed data): it must meet
+    # the average S-curve probability of the actual pair similarities,
+    # less a small slack for the finite pair count.
+    assert recall >= expected - 0.1
+    assert recall >= _lsh_hit_prob(0.5) - 0.1  # and the s=0.5 floor
+
+
+def test_wordset_minhash_recall_vs_jaccard_ground_truth(spark):
+    """The word-unit signature twin is validated against the word-set
+    ground truth (dedup_jaccard) — same token unit on both sides."""
+    truth = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup_jaccard(spark, SF_SMOKE).collect()
+    }
+    assert len(truth) >= 100
+    docs = table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    sigs = minhash_signatures(docs, unit="word")
+    cands = {(r.id1, r.id2) for r in lsh_candidate_pairs(sigs).collect()}
+    recall = sum(1 for p in truth if p in cands) / len(truth)
+    expected = sum(_lsh_hit_prob(s) for s in truth.values()) / len(truth)
+    assert recall >= expected - 0.05
+    assert recall >= _lsh_hit_prob(0.5) - 0.05
 
 
 @given(
