@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 from piper_spark.registry import register
 from piper_spark.session import table
@@ -35,9 +35,50 @@ def vocab_density(text: pd.Series) -> pd.Series:
     return words.map(lambda w: len(set(w)) / len(w) if w else 0.0)
 
 
+@F.pandas_udf(LongType())
+def n_vals(v: pd.Series) -> int:
+    """Grouped-agg pandas UDF count twin — Spark disallows mixing
+    grouped-agg pandas UDFs with JVM aggregates in one agg()."""
+    return len(v)
+
+
+@F.pandas_udf(DoubleType())
+def rms_exact(v: pd.Series) -> float:
+    """Grouped-AGG pandas UDF (Series → scalar): root-mean-square with
+    the fixed-point recipe (numeric.py), so the result is bit-identical
+    to the oracle SQL regardless of summation order."""
+    x = v.to_numpy(dtype=np.float64)
+    scaled = np.floor(x * x * 1e6 + 0.5).astype(np.int64)
+    return float(np.sqrt((scaled.sum() / 1e6) / len(x)))
+
+
 def register_udfs(spark: SparkSession) -> None:
     """Expose the Python UDFs to spark.sql() callers."""
     spark.udf.register("vocab_density", vocab_density)
+    spark.udf.register("rms_exact", rms_exact)
+
+
+@register(
+    "agg_rms_udf",
+    oracle="""
+SELECT event_type,
+       sqrt(CAST(sum(CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1000000.0 / count(*)) AS rms,
+       count(*) AS cnt
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_rms_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type RMS of event values through a grouped-agg pandas UDF —
+    the one UDF flavor the surface list promises that no other query
+    exercises. Arrow hands each group's values to numpy as one Series;
+    the fixed-point quantization makes the float math oracle-exact.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        rms_exact("value").alias("rms"), n_vals("value").alias("cnt")
+    )
 
 
 #: Fixed-point scale for centroid quantization (see numeric.py recipe).

@@ -241,6 +241,35 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_median_approx")  # KLL-style sketch — engine-specific → rows-only
+def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quartiles per return flag — THE 100 TB percentile path.
+
+    `approx_percentile` keeps a fixed-size mergeable sketch per group
+    (map-side partials, bounded memory) where exact `percentile`
+    (agg_median above) buffers every value of a group in one
+    aggregation buffer. accuracy=10000 bounds the rank error to
+    1/10000 of the group size. Sketch internals are engine-specific →
+    rows-only check; accuracy vs the exact quartiles is unit-tested
+    (tests/test_operators_unit.py::test_approx_median_close_to_exact).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
+            ).alias("qs")
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("q1"),
+            F.col("qs")[1].alias("med"),
+            F.col("qs")[2].alias("q3"),
+        )
+    )
+
+
 @register(
     "agg_cube",
     oracle="""

@@ -47,6 +47,31 @@ def shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shuffle_scale",
+    oracle="""
+SELECT vec_id, CAST((vec_id * 48271) % 65537 AS BIGINT) AS shuffle_key
+FROM embeddings
+""",
+)
+def shuffle_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the deterministic shuffle: compute the LCG
+    sort key and range-repartition + sort WITHIN partitions — a fully
+    distributed sort with no global window (shuffle_det above is the
+    oracle twin that materializes explicit positions; its single-
+    partition window is the shape to avoid at scale). Downstream
+    writers consume partition-ordered rows; the explicit `pos` column
+    is unnecessary when the storage order IS the permutation.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    key = ((F.col("vec_id") * 48271) % 65537).cast("long")
+    return (
+        e.select("vec_id", key.alias("shuffle_key"))
+        .repartitionByRange(F.col("shuffle_key"))
+        .sortWithinPartitions("shuffle_key", "vec_id")
+    )
+
+
+@register(
     "sample_stratified",
     oracle="""
 SELECT lang, count(*) AS sampled, CAST(min(doc_id) AS BIGINT) AS min_id

@@ -3,21 +3,69 @@
 Generalizes the reference's image-directory scan + count
 (reference: src/piper/spark/data_augment.py:115-122) to columnar
 Parquet scans with column pruning and provenance grouping
-(`image.origin` ≙ `documents.source`).
+(`image.origin` ≙ `documents.source`), plus the read side of the
+reference's labeled folder layout (loader.rs:13-19): `labeled_scan`
+writes a Hive-partitioned tree and reads it back through partition
+pruning, the label coming from the directory name.
 
 Scale notes: `scan_count` compiles to a metadata-only parquet count
 (no row materialization); `scan_prune` reads exactly two columns
 (check ReadSchema in the plan); `source_files` is a low-cardinality
-hash aggregate with map-side partial aggregation.
+hash aggregate with map-side partial aggregation; `labeled_scan`'s
+read never opens the pruned-out partitions' files at all.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from piper_spark.registry import register
 from piper_spark.session import table
+
+#: Repo-local scratch warehouse for queries that demonstrate a
+#: write→read round trip (gitignored; safe to delete).
+WAREHOUSE_DIR = os.environ.get("SPARK_GRAFT_WAREHOUSE", "/root/repo/.warehouse")
+
+
+@register(
+    "labeled_scan",
+    oracle="""
+SELECT lang,
+       CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'val' END AS split,
+       count(*) AS cnt,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM documents
+WHERE doc_id % 100 < 80 AND lang IN ('en', 'de')
+GROUP BY 1, 2
+""",
+)
+def labeled_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R1 read side: labels from the storage layout.
+
+    Writes documents as a split=…/lang=… Hive-partitioned tree (the
+    relational mirror of the reference's class-per-folder image tree,
+    loader.rs:13-19), then reads it back with a partition predicate.
+    The filter never opens pruned partitions' files (PartitionFilters
+    in the scan — pinned by tests/test_plan_shapes.py), and the label
+    columns (split, lang) come from directory names, not file contents.
+    """
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "split",
+        F.when(F.col("doc_id") % 100 < 80, F.lit("train")).otherwise(F.lit("val")),
+    )
+    path = f"{WAREHOUSE_DIR}/labeled_scan_{os.path.basename(sf_dir.rstrip('/'))}"
+    from piper_spark.sources.sinks import write_partitioned
+
+    write_partitioned(docs, path, ["split", "lang"])
+    back = spark.read.parquet(path).filter(
+        (F.col("split") == "train") & F.col("lang").isin("en", "de")
+    )
+    return back.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("min_doc")
+    )
 
 
 @register(

@@ -74,8 +74,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        # Scope the legacy conf to this read: schema conversion happens
+        # eagerly at plan time, so restoring immediately is safe — and a
+        # later nanosecond-parquet read in the same session gets real
+        # timestamps again instead of silent longs.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

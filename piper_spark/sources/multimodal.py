@@ -7,14 +7,18 @@ binary payload is an opaque `binary` COLUMN with typed metadata, and
 all per-item work runs through Arrow-batched `mapInPandas` /
 `pandas_udf` — the JVM↔Python crossing is columnar, not row pickling.
 
-The image libraries (OpenCV/Pillow) are not in this container, so the
-REAL codec step is stubbed behind `decode_image` (NotImplementedError)
-with a deterministic fake (`fake_decode_meta`) that keeps every piece
-of Spark-side plumbing — schema, batch iteration, UDF signatures —
-real and testable (and, for `img_meta`, oracle-checkable).
+The compressed-image libraries (OpenCV/Pillow) are not in this
+container, so `decode_image` handles the UNCOMPRESSED formats a pure
+reader can: binary PPM/PGM (P6/P5) and BI_RGB BMP (24/32-bit). Unknown
+payloads raise — unlike the reference, which silently skips the row on
+a failed decode (data_augment.py:74-75). `fake_decode_meta` remains the
+deterministic stand-in that lets the DuckDB oracle reproduce the
+metadata path (`img_meta`, `img_resize`).
 
 Numeric semantics mirrored from the reference (tested in tests/):
-  resize        — data_augment.py:57 (cv2.resize INTER_AREA)  → stub
+  decode        — data_augment.py:41-54 (cv2.imdecode → HWC u8)
+  resize        — data_augment.py:57 (cv2.resize INTER_AREA) →
+                  `resize_area`, exact area-weighted box filter
   scale u8→f32  — conversion.rs:9-26 (x / 255.0)
   normalize     — normalize.rs:8-28 ((x - mean) / std, ImageNet stats)
   color jitter  — data_augment.py:21-22 (clamp(x*1.2 + 10) to u8)
@@ -42,16 +46,79 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an encoded image payload to an HWC uint8 array.
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) → HWC uint8 (gray → 3ch)."""
+    # Header: magic, width, height, maxval as whitespace-separated
+    # tokens; '#' comments run to end-of-line; pixel data starts after
+    # the single whitespace byte following maxval.
+    magic = payload[:2]
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 8-bit)")
+    ch = 3 if magic == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=h * w * ch, offset=pos)
+    img = data.reshape(h, w, ch)
+    return np.repeat(img, 3, axis=2) if ch == 1 else img
 
-    STUB: real decoding needs an image codec (cv2.imdecode in the
-    reference, data_augment.py:53); not available in this container.
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 24/32-bit BMP → HWC uint8 RGB."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows padded to 4 bytes
+    rows = abs(h)
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * rows, offset=off)
+    img = data.reshape(rows, stride)[:, : w * nch].reshape(rows, w, nch)
+    if h > 0:  # positive height = bottom-up row order
+        img = img[::-1]
+    return img[:, :, [2, 1, 0]]  # BGR(A) stored → RGB out, alpha dropped
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an encoded image payload to an HWC uint8 RGB array.
+
+    Pure-numpy decoders for the uncompressed formats (PPM/PGM P6/P5,
+    BI_RGB BMP); the compressed formats the reference handles via
+    cv2.imdecode (data_augment.py:53) need a codec library that is not
+    in this container and raise instead. A bad payload raises — never
+    the reference's silent per-row skip (data_augment.py:74-75).
     """
-    raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "use fake_decode_meta for plumbing tests"
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError(
+        "unrecognized image payload (pure-numpy decoders cover PPM/PGM/BMP; "
+        "compressed formats need an image codec library)"
     )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HWC uint8 RGB → binary PPM (P6) payload — the sink-side twin of
+    `decode_image` (reference encodes via cv2.imencode, data_augment.py:78-81)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
@@ -62,6 +129,39 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
     """
     n = len(payload)
     return 1 + n % 64, 1 + n % 48, n
+
+
+def _area_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out × n_in) row-stochastic weights: W[i, r] = |overlap of source
+    pixel r with destination interval [i·s, (i+1)·s)| / s, s = n_in/n_out.
+
+    This is exactly cv2.INTER_AREA for downscale; for upscale the
+    intervals shrink below one source pixel and it degenerates to a
+    (correct but unsmoothed) box sample, same as INTER_AREA's behavior
+    of not interpolating new detail.
+    """
+    s = n_in / n_out
+    w = np.zeros((n_out, n_in))
+    for i in range(n_out):
+        lo, hi = i * s, (i + 1) * s
+        for r in range(int(np.floor(lo)), min(int(np.ceil(hi)), n_in)):
+            w[i, r] = (min(r + 1, hi) - max(r, lo)) / s
+    return w
+
+
+def resize_area(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-weighted resize (reference S6: cv2.resize INTER_AREA,
+    data_augment.py:57) as two weight-matrix contractions — exact
+    fractional-overlap box filter, pure numpy.
+    """
+    wy = _area_weights(img.shape[0], out_h)
+    wx = _area_weights(img.shape[1], out_w)
+    tmp = np.tensordot(wy, img.astype(np.float64), axes=(1, 0))  # (oh, w, c)
+    out = np.tensordot(tmp, wx, axes=(1, 1))  # (oh, c, ow)
+    out = np.moveaxis(out, 1, 2)
+    if img.dtype == np.uint8:
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out.astype(img.dtype)
 
 
 def scale_u8_to_f32(img: np.ndarray) -> np.ndarray:
@@ -122,4 +222,80 @@ def img_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
     return d.mapInPandas(
         _meta_batches, schema="doc_id long, width long, height long, n_bytes long"
+    )
+
+
+#: img_resize target dims — the reference's resize is 224×224
+#: (luigi_tasks.py:20-21); smaller here to keep the per-row cost tiny.
+RESIZE_OUT_W, RESIZE_OUT_H = 32, 24
+
+
+def fake_image(payload: bytes) -> np.ndarray:
+    """Deterministic HWC u8 image from a payload: bytes tiled cyclically
+    into the fake-decoded (h, w, 3) shape — so the oracle can reproduce
+    integer facts about the pixels with modular arithmetic.
+    """
+    w, h, _ = fake_decode_meta(payload)
+    return np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w, 3))
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload → fake image → REAL resize_area."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = fake_image(payload)
+            resized = resize_area(img, RESIZE_OUT_W, RESIZE_OUT_H)
+            rows.append(
+                (
+                    doc_id,
+                    img.shape[1],
+                    img.shape[0],
+                    resized.shape[1],
+                    resized.shape[0],
+                    int(img.sum(dtype=np.int64)),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "in_w", "in_h", "out_w", "out_h", "pix_sum"]
+        )
+        rows = []
+
+
+@register(
+    "img_resize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         1 + octet_length(encode(text)) % 64 AS w,
+         1 + octet_length(encode(text)) % 48 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS in_w,
+       CAST(h AS INTEGER) AS in_h,
+       32 AS out_w,
+       24 AS out_h,
+       CAST((h * w * 3 // n)
+              * list_sum([ord(substring(text, i, 1)) FOR i IN range(1, n + 1)])
+            + coalesce(list_sum([ord(substring(text, i, 1))
+                                 FOR i IN range(1, (h * w * 3) % n + 1)]), 0)
+            AS BIGINT) AS pix_sum
+FROM d
+""",
+)
+def img_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S6 (resize) through the real Arrow path: each payload
+    becomes a deterministic fake image, `resize_area` runs for real, and
+    the query emits integer-exact facts the oracle can recompute —
+    input dims (modular arithmetic), output dims (from the actual
+    resized array, pinned to constants in SQL), and the pixel byte sum
+    of the tiled image (cyclic-sum arithmetic). The pixel MATH of
+    resize_area is unit-tested against the area-filter formula.
+    """
+    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(
+        _resize_batches,
+        schema="doc_id long, in_w int, in_h int, out_w int, out_h int, pix_sum long",
     )

@@ -2,29 +2,129 @@
 
 The numeric ops mirror the reference's semantics exactly
 (conversion.rs / normalize.rs / data_augment.py color jitter); decode
-itself is stubbed (no codecs in this container) but the Spark-side
-plumbing — binary column, Arrow batches, schema — is exercised for
-real.
+covers the uncompressed formats (PPM/PGM/BMP) in pure numpy, and the
+Spark-side plumbing — binary column, Arrow batches, schema — is
+exercised for real.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pytest
 
 from piper_spark.sources.multimodal import (
+    _area_weights,
     color_jitter,
     decode_image,
+    encode_ppm,
     fake_decode_meta,
+    fake_image,
     normalize_imagenet,
+    resize_area,
     scale_u8_to_f32,
     with_payload,
 )
 
 
-def test_decode_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+def _sample_img(h=6, w=8):
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_decode_rejects_unknown_payload_loudly():
+    # The reference silently skips rows that fail to decode
+    # (data_augment.py:74-75); this engine raises instead.
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\x00garbage")
+
+
+def test_ppm_roundtrip():
+    img = _sample_img()
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+
+def test_ppm_comments_and_pgm_gray():
+    img = _sample_img(2, 3)
+    payload = encode_ppm(img)
+    commented = payload.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    assert np.array_equal(decode_image(commented), img)
+    gray = b"P5\n3 2\n255\n" + bytes(range(6))
+    out = decode_image(gray)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out[:, :, 0], np.arange(6, dtype=np.uint8).reshape(2, 3))
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+
+
+def _make_bmp(img: np.ndarray) -> bytes:
+    """Hand-rolled bottom-up 24-bit BI_RGB BMP for decoder testing."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    pixel_data = b""
+    for row in img[::-1]:  # bottom-up
+        line = row[:, [2, 1, 0]].tobytes()  # RGB → BGR storage
+        pixel_data += line + b"\x00" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    return header + info + pixel_data
+
+
+def test_bmp_decode_bottom_up_bgr_padded():
+    img = _sample_img(3, 3)  # stride 9 → padded to 12: exercises padding
+    assert np.array_equal(decode_image(_make_bmp(img)), img)
+
+
+def test_area_weights_are_row_stochastic():
+    for n_in, n_out in [(10, 3), (7, 7), (4, 6), (224, 32)]:
+        w = _area_weights(n_in, n_out)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0)
+
+
+def test_resize_area_integer_downscale_is_block_mean():
+    # 4×4 → 2×2 with a 2× integer ratio: each output pixel is the exact
+    # mean of its 2×2 source block (the INTER_AREA definition).
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = resize_area(img, 2, 2)
+    blocks = img.astype(np.float64).reshape(2, 2, 2, 2, 3).mean(axis=(1, 3))
+    assert np.array_equal(out, np.clip(np.round(blocks), 0, 255).astype(np.uint8))
+
+
+def test_resize_area_fractional_ratio_preserves_mean():
+    # Row-stochastic weights ⇒ the global mean is a convex combination
+    # of source pixels; for a constant image it is exactly preserved.
+    img = np.full((5, 7, 3), 77, dtype=np.uint8)
+    out = resize_area(img, 3, 2)
+    assert out.shape == (2, 3, 3)
+    assert (out == 77).all()
+
+
+def test_resize_area_upscale_shape_and_dtype():
+    img = _sample_img(2, 2)
+    out = resize_area(img, 5, 4)
+    assert out.shape == (4, 5, 3) and out.dtype == np.uint8
+
+
+def test_decode_resize_augment_chain_end_to_end():
+    """Reference S4/S5/S6 pipeline on a real (uncompressed) payload:
+    decode → resize → jitter → scale → normalize, no stubs anywhere."""
+    payload = encode_ppm(_sample_img(48, 64))
+    img = decode_image(payload)
+    resized = resize_area(img, 32, 24)
+    jittered = color_jitter(resized)
+    normed = normalize_imagenet(scale_u8_to_f32(jittered))
+    assert normed.shape == (24, 32, 3) and normed.dtype == np.float32
+
+
+def test_fake_image_tiles_payload_bytes():
+    payload = b"abcde"
+    img = fake_image(payload)
+    w, h, _ = fake_decode_meta(payload)
+    assert img.shape == (h, w, 3)
+    flat = img.reshape(-1)
+    expect = np.frombuffer(payload, dtype=np.uint8)
+    assert np.array_equal(flat[: len(payload)], expect)
+    assert flat[len(payload)] == expect[0]  # cyclic tiling
 
 
 def test_fake_decode_meta_deterministic():

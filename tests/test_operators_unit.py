@@ -150,6 +150,36 @@ def test_approx_distinct_close(spark):
         assert abs(approx[k] - ex) <= max(2, 0.05 * ex), (k, approx[k], ex)
 
 
+def test_approx_median_close_to_exact(spark):
+    """The sketch path must land within a small rank-error band of the
+    exact quartiles: each approx value between the exact p±0.01 quantiles."""
+    from piper_spark.operators.aggregates import agg_median_approx
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    approx = {
+        r.l_returnflag: (r.q1, r.med, r.q3)
+        for r in agg_median_approx(spark, SF_SMOKE).collect()
+    }
+    band = {
+        r.l_returnflag: r.b
+        for r in table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, "
+                "array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))"
+            ).alias("b")
+        )
+        .collect()
+    }
+    for flag, (q1, med, q3) in approx.items():
+        lo = band[flag]
+        assert lo[0] <= q1 <= lo[1], (flag, "q1", q1, lo[0], lo[1])
+        assert lo[2] <= med <= lo[3], (flag, "med", med, lo[2], lo[3])
+        assert lo[4] <= q3 <= lo[5], (flag, "q3", q3, lo[4], lo[5])
+
+
 def test_win_rank_tie_break(spark):
     from piper_spark.operators import windows  # noqa: F401  (registry)
     from pyspark.sql import Window

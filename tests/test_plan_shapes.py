@@ -66,6 +66,16 @@ def test_tpch_q5_hints_only_bounded_dimensions(spark):
     assert hints_of(spark, "tpch_q5") == 3
 
 
+def test_labeled_scan_prunes_partitions(spark):
+    # The read side of the partitioned layout: the split/lang predicate
+    # must land in PartitionFilters (directory-level pruning — pruned
+    # partitions' files are never opened), not in the data filter.
+    plan = plan_of(spark, "labeled_scan")
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    pf = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "split" in pf and "lang" in pf
+
+
 def test_agg_group_has_partial_aggregation(spark):
     plan = plan_of(spark, "agg_group")
     assert "partial_sum" in plan  # map-side combine before the shuffle
@@ -80,6 +90,15 @@ def test_join_range_is_not_cartesian(spark):
     plan = plan_of(spark, "join_range")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shuffle_scale_has_no_global_window(spark):
+    # The scale form of the deterministic shuffle is a distributed
+    # range-partitioned sort; shuffle_det's global row_number window
+    # (single-partition bottleneck) must not appear here.
+    plan = plan_of(spark, "shuffle_scale")
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower()
 
 
 def test_minhash_join_is_equi_join_on_band_hash(spark):

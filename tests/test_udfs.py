@@ -34,6 +34,40 @@ def test_udf_sql_registration(spark):
     assert abs(r[0].d - 2 / 3) < 1e-12
 
 
+def test_grouped_agg_pandas_udf_plan_and_value(spark):
+    from piper_spark.functions.udfs import agg_rms_udf
+    from tests.conftest import SF_SMOKE
+
+    df = agg_rms_udf(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the grouped-agg Arrow crossing (node renamed in Spark 4.1)
+    assert "AggregateInPandas" in plan or "ArrowAggregatePython" in plan
+    rows = {r.event_type: (r.rms, r.cnt) for r in df.collect()}
+    vals = [
+        (r.event_type, r.value)
+        for r in table(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    ]
+    for et, (rms, cnt) in rows.items():
+        xs = np.array([v for t, v in vals if t == et])
+        assert cnt == len(xs)
+        want = float(
+            np.sqrt(np.floor(xs * xs * 1e6 + 0.5).astype(np.int64).sum() / 1e6 / len(xs))
+        )
+        assert rms == want  # bit-exact by the fixed-point recipe
+
+
+def test_events_read_restores_nanos_conf(spark):
+    # table() must not leave the legacy nanos conf flipped for the
+    # whole session (a later nanosecond-parquet read would silently
+    # yield longs instead of timestamps).
+    from tests.conftest import SF_SMOKE
+
+    table(spark, SF_SMOKE, "events").limit(1).collect()
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+    )
+
+
 def test_centroid_arrays_library_form():
     import pandas as pd
 
