@@ -70,6 +70,44 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_hwm",
+    oracle="""
+WITH m AS (
+  SELECT user_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events
+)
+SELECT user_id, count(*) AS n_records
+FROM m
+WHERE prev_max IS NULL OR value > prev_max
+GROUP BY user_id
+""",
+)
+def event_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user record-setting event count (events whose value beats
+    every earlier value of that user). This is the BATCH TWIN of the
+    custom stateful streaming operator `stream_high_water_marks`
+    (streaming/events.py, applyInPandasWithState) — the state there is
+    exactly this window's running max; parity is asserted in
+    tests/test_streaming.py.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.withColumn("prev_max", F.max("value").over(w))
+    return (
+        m.filter(F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+@register(
     "event_sliding",
     oracle="""
 SELECT win_start, event_type, count(*) AS cnt

@@ -16,7 +16,7 @@ folds match DuckDB bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from piper_spark.registry import register
@@ -85,35 +85,89 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _codebook_row(centroids: DataFrame) -> DataFrame:
+    """Collapse (cid, cd) centroids into ONE row holding the codebook as
+    an array of structs, sorted by cid (deterministic)."""
+    return centroids.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cd"))).alias("cb")
+    )
+
+
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast + argmin).
+    """Assign each vector to its nearest centroid — fully NARROW.
 
     vectors: (vec_id, ed array<double>); centroids: (cid, cd array<double>).
-    Deterministic tie-break on cid.
+    The codebook rides along as a broadcast single-row array; the argmin
+    is `array_min` over (d2, cid) structs (lexicographic struct order ⇒
+    deterministic cid tie-break). No per-vector window, no shuffle at
+    all — each row computes its own cell in one codegen'd pass, which is
+    the shape that scales to any vector count.
     """
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    cb = _codebook_row(centroids)
+    best = F.array_min(
+        F.transform(
+            F.col("cb"),
+            lambda c: F.struct(
+                sq_dist(F.col("ed"), c["cd"]).alias("d2"), c["cid"].alias("cid")
+            ),
+        )
+    )
     return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn("d2", sq_dist(F.col("ed"), F.col("cd")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        vectors.crossJoin(F.broadcast(cb))
+        .withColumn("cid", best["cid"])
         .select("vec_id", "ed", "cid")
     )
+
+
+def train_codebook(
+    vectors: DataFrame, k: int = NUM_CENTROIDS, iters: int = 2
+) -> DataFrame:
+    """Train an IVF codebook with Lloyd's k-means, all DataFrame ops.
+
+    Init = the k lowest-vec_id vectors (deterministic); each iteration
+    assigns every vector to its nearest cell (narrow pass) and re-means
+    the members per (cell, dimension) — one bounded shuffle of
+    n×dims (cid, pos, val) rows per iteration. Empty cells keep their
+    previous centroid. At 100 TB you train on a deterministic sample
+    (vec_id % m == 0) — the codebook converges on a fraction of the
+    data; pass that filtered DataFrame in.
+    """
+    cents = vectors.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("ed").alias("cd")
+    )
+    for _ in range(iters):
+        members = assign_cells(vectors, cents)
+        dim_means = (
+            members.select("cid", F.posexplode("ed").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+        )
+        new = dim_means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cd_new")
+        )
+        cents = (
+            cents.join(new, "cid", "left")
+            .select("cid", F.coalesce("cd_new", "cd").alias("cd"))
+        )
+    # Materialize the (tiny) trained codebook so downstream plans embed
+    # k rows, not `iters` rounds of re-training lineage.
+    return cents.persist()
 
 
 @register("sim_ann_ivf")  # approximate path → rows-only check
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for the vec_id=0 query, probing 2 of 8 cells.
 
-    Codebook = the 8 lowest-vec_id embeddings (deterministic stand-in
-    for a trained k-means codebook; the plumbing is identical).
+    Codebook = k-means trained with `train_codebook` (Lloyd iterations
+    as DataFrame ops, deterministic init/tie-breaks). Recall@10 vs the
+    exact `sim_topk` is asserted in tests/test_properties.py.
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ed")
     )
-    cents = e.filter(F.col("vec_id") < NUM_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("ed").alias("cd")
-    )
+    cents = train_codebook(e, NUM_CENTROIDS, iters=2)
     assigned = assign_cells(e, cents)
 
     q = e.filter(F.col("vec_id") == 0).select(F.col("ed").alias("qd"))

@@ -233,6 +233,105 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q6",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24.0
+""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan → pushed filters → global agg. The
+    plan is one codegen'd stage over a pruned 4-column scan; at 100 TB
+    the only cost is the scan itself (no shuffle beyond the final
+    single-row reduce)."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return f.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue, top-20 customers.
+    nation (bounded, 25 rows) is the only broadcast hint; the
+    customer/orders/lineitem joins are AQE-planned. Top-k via
+    TakeOrderedAndProject, never a global sort."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev, 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "join_salted",
+    oracle=f"""
+SELECT s_name,
+       {sql_dsum('l_extendedprice', 4)} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join as a registered, oracle-checked query:
+    per-supplier revenue through `salted_join` — identical semantics to
+    the plain equi-join (the oracle), but hot supplier keys are spread
+    across n_salts sub-keys so no single task owns a whole hot key.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    j = salted_join(li, s, on="l_suppkey", salt_key="l_orderkey")
+    return j.groupBy("s_name").agg(
+        dsum(F.col("l_extendedprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "join_range",
     oracle="""
 SELECT a.event_id AS event_id, count(*) AS n_followers

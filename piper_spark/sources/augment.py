@@ -60,10 +60,15 @@ def flip(img: np.ndarray, seed: int = 42, key: str = "") -> np.ndarray:
     return img[::-1, ::-1, :]
 
 
-def rotate15(img: np.ndarray, degrees: float = 15.0) -> np.ndarray:
-    """Rotate about the image center (reference: fixed 15°), nearest-
-    neighbor inverse mapping, out-of-frame pixels black — same geometry
-    as cv2.getRotationMatrix2D + warpAffine with NN interpolation."""
+def rotate15(
+    img: np.ndarray, degrees: float = 15.0, method: str = "bilinear"
+) -> np.ndarray:
+    """Rotate about the image center (reference: fixed 15°), inverse
+    mapping, out-of-frame pixels black — same geometry as
+    cv2.getRotationMatrix2D + warpAffine. Default interpolation is
+    bilinear like cv2's INTER_LINEAR default (data_augment.py:17-20 and
+    the Burn train-path rotate, augmentation.rs:99-105); "nearest"
+    keeps the exact-copy variant for tests."""
     h, w = img.shape[:2]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     theta = np.deg2rad(degrees)
@@ -72,12 +77,30 @@ def rotate15(img: np.ndarray, degrees: float = 15.0) -> np.ndarray:
     # inverse rotation: destination → source
     xs = cos_t * (xx - cx) + sin_t * (yy - cy) + cx
     ys = -sin_t * (xx - cx) + cos_t * (yy - cy) + cy
-    xsr = np.rint(xs).astype(np.int64)
-    ysr = np.rint(ys).astype(np.int64)
-    valid = (xsr >= 0) & (xsr < w) & (ysr >= 0) & (ysr < h)
     out = np.zeros_like(img)
-    out[yy[valid], xx[valid]] = img[ysr[valid], xsr[valid]]
-    return out
+    if method == "nearest":
+        xsr = np.rint(xs).astype(np.int64)
+        ysr = np.rint(ys).astype(np.int64)
+        valid = (xsr >= 0) & (xsr < w) & (ysr >= 0) & (ysr < h)
+        out[yy[valid], xx[valid]] = img[ysr[valid], xsr[valid]]
+        return out
+    if method != "bilinear":
+        raise ValueError(f"unknown interpolation {method!r}")
+    # Bilinear: weight the 4 surrounding source pixels; contributions
+    # outside the frame are zero (cv2 BORDER_CONSTANT black).
+    x0, y0 = np.floor(xs).astype(np.int64), np.floor(ys).astype(np.int64)
+    fx, fy = xs - x0, ys - y0
+    acc = np.zeros((h, w, img.shape[2]), dtype=np.float64)
+    for dy, wy in ((0, 1.0 - fy), (1, fy)):
+        for dx, wx in ((0, 1.0 - fx), (1, fx)):
+            xi, yi = x0 + dx, y0 + dy
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            wgt = np.where(valid, wx * wy, 0.0)
+            xi_c, yi_c = np.clip(xi, 0, w - 1), np.clip(yi, 0, h - 1)
+            acc += wgt[..., None] * img[yi_c, xi_c].astype(np.float64)
+    if img.dtype == np.uint8:
+        return np.clip(np.round(acc), 0, 255).astype(np.uint8)
+    return acc.astype(img.dtype)
 
 
 def gaussian_noise(

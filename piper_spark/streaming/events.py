@@ -103,6 +103,47 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def _hwm_update(key, pdfs, state):  # pragma: no cover — runs in worker
+    """applyInPandasWithState update fn: carry (running max, record
+    count) per user; emit the count after each batch."""
+    import pandas as pd  # local import: executes in the Python worker
+
+    if state.exists:
+        maxv, cnt = state.get
+    else:
+        maxv, cnt = None, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            if maxv is None or v > maxv:
+                maxv, cnt = float(v), cnt + 1
+    state.update((maxv, cnt))
+    yield pd.DataFrame({"user_id": [key[0]], "n_records": [cnt]})
+
+
+def stream_high_water_marks(events: DataFrame) -> DataFrame:
+    """CUSTOM stateful operator via applyInPandasWithState: per-user
+    record-setting event counts — state a native windowed agg can't
+    hold (an order-dependent running max + counter). Batch twin:
+    `event_hwm` (functions/sessions.py), oracle-checked; parity tested
+    with the availableNow trigger.
+
+    Scale notes: state is two scalars per user key, sharded across
+    shuffle partitions like any keyed state; within a micro-batch the
+    group's rows arrive as Arrow batches, sorted here by (ts, event_id)
+    for deterministic tie-breaks.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _hwm_update,
+        outputStructType="user_id long, n_records long",
+        stateStructType="maxv double, cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain all available input through the stream into a memory sink.
 

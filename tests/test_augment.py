@@ -35,10 +35,28 @@ def test_rotate15_geometry():
     img = _img(16, 16)
     out = rotate15(img)
     assert out.shape == img.shape
-    # 0° rotation is identity
+    # 0° rotation is identity for both interpolations
     np.testing.assert_array_equal(rotate15(img, 0.0), img)
+    np.testing.assert_array_equal(rotate15(img, 0.0, method="nearest"), img)
     # 15° then content preserved near center pixel-wise count-ish: corners dark
     assert out.dtype == np.uint8
+
+
+def test_rotate_bilinear_interpolates_between_pixels():
+    # 90° rotation maps to exact grid points → bilinear == nearest;
+    # 45° lands between pixels → bilinear must blend (differ from NN)
+    img = _img(16, 16)
+    np.testing.assert_array_equal(
+        rotate15(img, 90.0), rotate15(img, 90.0, method="nearest")
+    )
+    assert (rotate15(img, 45.0) != rotate15(img, 45.0, method="nearest")).any()
+    # blending on a two-tone gradient produces intermediate values
+    two = np.zeros((9, 9, 1), dtype=np.uint8)
+    two[:, 5:] = 200
+    mid = rotate15(two, 45.0)
+    assert ((mid > 0) & (mid < 200)).any()
+    with pytest.raises(ValueError):
+        rotate15(img, 15.0, method="bicubic")
 
 
 def test_gaussian_noise_probability_and_seed():

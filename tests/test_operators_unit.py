@@ -4,6 +4,7 @@ synthetic tables don't exercise (SURVEY.md §5 strategy #2).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from piper_spark.functions.dedup import (
@@ -148,6 +149,38 @@ def test_approx_distinct_close(spark):
     exact = {r.event_type: r.uniq_users for r in agg_distinct(spark, SF_SMOKE).collect()}
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(2, 0.05 * ex), (k, approx[k], ex)
+
+
+def test_train_codebook_kmeans_reduces_inertia(spark):
+    from piper_spark.functions.similarity import (
+        assign_cells,
+        sq_dist,
+        train_codebook,
+    )
+
+    # Two well-separated clusters; init takes the two lowest-id vectors
+    # (one from each cluster) and Lloyd iterations must tighten them.
+    pts = [(0, [0.0, 0.1]), (1, [10.0, 10.2]), (2, [0.2, 0.0]),
+           (3, [9.9, 10.0]), (4, [0.1, 0.2]), (5, [10.1, 9.9])]
+    v = spark.createDataFrame(pts, "vec_id long, ed array<double>")
+
+    def inertia(cents):
+        a = assign_cells(v, cents)
+        joined = a.join(cents, "cid").select(
+            sq_dist(F.col("ed"), F.col("cd")).alias("d2")
+        )
+        return joined.agg(F.sum("d2")).collect()[0][0]
+
+    init = v.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("ed").alias("cd")
+    )
+    trained = train_codebook(v, k=2, iters=2)
+    assert trained.count() == 2
+    assert inertia(trained) <= inertia(init) + 1e-9
+    # converged centroids = cluster means
+    cds = sorted([r.cd for r in trained.collect()])
+    assert cds[0] == [pytest.approx(0.1), pytest.approx(0.1)]
+    assert cds[1] == [pytest.approx(10.0), pytest.approx(10.0333333333)]
 
 
 def test_approx_median_close_to_exact(spark):

@@ -92,6 +92,13 @@ def test_join_range_is_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_cell_assignment_is_narrow(spark):
+    # assign_cells must be a per-row array-argmin over the broadcast
+    # codebook — no Window (the old shape shuffled n×k rows per query).
+    plan = plan_of(spark, "sim_ann_ivf")
+    assert "Window" not in plan
+
+
 def test_shuffle_scale_has_no_global_window(spark):
     # The scale form of the deterministic shuffle is a distributed
     # range-partitioned sort; shuffle_det's global row_number window

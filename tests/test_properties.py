@@ -141,6 +141,17 @@ def test_wordset_minhash_recall_vs_jaccard_ground_truth(spark):
     assert recall >= _lsh_hit_prob(0.5) - 0.05
 
 
+def test_ann_ivf_recall_vs_exact_topk(spark):
+    """The trained-codebook IVF path must find most of the exact top-10
+    while probing only 2 of 8 cells."""
+    from piper_spark.functions.similarity import sim_ann_ivf, sim_topk
+
+    exact = {r.vec_id for r in sim_topk(spark, SF_SMOKE).collect()}
+    approx = {r.vec_id for r in sim_ann_ivf(spark, SF_SMOKE).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) / len(exact) >= 0.7
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 5), st.integers(0, 10**6)),

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from piper_spark.functions.sessions import (
+    event_hwm,
     event_sessions,
     event_sliding,
     event_tumbling,
@@ -25,6 +26,7 @@ from piper_spark.streaming import (
     stream_sliding,
     stream_tumbling,
 )
+from piper_spark.streaming.events import stream_high_water_marks
 from tests.conftest import SF_SMOKE
 
 
@@ -81,6 +83,49 @@ def test_stream_dedup_drops_watermark_duplicates(spark, events_dir):
     stream = read_event_stream(spark, doubled)
     run_available_now(stream_dedup(stream), "dedup_out", output_mode="append")
     assert spark.table("dedup_out").count() == e.count()
+
+
+def test_stream_custom_state_matches_batch(spark, events_dir):
+    """applyInPandasWithState (custom per-user running-max state) must
+    converge to the oracle-checked batch twin after draining the input.
+    Updates arrive per micro-batch; the memory sink keeps every update,
+    so compare each user's LAST emitted count (single-file trigger
+    order is the file order, monotone per user)."""
+    # Running-max state is order-sensitive, so the fixture must deliver
+    # micro-batches in time order. The file source picks files oldest-
+    # mtime-first under maxFilesPerTrigger, so write three consecutive
+    # time slices as separate appends with distinct mtimes.
+    import time
+
+    ordered = tempfile.mkdtemp(prefix="piper_events_ord_")
+    e = table(spark, SF_SMOKE, "events")
+    cut1, cut2 = "2024-01-11", "2024-01-21"
+    slices = [
+        e.filter(F.col("ts") < F.lit(cut1).cast("timestamp")),
+        e.filter(
+            (F.col("ts") >= F.lit(cut1).cast("timestamp"))
+            & (F.col("ts") < F.lit(cut2).cast("timestamp"))
+        ),
+        e.filter(F.col("ts") >= F.lit(cut2).cast("timestamp")),
+    ]
+    for s in slices:
+        s.coalesce(1).sortWithinPartitions("ts", "event_id").write.mode(
+            "append"
+        ).parquet(ordered)
+        time.sleep(1.1)  # distinct mtimes → deterministic trigger order
+    stream = read_event_stream(spark, ordered, max_files_per_trigger=1)
+    run_available_now(
+        stream_high_water_marks(stream), "hwm_out", output_mode="update"
+    )
+    got = {
+        r.user_id: r.n_records
+        for r in spark.table("hwm_out")
+        .groupBy("user_id")
+        .agg(F.max("n_records").alias("n_records"))
+        .collect()
+    }
+    want = {r.user_id: r.n_records for r in event_hwm(spark, SF_SMOKE).collect()}
+    assert got == want
 
 
 def test_stream_sessionize_matches_batch_totals(spark, events_dir):
