@@ -45,11 +45,16 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warm-up must never fail the bench
             pass
 
+    # Drop warm-up leftovers (persisted LSH signatures / codebooks) so
+    # timed queries don't inherit cache/GC pressure from one another.
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         t0 = time.perf_counter()
         run_to_noop(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -165,6 +165,41 @@ def dedup_jaccard_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_editdist",
+    oracle="""
+SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey < 300 AND b.p_partkey < 300
+  AND levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by edit distance ≤ 2 on short strings (part names),
+    bounded pair set. Both engines implement classic Levenshtein, so
+    the oracle is value-exact. The scale path for long text is the LSH
+    family above — edit distance is for short keys (titles, names)
+    where candidate blocking keeps pairs bounded.
+    """
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select("p_partkey", "p_name")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .filter(dist <= 2)
+        .select(
+            F.col("a.p_partkey").alias("id1"),
+            F.col("b.p_partkey").alias("id2"),
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
 def shingle_hashes(text_col: Column | str = "text") -> Column:
     """xxhash64 of each shingle — build the shingle STRINGS only once;
     all k 'permutations' then re-hash these longs, which is ~free."""

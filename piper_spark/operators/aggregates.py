@@ -241,6 +241,111 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_gsets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus))
+""",
+)
+def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube) with
+    grouping() markers to disambiguate null-marker rows from real
+    nulls. Spark's DataFrame API has no groupingSets — the SQL surface
+    is the idiomatic route, same text both engines."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("piper_gsets_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM piper_gsets_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sx,
+         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(floor(l_quantity * l_quantity * 10000.0 + 0.5)
+                  AS DECIMAL(28,0))) AS sxx,
+         sum(CAST(floor(l_extendedprice * l_extendedprice * 10000.0 + 0.5)
+                  AS DECIMAL(28,0))) AS syy,
+         sum(CAST(floor(l_quantity * l_extendedprice * 10000.0 + 0.5)
+                  AS DECIMAL(28,0))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / 10000.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         AS std_qty,
+       sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            / 10000.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         AS std_price,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price
+FROM m
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev + Pearson correlation per return flag, bit-exact.
+
+    Built-in stddev/corr accumulate doubles in partition order → never
+    hash-matches another engine. Here the five raw moments (Σx, Σy,
+    Σx², Σy², Σxy) are exact integers (2-decimal inputs → 4-decimal
+    products, scaled and summed as long/decimal — no rounding, no
+    order-dependence), and the closed-form stddev/corr formulas run
+    once on identical doubles in both engines. The moments are also the
+    100 TB shape: five mergeable counters per group, map-side partial.
+    Overflow bound: Σ(price²·10⁴) per group < 10³⁸ (decimal) — fine at
+    any SF; Σ(price·10²) < 2⁶³ up to ~10¹¹ rows per group.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(x * 100.0 + 0.5).cast("long")).alias("sx"),
+        F.sum(F.floor(y * 100.0 + 0.5).cast("long")).alias("sy"),
+        F.sum(F.floor(x * x * 10000.0 + 0.5).cast("decimal(28,0)")).alias("sxx"),
+        F.sum(F.floor(y * y * 10000.0 + 0.5).cast("decimal(28,0)")).alias("syy"),
+        F.sum(F.floor(x * y * 10000.0 + 0.5).cast("decimal(28,0)")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    var_term = lambda s2, s1: nd * s2 - s1 * s1  # noqa: E731
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.sqrt(var_term(sxxd, sxd) / 10000.0 / (nd * (nd - 1.0))).alias("std_qty"),
+        F.sqrt(var_term(syyd, syd) / 10000.0 / (nd * (nd - 1.0))).alias("std_price"),
+        (
+            (nd * sxyd - sxd * syd)
+            / (F.sqrt(var_term(sxxd, sxd)) * F.sqrt(var_term(syyd, syd)))
+        ).alias("corr_qty_price"),
+    )
+
+
 @register("agg_median_approx")  # KLL-style sketch — engine-specific → rows-only
 def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quartiles per return flag — THE 100 TB percentile path.

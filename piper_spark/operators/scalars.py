@@ -186,6 +186,60 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_typed",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_band
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+""",
+)
+def json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a TYPED struct (vs json_extract's stringly
+    get_json_object) — the schema-projection JSON surface. Parse once,
+    then field access is ordinary column math."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "struct<k:int>")
+    return (
+        e.select("event_id", parsed.alias("p"))
+        .select("event_id", F.col("p.k").alias("k"), (F.col("p.k") % 10).alias("k_band"))
+        .filter(F.col("k").isNotNull())
+    )
+
+
+@register(
+    "arr_ops",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS n_dims,
+       round(CAST(embedding[3] AS DOUBLE), 4) AS third,
+       round(CAST(list_min(embedding[1:8]) AS DOUBLE), 4) AS head_min,
+       round(CAST(list_reverse(embedding)[1] AS DOUBLE), 4) AS last_elem,
+       CAST(list_contains(list_transform(embedding, x -> x > 0.5), true)
+            AS INTEGER) AS has_big
+FROM embeddings
+""",
+)
+def arr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-manipulation surface in one row-parallel pass: size,
+    element access, slice+min, reverse, existence predicate. All
+    codegen'd JVM ops; DuckDB's list_* family is the oracle twin
+    (both engines index 1-based).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ed = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(ed).alias("n_dims"),
+        F.round(F.element_at(ed, 3).cast("double"), 4).alias("third"),
+        F.round(F.array_min(F.slice(ed, 1, 8)).cast("double"), 4).alias("head_min"),
+        F.round(F.element_at(F.reverse(ed), 1).cast("double"), 4).alias("last_elem"),
+        F.exists(ed, lambda x: x > 0.5).cast("int").alias("has_big"),
+    )
+
+
+@register(
     "arr_norm",
     oracle="""
 SELECT vec_id,

@@ -133,6 +133,61 @@ def win_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_firstlast",
+    oracle="""
+SELECT event_id, user_id,
+       first_value(value) OVER w AS first_v,
+       last_value(value)  OVER w AS last_v,
+       nth_value(value, 2) OVER w AS second_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over the whole partition frame — the
+    navigation-function family (values pass through untouched, so no
+    float recipe needed; the frame must be unbounded BOTH ways or
+    last/nth are prefix-dependent)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+    )
+
+
+@register(
+    "win_dist",
+    oracle="""
+SELECT o_orderkey,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — distribution window functions. Both
+    are ratios of exact integer ranks, so the doubles match across
+    engines without any recipe."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
     "win_lag",
     oracle="""
 SELECT event_id, user_id,

@@ -262,6 +262,107 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
 
 
+#: video_frames sampling config: frame geometry + every-k-th sampling.
+#: Small frames so a ~300-byte document payload holds several.
+FRAME_W, FRAME_H, FRAME_STEP = 6, 4, 2
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload → frame-sampled fake video.
+
+    A payload of n bytes is a video of floor(n / frame_bytes) complete
+    frames (frame_bytes = W*H*3); sampling keeps every FRAME_STEP-th
+    frame starting at 0. Emits one row per SAMPLED frame with its exact
+    byte sum — the plumbing (schema, per-frame explode, batch shape) is
+    real; only the codec is the deterministic byte-slice stand-in.
+    """
+    frame_bytes = FRAME_W * FRAME_H * 3
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = np.frombuffer(payload, dtype=np.uint8)
+            n_frames = len(data) // frame_bytes
+            for f in range(0, n_frames, FRAME_STEP):
+                frame = data[f * frame_bytes : (f + 1) * frame_bytes]
+                rows.append((doc_id, f, int(frame.sum(dtype=np.int64))))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_sum"])
+        rows = []
+
+
+@register(
+    "video_frames",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(range(0, n // {FRAME_W * FRAME_H * 3}, {FRAME_STEP})) AS frame_no
+  FROM d
+)
+SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(list_sum([ord(substring(text, {FRAME_W * FRAME_H * 3} * frame_no + i, 1))
+                      FOR i IN range(1, {FRAME_W * FRAME_H * 3} + 1)]) AS BIGINT)
+         AS frame_sum
+FROM f
+""",
+)
+def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over a video-style binary column: payload → frame
+    boundaries → every-4th-frame sample → per-frame facts, one output
+    row per sampled frame (a mapInPandas UDTF shape). The oracle
+    recomputes the sampled frame numbers and byte sums arithmetically.
+    At scale this is the shape of real frame extraction: opaque binary
+    in, per-frame rows out, no driver involvement, codec in the worker.
+    """
+    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(
+        _frame_batches, schema="doc_id long, frame_no int, frame_sum long"
+    )
+
+
+def _channel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per-channel integer byte sums of the fake image."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = fake_image(payload)
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            for c in range(3):
+                rows.append((doc_id, c, int(sums[c])))
+        yield pd.DataFrame(rows, columns=["doc_id", "channel", "ch_sum"])
+        rows = []
+
+
+@register(
+    "img_channels",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         (1 + octet_length(encode(text)) % 64)
+           * (1 + octet_length(encode(text)) % 48) AS px
+  FROM documents
+)
+SELECT doc_id, CAST(c AS INTEGER) AS channel,
+       CAST(list_sum([ord(substring(text, ((3 * j + c) % n) + 1, 1))
+                      FOR j IN range(0, px)]) AS BIGINT) AS ch_sum
+FROM d, unnest([0, 1, 2]) AS t(c)
+""",
+)
+def img_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel feature extraction (the feature-extract step of the
+    multimodal mandate): HWC image → per-channel integer byte sums via
+    numpy over Arrow batches. Channel c of the tiled fake image is the
+    bytes at flat positions ≡ c (mod 3), which the oracle reproduces
+    with cyclic-index arithmetic.
+    """
+    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(
+        _channel_batches, schema="doc_id long, channel int, ch_sum long"
+    )
+
+
 @register(
     "img_resize",
     oracle="""

@@ -213,6 +213,36 @@ def test_approx_median_close_to_exact(spark):
         assert lo[4] <= q3 <= lo[5], (flag, "q3", q3, lo[4], lo[5])
 
 
+def test_agg_stats_matches_builtin_stddev_corr(spark):
+    """The exact-moment formulas must agree with Spark's native
+    stddev_samp/corr to float tolerance (the natives are order-unstable
+    across engines, which is why the query uses moments — but on one
+    engine they're the ground truth)."""
+    from piper_spark.operators.aggregates import agg_stats
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.l_returnflag: (r.std_qty, r.std_price, r.corr_qty_price)
+        for r in agg_stats(spark, SF_SMOKE).collect()
+    }
+    ref = {
+        r.l_returnflag: (r.s1, r.s2, r.c)
+        for r in table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_quantity").alias("s1"),
+            F.stddev_samp("l_extendedprice").alias("s2"),
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+        )
+        .collect()
+    }
+    for flag, (s1, s2, c) in ref.items():
+        assert got[flag][0] == pytest.approx(s1, rel=1e-9)
+        assert got[flag][1] == pytest.approx(s2, rel=1e-9)
+        assert got[flag][2] == pytest.approx(c, rel=1e-6)
+
+
 def test_win_rank_tie_break(spark):
     from piper_spark.operators import windows  # noqa: F401  (registry)
     from pyspark.sql import Window
