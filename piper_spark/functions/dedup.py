@@ -165,6 +165,103 @@ def dedup_jaccard_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    vertices: (id long); edges: (u, v) one row per DIRECTED edge (pass
+    both directions for an undirected graph). Returns (id, component)
+    where component = min id reachable. Each iteration is one shuffle
+    (join on the edge key) + one aggregate; iterations needed = graph
+    diameter. Labels are persisted and the previous generation
+    unpersisted every round, so lineage stays one-iteration deep — the
+    standard large-graph shape (this is how dedup groups are built from
+    LSH candidate pairs at corpus scale).
+    """
+    edges = edges.persist()  # read once per iteration — never recompute
+    labels = vertices.select(F.col("id"), F.col("id").alias("component")).persist()
+    # Labels only ever DECREASE, so Σcomponent is strictly monotone while
+    # anything changes — one cheap aggregate per round replaces a
+    # join-and-compare convergence check.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+  FROM documents WHERE doc_id < 200
+),
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+),
+walk AS (
+  SELECT doc_id AS start, doc_id AS node FROM d
+  UNION
+  SELECT w.start, e.v FROM walk w JOIN e ON w.node = e.u
+)
+SELECT start AS doc_id, CAST(min(node) AS BIGINT) AS component
+FROM walk GROUP BY start
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise similarity — the step after
+    candidate pairs that real corpus dedup needs (keep one doc per
+    component, not per pair). Components over the word-set Jaccard ≥
+    0.5 graph on the bounded subset, labeled by min doc_id; singletons
+    keep their own id. The oracle walks the same graph with a recursive
+    CTE. At scale the edge input is `lsh_candidate_pairs` instead of
+    the exact O(n²) graph — same component algorithm.
+    """
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("double")
+        / F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    )
+    edges = (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .filter(jac >= 0.5)
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    )
+    comp = connected_components(edges, d.select(F.col("doc_id").alias("id")))
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 @register(
     "dedup_editdist",
     oracle="""

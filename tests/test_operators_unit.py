@@ -213,6 +213,24 @@ def test_approx_median_close_to_exact(spark):
         assert lo[4] <= q3 <= lo[5], (flag, "q3", q3, lo[4], lo[5])
 
 
+def test_connected_components_chain_and_singleton(spark):
+    from piper_spark.functions.dedup import connected_components
+
+    # chain 1-2-3 (diameter 2, needs >1 iteration), pair 10-11, singleton 99
+    und = [(1, 2), (2, 3), (10, 11)]
+    edges = spark.createDataFrame(
+        und + [(v, u) for u, v in und], "u long, v long"
+    )
+    vertices = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (99,)], "id long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_agg_stats_matches_builtin_stddev_corr(spark):
     """The exact-moment formulas must agree with Spark's native
     stddev_samp/corr to float tolerance (the natives are order-unstable
