@@ -68,6 +68,54 @@ def labeled_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Columns whose values survive text serialization bit-exactly
+#: (integers, strings, µs timestamps — doubles are excluded on purpose:
+#: decimal text round-trip of arbitrary doubles is not identity).
+_TEXT_SAFE_COLS = ("event_id", "ts", "user_id", "event_type")
+
+_TEXT_SOURCE_ORACLE = """
+SELECT event_id, ts, user_id, event_type FROM events
+"""
+
+
+def _text_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from piper_spark.sources.sinks import write_partitioned  # noqa: F401 (sibling)
+
+    src = table(spark, sf_dir, "events").select(*_TEXT_SAFE_COLS)
+    path = f"{WAREHOUSE_DIR}/events_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}"
+    # default text timestamp formats truncate to millis — force µs
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    writer = src.write.mode("overwrite").format(fmt).option("timestampFormat", ts_fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    writer.save(path)
+    reader = (
+        spark.read.format(fmt)
+        .schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("timestampFormat", ts_fmt)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return reader.load(path)
+
+
+@register("source_csv", oracle=_TEXT_SOURCE_ORACLE)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round trip: write the (text-safe) event columns
+    as CSV, read them back with an explicit schema + µs timestamp
+    format, and prove value identity against the parquet original —
+    the schema-on-read path every ingest pipeline starts from."""
+    return _text_roundtrip(spark, sf_dir, "csv")
+
+
+@register("source_json", oracle=_TEXT_SOURCE_ORACLE)
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round trip (same contract as source_csv —
+    explicit schema, no inference in production paths)."""
+    return _text_roundtrip(spark, sf_dir, "json")
+
+
 @register(
     "scan_count",
     oracle="SELECT count(*) AS cnt FROM lineitem",
