@@ -18,6 +18,8 @@ DuckDB then agree to the last bit, and the result is an exploded
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -52,10 +54,22 @@ def rms_exact(v: pd.Series) -> float:
     return float(np.sqrt((scaled.sum() / 1e6) / len(x)))
 
 
+@F.pandas_udf(DoubleType())
+def zscore_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """SCALAR_ITER pandas UDF: per-worker setup runs ONCE, then every
+    Arrow batch streams through — the shape for UDFs with expensive
+    init (tokenizer, model weights) so the cost amortizes over a whole
+    partition instead of repeating per batch."""
+    mean, std = 50.0, 29.0  # stand-in for loading real model state
+    for s in batches:
+        yield (s - mean) / std
+
+
 def register_udfs(spark: SparkSession) -> None:
     """Expose the Python UDFs to spark.sql() callers."""
     spark.udf.register("vocab_density", vocab_density)
     spark.udf.register("rms_exact", rms_exact)
+    spark.udf.register("zscore_iter", zscore_iter)
 
 
 @register(

@@ -34,6 +34,19 @@ def test_udf_sql_registration(spark):
     assert abs(r[0].d - 2 / 3) < 1e-12
 
 
+def test_scalar_iter_pandas_udf(spark):
+    from piper_spark.functions.udfs import zscore_iter
+
+    df = spark.createDataFrame([(21.0,), (79.0,)], "v double")
+    rows = df.select(zscore_iter("v").alias("z")).collect()
+    assert rows[0].z == pytest.approx((21.0 - 50.0) / 29.0)
+    assert rows[1].z == pytest.approx(1.0)
+    plan = (
+        df.select(zscore_iter("v"))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+
+
 def test_grouped_agg_pandas_udf_plan_and_value(spark):
     from piper_spark.functions.udfs import agg_rms_udf
     from tests.conftest import SF_SMOKE
