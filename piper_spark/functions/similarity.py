@@ -25,6 +25,15 @@ from piper_spark.session import table
 NUM_CENTROIDS = 8
 NUM_PROBES = 2
 
+#: score_linear's deterministic integer weight matrix (10 classes × 64
+#: dims, values in [-5, 5]) — the relational stand-in for a trained
+#: linear head (reference R10 head-only forward, resnet.rs:109-112).
+SCORE_CLASSES, SCORE_DIMS = 10, 64
+SCORE_W = [
+    [((c * SCORE_DIMS + i) * 2654435761 % 11) - 5 for i in range(SCORE_DIMS)]
+    for c in range(SCORE_CLASSES)
+]
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns (left-to-right fold)."""
@@ -154,6 +163,74 @@ def train_codebook(
     # Materialize the (tiny) trained codebook so downstream plans embed
     # k rows, not `iters` rounds of re-training lineage.
     return cents.persist()
+
+
+def _score_oracle() -> str:
+    w_sql = "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in SCORE_W) + "]"
+    return f"""
+WITH w AS (SELECT {w_sql} AS wm),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                                  AS BIGINT)) AS xq
+  FROM embeddings
+),
+lg AS (
+  SELECT e.vec_id, t.c AS c,
+         CAST(list_sum([e.xq[i] * w.wm[t.c + 1][i]
+                        FOR i IN range(1, {SCORE_DIMS + 1})]) AS BIGINT) AS logit
+  FROM e, w, range(0, {SCORE_CLASSES}) t(c)
+),
+m AS (SELECT vec_id, max(logit) AS ml FROM lg GROUP BY vec_id)
+SELECT lg.vec_id,
+       CAST(min(lg.c) AS INTEGER) AS pred,
+       CAST(max(lg.logit) AS BIGINT) AS best_logit
+FROM lg JOIN m ON lg.vec_id = m.vec_id AND lg.logit = m.ml
+GROUP BY lg.vec_id
+"""
+
+
+@register("score_linear", oracle=_score_oracle())
+def score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model scoring: a linear classification head over the
+    embedding column — the relational form of the reference's
+    head-only forward + top-1 argmax (resnet.rs:109-112,
+    inference.rs:7-12). Embeddings are fixed-point quantized and the
+    weights are integers, so every logit is EXACT integer math and the
+    argmax (ties → lowest class) hash-matches the oracle. The whole
+    scoring pass is narrow per-row array algebra — no shuffle, no
+    Python: exactly how cheap model heads should run over 100 TB of
+    features (the heavy backbone would be the Arrow/mapInPandas path).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * 1000000.0 + 0.5).cast("long"),
+    )
+    logits = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        xq,
+                        F.array(*[F.lit(w).cast("long") for w in SCORE_W[c]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("logit"),
+                F.lit(-c).cast("int").alias("negc"),
+            )
+            for c in range(SCORE_CLASSES)
+        ]
+    )
+    best = F.array_max(logits)
+    return e.select(
+        "vec_id",
+        (-best["negc"]).cast("int").alias("pred"),
+        best["logit"].alias("best_logit"),
+    )
 
 
 @register("sim_ann_ivf")  # approximate path → rows-only check
