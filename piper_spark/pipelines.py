@@ -21,12 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from piper_spark.functions.dedup import minhash_signatures
+from piper_spark.functions.dedup import (
+    connected_components,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
 from piper_spark.registry import register
 from piper_spark.session import table
 from piper_spark.sources.sinks import write_partitioned
-
-MINHASH_BANDS = 4
 
 
 def quality_filter(docs: DataFrame, min_words: int = 5,
@@ -47,31 +49,24 @@ def dedup_exact_docs(docs: DataFrame) -> DataFrame:
 
 
 def dedup_near_docs(docs: DataFrame) -> DataFrame:
-    """Remove MinHash-LSH near-duplicates, keeping the smaller doc_id.
+    """Remove MinHash-LSH near-duplicates GROUP-wise: candidate pairs →
+    connected components → keep the min doc_id per component.
 
-    Candidate pairs come from band-hash buckets (equi-join — the scale
-    shape); every doc that appears as the LARGER member of any candidate
-    pair is dropped via a left-anti join.
+    Pair-based dropping ("larger id of any pair loses") over-drops on
+    chains (a-b, b-c keeps only a even though c never matched a); the
+    component keeper retains exactly one doc per near-dup GROUP — the
+    semantics corpus dedup wants. Candidate pairs stay the bounded
+    band-join shape; components touch only pair members (singletons
+    never enter the iteration).
     """
-    sig = minhash_signatures(docs)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("bh"),
-            )
-            for b in range(MINHASH_BANDS)
-        ]
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    edges = pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v")).unionAll(
+        pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v"))
     )
-    buckets = sig.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    losers = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("b.doc_id").alias("doc_id"))
-        .distinct()
+    members = edges.select(F.col("u").alias("id")).distinct()
+    comp = connected_components(edges, members)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
     )
     return docs.join(losers, "doc_id", "left_anti")
 
@@ -92,6 +87,45 @@ def run_training_data_pipeline(
     cleaned = tag_split(dedup_near_docs(dedup_exact_docs(quality_filter(docs))))
     write_partitioned(cleaned, out_dir, ["split", "lang"])
     return cleaned
+
+
+@register(
+    "dq_checks",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_custkey,
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS nonpos_price,
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+            AS BIGINT) AS bad_status,
+       CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                       OR o_orderdate >= TIMESTAMP '2030-01-01 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range,
+       count(DISTINCT o_orderkey) AS distinct_keys
+FROM orders
+""",
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: one scan computing every ingest invariant at
+    once (null FKs, domain violations, non-positive amounts, timestamp
+    range, key uniqueness). The pipeline's admission control — at
+    100 TB the cost is exactly one pass, and the conditional sums are
+    all map-side partials.
+    """
+    o = table(spark, sf_dir, "orders")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        flag(F.col("o_custkey").isNull()).alias("null_custkey"),
+        flag(F.col("o_totalprice") <= 0).alias("nonpos_price"),
+        flag(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bad_status"),
+        flag(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp"))
+        ).alias("ts_out_of_range"),
+        F.countDistinct("o_orderkey").alias("distinct_keys"),
+    )
 
 
 @register(
