@@ -247,3 +247,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return d.select("doc_id", (total % 2147483647).alias("fp"))
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, w AS word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         (tf.tf * 1000000 * n.n_docs) // df.df AS score
+  FROM tf JOIN df USING (word), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, word) AS rn
+  FROM scored
+)
+SELECT doc_id, word, tf, df, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rn <= 3
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by an integer TF-IDF score.
+
+    score = tf · ⌊10⁶·N⌋ // df — the idf is kept as an exact integer
+    ratio instead of ln(N/df) because libm log differs across engines
+    in the last bits; the ORDERING is identical to the log form for a
+    fixed N (both monotone in tf/df). Shape: explode → two hash aggs
+    (tf per (doc,word), df per word) → broadcast-joinable df relation →
+    per-doc top-k window. At 100 TB, df is the only global state and
+    it's vocabulary-sized.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(words_col()).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df, "word").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.expr("tf * 1000000L * n_docs div df").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tf", "df", "score")
+    )

@@ -26,6 +26,13 @@ SAMPLE = [
     "text_topwords",
     "dedup_exact",
     "set_ops",
+    # round-2 additions, one per new family
+    "agg_stats",
+    "dedup_clusters",
+    "embed_centroids",
+    "score_linear",
+    "labeled_scan",
+    "event_hwm",
 ]
 
 
