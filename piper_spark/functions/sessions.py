@@ -161,3 +161,47 @@ def event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("day"), "event_type", "cnt", "total_value"
         )
     )
+
+
+@register(
+    "ts_gapfill",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT cal.day, CAST(coalesce(daily.cnt, 0) AS BIGINT) AS cnt
+FROM cal LEFT JOIN daily ON cal.day = daily.day
+""",
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily time series with zero-filled gaps: generate the full
+    calendar between min and max event days (sequence + explode), left
+    join the sparse per-day counts. The missing-day problem every
+    time-series report hits; the calendar side is bounded by the date
+    range, never by data volume.
+    """
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cal.join(daily, "day", "left").select(
+        "day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )

@@ -78,3 +78,66 @@ def clamp_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return e.select("event_id", px.alias("px"))
+
+
+@register(
+    "scalar_subq",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders,
+     (SELECT (CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100.0) / count(*) AS avg_price
+      FROM orders) t
+WHERE o_totalprice > t.avg_price
+""",
+)
+def scalar_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above the global average price.
+
+    The threshold is computed with the exact scaled-long recipe (not
+    native avg) so the BORDER rows are identical across engines —
+    a float threshold from order-dependent summation could flip rows
+    that sit exactly at the average. Plan: one tiny aggregate broadcast
+    against the scan, narrow otherwise.
+    """
+    from piper_spark.functions.numeric import davg
+
+    o = table(spark, sf_dir, "orders")
+    avg_row = o.agg(davg(F.col("o_totalprice")).alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+WHERE l_orderkey < 100
+""",
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) — the inverse of agg_pivot.
+    Values pass through untouched (no float math); the oracle spells
+    the same op as UNION ALL for engine portability."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+        ],
+        "measure",
+        "value",
+    )
