@@ -153,6 +153,44 @@ def test_ann_ivf_recall_vs_exact_topk(spark):
 
 
 @given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**32 - 1),
+)
+@settings(**SETTINGS)
+def test_resize_area_matches_bruteforce_weights(h, w, oh, ow, seed):
+    """resize_area == the O(out·in) brute-force area-overlap average for
+    ANY shape pair (up- or downscale), to float tolerance."""
+    import numpy as np
+
+    from piper_spark.sources.multimodal import _area_weights, resize_area
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = resize_area(img, ow, oh)
+    wy, wx = _area_weights(h, oh), _area_weights(w, ow)
+    brute = np.einsum("oh,hwc,pw->opc", wy, img.astype(np.float64), wx)
+    assert out.shape == (oh, ow, 3)
+    np.testing.assert_allclose(
+        out, np.clip(np.round(brute), 0, 255).astype(np.uint8), atol=1
+    )
+
+
+@given(st.integers(1, 32), st.integers(1, 32), st.integers(0, 2**32 - 1))
+@settings(**SETTINGS)
+def test_ppm_roundtrip_any_image(h, w, seed):
+    import numpy as np
+
+    from piper_spark.sources.multimodal import decode_image, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+
+@given(
     st.lists(
         st.tuples(st.integers(0, 5), st.integers(0, 10**6)),
         min_size=1,
