@@ -242,6 +242,36 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_maxby",
+    oracle="""
+SELECT o_custkey,
+       arg_max(o_orderkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) * 100000
+               + o_orderkey) AS top_order,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg_max: each customer's most expensive order WITHOUT a
+    window. Neither engine defines tie-breaking for max_by, so the
+    ordering key folds the unique o_orderkey into an exact integer
+    (price·100·10⁵ + key — exact below 2⁶³): no ties can exist, both
+    engines must agree. One hash aggregate, no sort, no window — the
+    cheap form of "top-1 per key"."""
+    o = table(spark, sf_dir, "orders")
+    ordkey = (
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long") * 100000
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("top_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
     "agg_gsets",
     oracle="""
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,

@@ -89,6 +89,53 @@ def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "str_extract_all",
+    oracle="""
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '([0-9]+)', 1)) AS INTEGER) AS n_nums,
+       regexp_extract_all(props, '([0-9]+)', 1)[1] AS first_num
+FROM events
+""",
+)
+def str_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all — all matches as an array (UDTF-adjacent
+    string op); count + first element compared (1-based in both)."""
+    e = table(spark, sf_dir, "events")
+    all_nums = F.regexp_extract_all("props", F.lit("([0-9]+)"), 1)
+    return e.select(
+        "event_id",
+        F.size(all_nums).alias("n_nums"),
+        F.element_at(all_nums, 1).alias("first_num"),
+    )
+
+
+@register(
+    "str_funcs2",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS up,
+       reverse(p_name) AS rev,
+       lpad(p_brand, 12, '.') AS padded,
+       repeat(p_type, 2) AS doubled,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up
+FROM part
+""",
+)
+def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: case, reverse, pad, repeat, translate —
+    pure per-row codegen'd expressions, zero shuffle."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.reverse("p_name").alias("rev"),
+        F.lpad("p_brand", 12, ".").alias("padded"),
+        F.repeat("p_type", 2).alias("doubled"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+    )
+
+
+@register(
     "agg_mode",
     oracle="""
 SELECT user_id, event_type AS modal_type, cnt
