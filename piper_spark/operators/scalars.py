@@ -89,6 +89,34 @@ def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_buckets",
+    oracle="""
+SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+       CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qnum,
+       count(*) AS cnt
+FROM orders
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing at every reporting granularity in one pass
+    (week/month/quarter truncs + year/quarter numbers). Both engines
+    start ISO weeks on Monday under UTC."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.groupBy(
+        F.date_trunc("week", d).alias("wk"),
+        F.date_trunc("month", d).alias("mo"),
+        F.date_trunc("quarter", d).alias("qtr"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qnum"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
     "str_extract_all",
     oracle="""
 SELECT event_id,
