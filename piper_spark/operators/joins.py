@@ -233,6 +233,24 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT cartesian product of two BOUNDED dims (5×25 rows) — the
+    one place a cross join is legitimate: enumerating a small
+    combination space. Production guardrail: anything fact-sized on
+    either side is a red-flag plan (tests/test_plan_shapes.py greps
+    CartesianProduct out of every other query)."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
     "tpch_q6",
     oracle=f"""
 SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue,

@@ -315,6 +315,31 @@ def arr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "arr_posexplode",
+    oracle="""
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+       CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+         AS val_q
+FROM embeddings
+WHERE vec_id < 20
+""",
+)
+def arr_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UDTF shape): one row per (vector, dimension)
+    with the value fixed-point quantized so floats never enter the
+    hash. Bounded subset — exploding 64× is a deliberate cost."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("v").cast("double") * 10000.0 + 0.5).cast("long").alias("val_q"),
+    )
+
+
+@register(
     "arr_norm",
     oracle="""
 SELECT vec_id,
