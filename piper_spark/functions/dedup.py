@@ -263,6 +263,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_hash",
+    oracle="""
+SELECT d.lang, count(*) AS kept, CAST(min(d.doc_id) AS BIGINT) AS min_id
+FROM documents d
+JOIN (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text) k
+  ON d.text = k.text AND d.doc_id = k.doc_id
+GROUP BY d.lang
+""",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-first exact dedup — the 100 TB form the plain
+    `dedup_exact` docstrings point at: group on xxhash64(text) so the
+    dedup shuffle moves 8-byte keys instead of document bodies, then
+    resolve (astronomically rare) hash collisions on the real text
+    before declaring rows duplicates. Result is semantically identical
+    to grouping by text (the oracle), whatever the hash does.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = d.withColumn("__h", F.xxhash64("text"))
+    # keeper per (hash, text): hash narrows the shuffle; text breaks
+    # any collision so two different texts NEVER dedup together.
+    keep = h.groupBy("__h", "text").agg(F.min("doc_id").alias("doc_id"))
+    kept = h.join(keep, ["__h", "text", "doc_id"], "inner")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept"), F.min("doc_id").alias("min_id")
+    )
+
+
+@register(
     "dedup_editdist",
     oracle="""
 SELECT a.p_partkey AS id1, b.p_partkey AS id2,

@@ -233,6 +233,36 @@ def score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _accuracy_oracle() -> str:
+    # reuse score_linear's logit CTEs, then compare pred to the label
+    base = _score_oracle().strip().rstrip()
+    return f"""
+WITH scored AS ({base})
+SELECT round(CAST(sum(CASE WHEN scored.pred = e.label THEN 1 ELSE 0 END)
+                  AS DOUBLE) * 100.0 / count(*), 4) AS accuracy_pct,
+       count(*) AS n
+FROM scored JOIN embeddings e ON scored.vec_id = e.vec_id
+"""
+
+
+@register("score_accuracy", oracle=_accuracy_oracle())
+def score_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation accuracy of the linear head vs the stored labels —
+    the reference's validation metric (valid.rs:5-29, metrics.rs:3-9)
+    computed over real (deterministic) predictions instead of a
+    synthetic flag column. Exact ratio of integers → exact double."""
+    e = table(spark, sf_dir, "embeddings")
+    preds = score_linear(spark, sf_dir)
+    j = preds.join(e.select("vec_id", "label"), "vec_id")
+    hit = F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+    return j.agg(
+        F.round(hit.cast("double") * 100.0 / F.count(F.lit(1)), 4).alias(
+            "accuracy_pct"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("sim_ann_ivf")  # approximate path → rows-only check
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for the vec_id=0 query, probing 2 of 8 cells.
