@@ -205,3 +205,48 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.join(daily, "day", "left").select(
         "day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
     )
+
+
+@register(
+    "event_streaks",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS hot,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all
+  FROM events
+),
+runs AS (
+  SELECT user_id,
+         rn_all - row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS grp
+  FROM flagged WHERE hot = 1
+),
+lens AS (
+  SELECT user_id, count(*) AS streak FROM runs GROUP BY user_id, grp
+)
+SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks
+FROM lens GROUP BY user_id
+""",
+)
+def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive run of value>50 events per
+    user. The rn_all − rn_filtered difference is constant within a
+    consecutive run, so one extra window turns streaks into group keys
+    — no iteration, no self-join. Distinct from sessionization (which
+    groups by TIME gaps; this groups by ORDINAL adjacency).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("rn_all", F.row_number().over(w)).filter(
+        F.col("value") > 50.0
+    )
+    runs = flagged.withColumn(
+        "grp", F.col("rn_all") - F.row_number().over(w)
+    )
+    lens = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("streak"))
+    return lens.groupBy("user_id").agg(
+        F.max("streak").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
