@@ -325,6 +325,126 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q14",
+    oracle=f"""
+SELECT round(100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)}
+             / {sql_dsum('l_extendedprice * (1 - l_discount)', 4)}, 4)
+         AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share in a shipdate window.
+    Both numerator and denominator use the exact scaled-long sums, so
+    the ratio divides identical doubles on both engines. part is
+    sub-linear in SF — AQE broadcast-joins it unhinted."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(100.0 * dsum(promo, 4) / dsum(rev, 4), 4).alias(
+            "promo_revenue_pct"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {sql_dsum('l_quantity', 2)} AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 30000
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (total quantity > 300).
+    The HAVING subquery is a self-contained aggregate semi-join —
+    Catalyst plans it as an aggregate + left-semi; the quantity
+    threshold compares exact scaled longs so membership is identical
+    across engines. Top-100 via TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long")).alias(
+                "sq"
+            )
+        )
+        .filter(F.col("sq") > 30000)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1.0 AND l_quantity <= 20.0)
+   OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 5.0 AND l_quantity <= 35.0)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 10.0 AND l_quantity <= 50.0)
+""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate spanning
+    both join sides. Catalyst extracts the common join key (equi-join,
+    never a nested loop) and evaluates the OR-of-ANDs as a post-join
+    filter; per-branch single-side conjuncts get pushed to the scans."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1.0) & (q <= 20.0))
+        | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(10, 30)
+           & (q >= 5.0) & (q <= 35.0))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(20, 50)
+           & (q >= 10.0) & (q <= 50.0))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(
+        dsum(rev, 4).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@register(
     "join_salted",
     oracle=f"""
 SELECT s_name,
