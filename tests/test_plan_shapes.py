@@ -108,6 +108,22 @@ def test_shuffle_scale_has_no_global_window(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_tpch_q19_or_predicate_is_still_equi_join(spark):
+    # Disjunctive predicates spanning both join sides are the classic
+    # BNLJ trap; Catalyst must still extract l_partkey = p_partkey as
+    # the join key and evaluate the OR as a filter.
+    plan = plan_of(spark, "tpch_q19")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q18_having_subquery_is_semi_join(spark):
+    plan = plan_of(spark, "tpch_q18")
+    assert "LeftSemi" in plan  # the HAVING membership check, not a re-agg
+    assert "TakeOrderedAndProject" in plan  # top-100 without global sort
+
+
 def test_minhash_join_is_equi_join_on_band_hash(spark):
     plan = plan_of(spark, "dedup_minhash")
     assert "CartesianProduct" not in plan
