@@ -1,8 +1,14 @@
 """Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": <sf>}
+Prints TWO JSON lines (truncation-proof for tail-capture harnesses):
+  line 1 (detail): {"metric": "...", "value": <total sec>, "unit": "sec",
+                    "queries": {"q": sec, ...}, "sf": <sf>}
+  line 2 (compact, printed LAST so a tail capture always retains it):
+                   {"metric": "...", "value": <total sec>, "unit": "sec",
+                    "sf": <sf>, "n_queries": N, "queries_file":
+                    "BENCH_DETAIL.json", "slowest": {top 5}}
+The full per-query map is also written to BENCH_DETAIL.json next to this
+script, so the headline total survives even if stdout is clipped.
 
 Each query is executed end-to-end into a noop sink (full compute, no
 driver-side materialization cost). A tiny warm-up query absorbs JVM/
@@ -57,14 +63,40 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "total wall-clock for all registered queries, noop sink",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Durable copy of the per-query map, immune to stdout clipping.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    # Compact summary printed LAST: a tail capture that truncates the long
+    # detail line above still retains this whole (~300 B) parseable line.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "total wall-clock for all registered queries, noop sink",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries_file": "BENCH_DETAIL.json",
+                "slowest": slowest,
             }
         )
     )

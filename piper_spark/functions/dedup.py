@@ -185,6 +185,7 @@ def connected_components(
     # anything changes — one cheap aggregate per round replaces a
     # join-and-compare convergence check.
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         neigh_min = (
             edges.join(labels, edges["v"] == labels["id"])
@@ -205,9 +206,21 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # Silent unconvergence would hand back WRONG component labels
+        # (multiple labels inside one true component) and dedup would keep
+        # extra near-dup docs with no error signal. Each round is one
+        # bounded shuffle, so callers should raise max_iters rather than
+        # tolerate a truncated fixpoint.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations (graph diameter exceeds max_iters); labels would "
+            "be incorrect — increase max_iters"
+        )
     return labels
 
 
@@ -469,6 +482,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline signatures are a persisted table between stages.
     # persist(DISK_ONLY) keeps the lineage (recomputable after executor
     # loss, unlike localCheckpoint) without holding executor memory.
+    # CACHE LIFETIME: the caller owns the persisted relation — this
+    # function returns a lazy plan, so it cannot unpersist before the
+    # consuming action. Long-lived sessions should
+    # `spark.catalog.clearCache()` (or unpersist the input lineage)
+    # after consuming the pairs, as bench.py and the pipeline do.
     sigs = minhash_signatures(table(spark, sf_dir, "documents")).persist(
         StorageLevel.DISK_ONLY
     )
@@ -505,7 +523,8 @@ aggregate(
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, 4 bands of 16 bits,
     Hamming ≤ 3 cut (every such pair is guaranteed a band collision)."""
-    # Materialized once — see dedup_minhash note.
+    # Materialized once — see dedup_minhash note (caller owns the cache
+    # lifetime; clearCache()/unpersist after the consuming action).
     d = simhash_signatures(table(spark, sf_dir, "documents")).persist(
         StorageLevel.DISK_ONLY
     )

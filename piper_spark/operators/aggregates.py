@@ -246,7 +246,7 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey,
        arg_max(o_orderkey,
-               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) * 100000
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) * 10000000000
                + o_orderkey) AS top_order,
        count(*) AS n_orders
 FROM orders
@@ -256,13 +256,17 @@ GROUP BY o_custkey
 def agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by / arg_max: each customer's most expensive order WITHOUT a
     window. Neither engine defines tie-breaking for max_by, so the
-    ordering key folds the unique o_orderkey into an exact integer
-    (price·100·10⁵ + key — exact below 2⁶³): no ties can exist, both
-    engines must agree. One hash aggregate, no sort, no window — the
-    cheap form of "top-1 per key"."""
+    ordering key folds the unique o_orderkey into an exact integer:
+    price_scaled·10¹⁰ + o_orderkey. The 10¹⁰ multiplier exceeds any
+    o_orderkey at every TPC-H SF (keys are < 6·10⁹ even at SF 100k),
+    so the key is truly lexicographic (price first, key as tie-break)
+    and stays below 2⁶³ (max price_scaled ≈ 6·10⁷ → key ≈ 6·10¹⁷).
+    No ties can exist, both engines must agree. One hash aggregate, no
+    sort, no window — the cheap form of "top-1 per key"."""
     o = table(spark, sf_dir, "orders")
     ordkey = (
-        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long") * 100000
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        * F.lit(10_000_000_000).cast("long")
         + F.col("o_orderkey")
     )
     return o.groupBy("o_custkey").agg(

@@ -133,7 +133,10 @@ def str_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.size(all_nums).alias("n_nums"),
-        F.element_at(all_nums, 1).alias("first_num"),
+        # F.get (0-based) yields NULL on an empty array, matching the
+        # oracle's [1]; element_at would throw INVALID_ARRAY_INDEX under
+        # ANSI mode for a digit-free props string.
+        F.get(all_nums, 0).alias("first_num"),
     )
 
 

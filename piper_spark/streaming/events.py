@@ -112,9 +112,15 @@ def _hwm_update(key, pdfs, state):  # pragma: no cover — runs in worker
         maxv, cnt = state.get
     else:
         maxv, cnt = None, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for v in pdf["value"]:
+    # A group's micro-batch can span several Arrow chunks delivered in
+    # arbitrary order; the running-max fold is order-dependent, so gather
+    # them all and sort ONCE by (ts, event_id) before folding.
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for v in batch["value"]:
             if maxv is None or v > maxv:
                 maxv, cnt = float(v), cnt + 1
     state.update((maxv, cnt))
