@@ -8,12 +8,18 @@ all per-item work runs through Arrow-batched `mapInPandas` /
 `pandas_udf` — the JVM↔Python crossing is columnar, not row pickling.
 
 The compressed-image libraries (OpenCV/Pillow) are not in this
-container, so `decode_image` handles the UNCOMPRESSED formats a pure
-reader can: binary PPM/PGM (P6/P5) and BI_RGB BMP (24/32-bit). Unknown
-payloads raise — unlike the reference, which silently skips the row on
-a failed decode (data_augment.py:74-75). `fake_decode_meta` remains the
-deterministic stand-in that lets the DuckDB oracle reproduce the
-metadata path (`img_meta`, `img_resize`).
+container, so `decode_image` handles what a pure reader can: binary
+PPM/PGM (P6/P5), BI_RGB BMP (24/32-bit), and — via stdlib zlib + numpy
+unfiltering — non-interlaced 8-bit PNG (gray, gray+alpha, RGB, RGBA,
+palette). PNG is the reference's primary accepted format
+(constants.py:2 lists .jpg .jpeg .png .bmp .gif; decode at
+data_augment.py:41-54), so of the five only JPEG/GIF still need an
+external codec. Unknown payloads raise — unlike the reference, which
+silently skips the row on a failed decode (data_augment.py:74-75).
+`fake_decode_meta` remains the deterministic stand-in that lets the
+DuckDB oracle reproduce the metadata path (`img_meta`, `img_resize`);
+`img_decode_png` runs REAL pixels through encode_png → decode_image
+and is oracle-checked against cyclic byte arithmetic.
 
 Numeric semantics mirrored from the reference (tested in tests/):
   decode        — data_augment.py:41-54 (cv2.imdecode → HWC u8)
@@ -95,22 +101,139 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img[:, :, [2, 1, 0]]  # BGR(A) stored → RGB out, alpha dropped
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (3 = palette: one index byte per pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter_scanlines(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse PNG per-scanline filtering → (h, w·ch) uint8 matrix.
+
+    Filters 0/1/2 vectorize (none; sub is a per-lane running sum mod 256;
+    up adds the prior reconstructed row). Average and Paeth depend on the
+    in-progress left pixel, so they fall back to a per-byte loop — fine
+    for the bounded images this container decodes; a production build
+    would push this into a C kernel exactly as libpng does.
+    """
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG: decompressed length mismatch")
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub: running sum per byte lane, mod 256
+            cur = line.copy()
+            for lane in range(ch):
+                cur[lane::ch] = np.cumsum(cur[lane::ch]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (line[x] + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    return recon
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → HWC uint8 RGB, stdlib zlib + numpy.
+
+    Covers color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA); alpha is dropped and gray replicated to 3 channels, the
+    same channel policy as cv2.imdecode's default IMREAD_COLOR
+    (reference data_augment.py:53). Interlaced (Adam7) or 16-bit images
+    raise.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("PNG: bad signature")
+    pos, idat, plte = 8, [], None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 len + 4 type + data + 4 CRC
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG: missing IHDR")
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"PNG: unsupported (depth={depth}, color={color}, "
+            f"interlace={interlace}) — only non-interlaced 8-bit"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    img = _unfilter_scanlines(raw, w, h, ch).reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(img, 3, axis=2)
+    if color == 2:
+        return img
+    if color == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        return plte[img[:, :, 0]]
+    if color == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGBA → RGB
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload to an HWC uint8 RGB array.
 
-    Pure-numpy decoders for the uncompressed formats (PPM/PGM P6/P5,
-    BI_RGB BMP); the compressed formats the reference handles via
-    cv2.imdecode (data_augment.py:53) need a codec library that is not
-    in this container and raise instead. A bad payload raises — never
-    the reference's silent per-row skip (data_augment.py:74-75).
+    Pure-numpy decoders: PPM/PGM (P6/P5), BI_RGB BMP, and non-interlaced
+    8-bit PNG (stdlib zlib inflate + numpy unfiltering). Of the
+    reference's accepted formats (.jpg .jpeg .png .bmp .gif —
+    constants.py:2, cv2.imdecode at data_augment.py:53) only JPEG/GIF
+    still require a codec library this container lacks and raise. A bad
+    payload raises — never the reference's silent per-row skip
+    (data_augment.py:74-75).
     """
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise ValueError(
-        "unrecognized image payload (pure-numpy decoders cover PPM/PGM/BMP; "
-        "compressed formats need an image codec library)"
+        "unrecognized image payload (pure-numpy decoders cover PPM/PGM/BMP/PNG; "
+        "JPEG/GIF need an image codec library)"
     )
 
 
@@ -119,6 +242,67 @@ def encode_ppm(img: np.ndarray) -> bytes:
     `decode_image` (reference encodes via cv2.imencode, data_augment.py:78-81)."""
     h, w = img.shape[:2]
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
+
+
+def encode_png(img: np.ndarray, cycle_filters: bool = False) -> bytes:
+    """uint8 image → non-interlaced 8-bit PNG, stdlib zlib only.
+
+    Accepts (h, w) or (h, w, 1) gray, (h, w, 3) RGB, (h, w, 4) RGBA.
+    With ``cycle_filters`` each scanline y uses filter type y % 5, which
+    makes every encoded image exercise ALL five PNG filters on decode —
+    the adversarial payload `img_decode_png` uses to prove the
+    unfiltering math bit-exact against an arithmetic oracle.
+    """
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    out = bytearray()
+    for y in range(h):
+        ftype = y % 5 if cycle_filters else 0
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(w * ch, dtype=np.int32)
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - prev
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)],
+                dtype=np.int32,
+            )
+            enc = cur - pred
+        out.append(ftype)
+        out.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
@@ -319,6 +503,58 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
     return d.mapInPandas(
         _frame_batches, schema="doc_id long, frame_no int, frame_sum long"
+    )
+
+
+def _png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload → gray image → REAL PNG encode (all
+    five filter types cycled) → REAL PNG decode → pixel facts."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ = fake_decode_meta(payload)
+            gray = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))
+            rgb = decode_image(encode_png(gray, cycle_filters=True))
+            rows.append((doc_id, w, h, int(rgb.sum(dtype=np.int64))))
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pix_sum"])
+        rows = []
+
+
+@register(
+    "img_decode_png",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         1 + octet_length(encode(text)) % 64 AS w,
+         1 + octet_length(encode(text)) % 48 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 * ((h * w // n)
+                   * list_sum([ord(substring(text, i, 1))
+                               FOR i IN range(1, n + 1)])
+                 + coalesce(list_sum([ord(substring(text, i, 1))
+                                      FOR i IN range(1, (h * w) % n + 1)]), 0))
+            AS BIGINT) AS pix_sum
+FROM d
+""",
+)
+def img_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec round-trip, oracle-checked: each payload's bytes
+    are tiled into a gray image, PNG-encoded with stdlib zlib using all
+    five scanline filters (y % 5), then run through `decode_image`'s
+    inflate + unfilter path. The emitted pixel sum equals 3× the tiled
+    byte sum ONLY if sub/up/average/Paeth unfiltering is bit-exact, and
+    the DuckDB oracle recomputes that sum with cyclic-index arithmetic —
+    so this query is a distributed correctness proof of the PNG decoder
+    (reference decode path: constants.py:2, data_augment.py:41-54).
+    """
+    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(
+        _png_batches, schema="doc_id long, width int, height int, pix_sum long"
     )
 
 
