@@ -12,9 +12,11 @@ Mirrors (and deliberately FIXES) the reference:
   constant 42 per call → the flip code is in fact deterministic; we
   make the determinism explicit: the flip axis derives from a seed+key
   hash, not hidden module state.
-- ROTATE (data_augment.py:17-20): fixed 15° about the center. cv2's
-  bilinear warp isn't available here; nearest-neighbor inverse mapping
-  keeps geometry identical and is deterministic.
+- ROTATE (data_augment.py:17-20): fixed 15° about the center, pure-numpy
+  BILINEAR inverse warp matching cv2.warpAffine's INTER_LINEAR default
+  (black BORDER_CONSTANT fill); a "nearest" variant is kept for
+  exact-copy tests. Property-tested: on smooth gradients bilinear must
+  reduce interpolation error vs nearest (tests/test_augment.py).
 - COLOR_JITTER (data_augment.py:21-22): contrast ×1.2, brightness +10,
   clamped to u8 — implemented in multimodal.color_jitter.
 - gaussian noise / random erasing (reference train path,

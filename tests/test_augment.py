@@ -59,6 +59,31 @@ def test_rotate_bilinear_interpolates_between_pixels():
         rotate15(img, 15.0, method="bicubic")
 
 
+def test_rotate_bilinear_beats_nearest_on_smooth_gradient():
+    """Bilinear reproduces a linear ramp exactly (a plane is its own
+    bilinear interpolant), while nearest quantizes to the half-pixel —
+    so against the analytic rotated ground truth, bilinear's max error
+    in the interior must be strictly smaller (round-2 verdict item 4)."""
+    h = w = 33
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (xx * 6).astype(np.uint8)[:, :, None]  # smooth linear ramp in x
+    deg = 15.0
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    th = np.deg2rad(deg)
+    # ground truth: value at dst (x,y) = ramp evaluated at source coords
+    xs = np.cos(th) * (xx - cx) + np.sin(th) * (yy - cy) + cx
+    truth = xs * 6.0
+    bil = rotate15(img, deg)[:, :, 0].astype(np.float64)
+    near = rotate15(img, deg, method="nearest")[:, :, 0].astype(np.float64)
+    # interior only: border pixels mix with the black fill
+    c = 8
+    sl = np.s_[c:-c, c:-c]
+    err_b = np.abs(bil[sl] - truth[sl]).max()
+    err_n = np.abs(near[sl] - truth[sl]).max()
+    assert err_b < err_n
+    assert err_b <= 0.5 + 1e-9  # exact up to u8 rounding
+
+
 def test_gaussian_noise_probability_and_seed():
     img = np.zeros((4, 4, 3), dtype=np.float32)
     a = gaussian_noise(img, seed=1, key="x")
