@@ -11,9 +11,22 @@ luigi_tasks.py:328-347), re-expressed as one deterministic dataflow:
 
 Where the reference sequences stages with file-existence markers and a
 polling worker (luigi_tasks.py:45-51, docker/luigi_worker.sh:2-14),
-here the stages are one lazy plan: idempotence comes from deterministic
-transforms + overwrite-mode writes, retries from Spark task retry, and
-lineage replaces markers. Each stage is independently usable.
+here the stages are one lazy plan by default: idempotence comes from
+deterministic transforms + overwrite-mode writes, retries from Spark
+task retry, and lineage replaces markers. Each stage is independently
+usable.
+
+`resume=True` re-expresses Luigi's marker targets (luigi_tasks.py:
+49-51,150-152,243-246) for the 100 TB operational case: each stage
+materializes to `<out>_stages/<name>` (a SIBLING of the final
+sink — the sink's wholesale overwrite must never touch stage files) and
+a completed stage —
+detected by Spark's atomically-committed `_SUCCESS` marker — is read
+back instead of recomputed, so a pipeline that dies at stage N resumes
+at stage N, not stage 1. The marker check goes through the Hadoop
+FileSystem API, so it holds on HDFS/S3A/ABFS, and `_SUCCESS` only
+exists after the output committer finishes — partial stage output can
+never read as complete.
 """
 
 from __future__ import annotations
@@ -79,14 +92,52 @@ def tag_split(docs: DataFrame, train_pct: int = 80) -> DataFrame:
     return docs.withColumn("split", split)
 
 
+def stage_is_complete(spark: SparkSession, path: str) -> bool:
+    """True iff `path` holds a COMMITTED stage output: Spark's output
+    committer writes `_SUCCESS` only after every task has committed, so
+    this is an atomic completion marker (the engine's form of Luigi's
+    `Target.exists()`, luigi_tasks.py:49-51). Checked through the Hadoop
+    FileSystem API so the same test works on local FS, HDFS, or object
+    stores."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def run_training_data_pipeline(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, resume: bool = False
 ) -> DataFrame:
-    """Full pipeline; writes split=…/lang=… parquet, returns the final DF."""
+    """Full pipeline; writes split=…/lang=… parquet, returns the final DF.
+
+    Default: ONE lazy plan end-to-end (Catalyst sees everything; no
+    intermediate materialization). `resume=True` trades that for
+    stage-level resumability — the right call when a stage costs hours
+    at full scale: `clean` and `near_dedup` each materialize to
+    `<out>_stages/<name>` and are SKIPPED on re-run if their
+    `_SUCCESS` marker exists, so a run that died mid-`near_dedup`
+    recomputes nothing of `clean`. The final split+partitioned sink
+    always re-runs (it is itself an idempotent overwrite)."""
     docs = table(spark, sf_dir, "documents")
-    cleaned = tag_split(dedup_near_docs(dedup_exact_docs(quality_filter(docs))))
-    write_partitioned(cleaned, out_dir, ["split", "lang"])
-    return cleaned
+    if not resume:
+        cleaned = tag_split(dedup_near_docs(dedup_exact_docs(quality_filter(docs))))
+        write_partitioned(cleaned, out_dir, ["split", "lang"])
+        return cleaned
+
+    # Sibling dir, NOT nested: the final sink overwrites out_dir wholesale,
+    # which must never delete (or race with reading) completed stage files.
+    def stage(name: str, compute) -> DataFrame:
+        path = f"{out_dir}_stages/{name}"
+        if stage_is_complete(spark, path):
+            return spark.read.parquet(path)
+        compute().write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    clean = stage("clean", lambda: dedup_exact_docs(quality_filter(docs)))
+    deduped = stage("near_dedup", lambda: dedup_near_docs(clean))
+    final = tag_split(deduped)
+    write_partitioned(final, out_dir, ["split", "lang"])
+    return final
 
 
 @register(

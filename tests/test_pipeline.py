@@ -70,6 +70,49 @@ def test_full_pipeline_end_to_end(spark):
     assert sorted(r.doc_id for r in again.select("doc_id").collect()) == ids_before
 
 
+def test_pipeline_resume_skips_completed_stages(spark, monkeypatch):
+    """Kill the pipeline after stage 1, re-run with resume=True, and
+    observe stage 1 is read back (files untouched), not recomputed —
+    the Luigi-marker behavior (round-2 verdict item 6)."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    import piper_spark.pipelines as P
+
+    out = tempfile.mkdtemp(prefix="piper_resume_")
+    os.rmdir(out)  # pipeline creates it
+
+    # First run dies mid near-dup (after `clean` committed).
+    real_near = P.dedup_near_docs
+    monkeypatch.setattr(
+        P, "dedup_near_docs", lambda df: (_ for _ in ()).throw(RuntimeError("boom"))
+    )
+    with _pytest.raises(RuntimeError, match="boom"):
+        run_training_data_pipeline(spark, SF_SMOKE, out, resume=True)
+    clean_dir = f"{out}_stages/clean"
+    assert P.stage_is_complete(spark, clean_dir)
+    assert not P.stage_is_complete(spark, f"{out}_stages/near_dedup")
+    mtimes = {f: os.path.getmtime(f) for f in glob.glob(f"{clean_dir}/*.parquet")}
+    assert mtimes
+
+    # Resumed run completes and does NOT rewrite the committed stage.
+    monkeypatch.setattr(P, "dedup_near_docs", real_near)
+    final = run_training_data_pipeline(spark, SF_SMOKE, out, resume=True)
+    assert {f: os.path.getmtime(f) for f in glob.glob(f"{clean_dir}/*.parquet")} == mtimes
+    assert P.stage_is_complete(spark, f"{out}_stages/near_dedup")
+
+    # Resumed result is identical to the single-lazy-plan result.
+    plain_out = tempfile.mkdtemp(prefix="piper_plain_")
+    run_training_data_pipeline(spark, SF_SMOKE, plain_out)
+    a = sorted(r.doc_id for r in spark.read.parquet(out).select("doc_id").collect())
+    b = sorted(
+        r.doc_id for r in spark.read.parquet(plain_out).select("doc_id").collect()
+    )
+    assert a == b and final.count() == len(a)
+
+
 def test_pipeline_monotone_shrinking(spark):
     docs = table(spark, SF_SMOKE, "documents")
     q = quality_filter(docs)
