@@ -9,17 +9,19 @@ all per-item work runs through Arrow-batched `mapInPandas` /
 
 The compressed-image libraries (OpenCV/Pillow) are not in this
 container, so `decode_image` handles what a pure reader can: binary
-PPM/PGM (P6/P5), BI_RGB BMP (24/32-bit), and — via stdlib zlib + numpy
-unfiltering — non-interlaced 8-bit PNG (gray, gray+alpha, RGB, RGBA,
-palette). PNG is the reference's primary accepted format
-(constants.py:2 lists .jpg .jpeg .png .bmp .gif; decode at
-data_augment.py:41-54), so of the five only JPEG/GIF still need an
-external codec. Unknown payloads raise — unlike the reference, which
-silently skips the row on a failed decode (data_augment.py:74-75).
-`fake_decode_meta` remains the deterministic stand-in that lets the
-DuckDB oracle reproduce the metadata path (`img_meta`, `img_resize`);
-`img_decode_png` runs REAL pixels through encode_png → decode_image
-and is oracle-checked against cyclic byte arithmetic.
+PPM/PGM (P6/P5), BI_RGB BMP (24/32-bit), non-interlaced 8-bit PNG
+(stdlib zlib + numpy unfiltering; gray, gray+alpha, RGB, RGBA,
+palette), and GIF87a/89a (full pure-Python LZW, interlace, palettes).
+Of the reference's five accepted formats (constants.py:2 lists
+.jpg .jpeg .png .bmp .gif; decode at data_augment.py:41-54) only JPEG
+still needs an external codec — and GIF support EXCEEDS the reference,
+whose cv2.imdecode cannot decode GIF (rows silently dropped). Unknown
+payloads raise — unlike the reference, which silently skips the row on
+a failed decode (data_augment.py:74-75). `fake_decode_meta` remains
+the deterministic stand-in that lets the DuckDB oracle reproduce the
+metadata path (`img_meta`, `img_resize`); `img_decode_png` /
+`img_decode_gif` run REAL pixels through encode→decode and are
+oracle-checked against cyclic byte arithmetic.
 
 Numeric semantics mirrored from the reference (tested in tests/):
   decode        — data_augment.py:41-54 (cv2.imdecode → HWC u8)
@@ -214,16 +216,128 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return img[:, :, :3]  # RGBA → RGB
 
 
+def _gif_lzw_decode(data: bytes, min_size: int) -> list[int]:
+    """GIF-variant LZW (GIF89a spec appendix F): variable-width codes
+    LSB-first, clear/end codes, dictionary capped at 12 bits."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    width = min_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + width <= total:
+        code = 0
+        for i in range(width):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width, prev = min_size + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # dictionary frozen at 12 bits
+                table.append(prev + [entry[0]])
+        elif code == len(table) and len(table) < 4096:  # KwKwK
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError("GIF: corrupt LZW code")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+#: Adam-style GIF interlace passes: (row offset, row step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/GIF89a first frame → HWC uint8 RGB, pure Python/numpy.
+
+    Full LZW inflate, local/global palettes, interlacing, frame rect
+    composited onto the background-filled logical screen. NOTE: the
+    reference lists .gif as accepted (constants.py:2) but cv2.imdecode
+    cannot decode GIF at all — it returns None, the blanket except at
+    data_augment.py:74-75 fires, and the row is SILENTLY DROPPED. This
+    engine decodes GIF for real.
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature")
+    import struct
+
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor — decode the FIRST frame
+            left, top, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF: no palette")
+            min_size = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += ln + 1
+            idx = _gif_lzw_decode(b"".join(chunks), min_size)
+            if len(idx) < w * h:
+                raise ValueError("GIF: truncated pixel data")
+            frame = np.array(idx[: w * h], dtype=np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                ordered = np.empty_like(frame)
+                src = 0
+                for off, step in _GIF_INTERLACE:
+                    rows = range(off, h, step)
+                    for r in rows:
+                        ordered[r] = frame[src]
+                        src += 1
+                frame = ordered
+            canvas = np.full((sh, sw), bg if gct is not None else 0, dtype=np.uint8)
+            canvas[top : top + h, left : left + w] = frame
+            return pal[canvas]
+        elif block == 0x3B:  # trailer before any frame
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    raise ValueError("GIF: no image frame")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload to an HWC uint8 RGB array.
 
-    Pure-numpy decoders: PPM/PGM (P6/P5), BI_RGB BMP, and non-interlaced
-    8-bit PNG (stdlib zlib inflate + numpy unfiltering). Of the
-    reference's accepted formats (.jpg .jpeg .png .bmp .gif —
-    constants.py:2, cv2.imdecode at data_augment.py:53) only JPEG/GIF
-    still require a codec library this container lacks and raise. A bad
-    payload raises — never the reference's silent per-row skip
-    (data_augment.py:74-75).
+    Pure-Python/numpy decoders: PPM/PGM (P6/P5), BI_RGB BMP,
+    non-interlaced 8-bit PNG (stdlib zlib inflate + numpy unfiltering),
+    and GIF87a/89a (full LZW). Of the reference's accepted formats
+    (.jpg .jpeg .png .bmp .gif — constants.py:2, cv2.imdecode at
+    data_augment.py:53) only JPEG still requires a codec library this
+    container lacks and raises — and for GIF this engine EXCEEDS the
+    reference, whose cv2.imdecode cannot decode GIF and silently drops
+    the row. A bad payload raises — never the reference's silent
+    per-row skip (data_augment.py:74-75).
     """
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
@@ -231,9 +345,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise ValueError(
-        "unrecognized image payload (pure-numpy decoders cover PPM/PGM/BMP/PNG; "
-        "JPEG/GIF need an image codec library)"
+        "unrecognized image payload (pure decoders cover PPM/PGM/BMP/PNG/GIF; "
+        "JPEG needs an image codec library)"
     )
 
 
@@ -303,6 +419,88 @@ def encode_png(img: np.ndarray, cycle_filters: bool = False) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(out), 6))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_gif(img: np.ndarray, real_lzw: bool = True) -> bytes:
+    """uint8 gray (h, w) or (h, w, 1) image → GIF89a payload, pure Python.
+
+    The palette is the 256-gray identity ramp, so pixel index == gray
+    value and `_decode_gif`'s palette lookup replicates each byte to
+    RGB. With ``real_lzw`` the stream uses genuine dictionary-building
+    LZW (exercising the decoder's dict-growth and width-increase paths);
+    without it, every symbol is preceded by a CLEAR code — still a
+    spec-valid stream, but the decoder's dictionary never grows (the
+    degenerate baseline the tests compare against).
+    """
+    import struct
+
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    h, w = img.shape
+    flat = img.astype(np.uint8).reshape(-1).tolist()
+    min_size = 8  # 256-entry palette
+    clear, end = 1 << min_size, (1 << min_size) + 1
+
+    codes: list[tuple[int, int]] = [(clear, 9)]  # (code, width at emit time)
+    if real_lzw:
+        # Standard GIF-LZW compressor mirroring the decoder's table
+        # evolution: width grows when the NEXT code to be added would
+        # overflow, reset at 4096.
+        table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+        next_code, width = end + 1, min_size + 1
+        seq: tuple[int, ...] = ()
+        for px in flat:
+            cand = seq + (px,)
+            if cand in table:
+                seq = cand
+                continue
+            codes.append((table[seq], width))
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            if next_code == 4096:
+                codes.append((clear, width))
+                table = {(i,): i for i in range(clear)}
+                next_code, width = end + 1, min_size + 1
+            seq = (px,)
+        if seq:
+            codes.append((table[seq], width))
+            # The decoder appends one more entry when it consumes this
+            # final code; if that lands exactly on 2^width it reads END
+            # at width+1 — mirror that boundary.
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        codes.append((end, width))
+    else:
+        for px in flat:
+            codes.append((px, 9))
+            codes.append((clear, 9))
+        codes.append((end, 9))
+
+    bits = bytearray()
+    acc = nbits = 0
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+    out += bytes(v for g in range(256) for v in (g, g, g))  # gray ramp
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(min_size)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
@@ -555,6 +753,59 @@ def img_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
     return d.mapInPandas(
         _png_batches, schema="doc_id long, width int, height int, pix_sum long"
+    )
+
+
+def _gif_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload → gray image → REAL GIF encode
+    (dictionary-building LZW) → REAL GIF decode → pixel facts."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ = fake_decode_meta(payload)
+            gray = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))
+            rgb = decode_image(encode_gif(gray))
+            rows.append((doc_id, w, h, int(rgb.sum(dtype=np.int64))))
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pix_sum"])
+        rows = []
+
+
+@register(
+    "img_decode_gif",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         1 + octet_length(encode(text)) % 64 AS w,
+         1 + octet_length(encode(text)) % 48 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 * ((h * w // n)
+                   * list_sum([ord(substring(text, i, 1))
+                               FOR i IN range(1, n + 1)])
+                 + coalesce(list_sum([ord(substring(text, i, 1))
+                                      FOR i IN range(1, (h * w) % n + 1)]), 0))
+            AS BIGINT) AS pix_sum
+FROM d
+""",
+)
+def img_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec round-trip, oracle-checked (`img_decode_png`'s
+    sibling): payload bytes tiled to a gray image, GIF-encoded with
+    genuine dictionary-building LZW (width growth, KwKwK, 4096 reset
+    all reachable), decoded back through `decode_image`'s LZW inflate +
+    palette path. Pixel sum == 3× tiled byte sum only if the LZW math
+    is bit-exact; the oracle recomputes the sum arithmetically. Note
+    the reference ACCEPTS .gif (constants.py:2) but cv2.imdecode cannot
+    decode it — rows are silently dropped at data_augment.py:74-75;
+    this engine decodes GIF for real.
+    """
+    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(
+        _gif_batches, schema="doc_id long, width int, height int, pix_sum long"
     )
 
 

@@ -247,6 +247,91 @@ def test_png_decode_query_pixel_sum(spark):
         assert r.pix_sum == 3 * int(tiled.sum(dtype=np.int64))
 
 
+def test_gif_roundtrip_real_lzw_and_degenerate():
+    from piper_spark.sources.multimodal import encode_gif
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 60), dtype=np.uint8)
+    out = decode_image(encode_gif(img))
+    assert out.shape == (40, 60, 3)
+    assert np.array_equal(out[:, :, 0], img)
+    assert np.array_equal(out[:, :, 1], out[:, :, 2])
+    # degenerate clear-per-symbol stream decodes identically
+    assert np.array_equal(out, decode_image(encode_gif(img, real_lzw=False)))
+
+
+def test_gif_lzw_stress_paths():
+    """Repetitive + constant + large images force dictionary growth,
+    KwKwK codes, code-width bumps, and the 4096-entry reset."""
+    from piper_spark.sources.multimodal import encode_gif
+
+    rep = np.tile(np.arange(16, dtype=np.uint8).repeat(8), (100, 1))
+    assert np.array_equal(decode_image(encode_gif(rep))[:, :, 0], rep)
+    const = np.full((200, 300), 77, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_gif(const))[:, :, 0], const)
+    big = np.random.default_rng(5).integers(0, 256, (500, 400), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_gif(big))[:, :, 0], big)
+
+
+def test_gif_interlaced_decode():
+    """Hand-interlace the pixel stream (4-pass row order) and set the
+    interlace flag: the decoder must un-interlace back to row order."""
+    import struct as _struct
+
+    from piper_spark.sources.multimodal import _GIF_INTERLACE, encode_gif
+
+    img = np.arange(16 * 4, dtype=np.uint8).reshape(16, 4)
+    h = 16
+    order = [r for off, step in _GIF_INTERLACE for r in range(off, h, step)]
+    payload = bytearray(encode_gif(img[order], real_lzw=False))
+    # image descriptor starts after 6 (header) + 7 (LSD) + 768 (GCT);
+    # its flags byte is at offset +9 — set the interlace bit.
+    desc = 6 + 7 + 768
+    assert payload[desc] == 0x2C
+    l, t, w_, h_, fl = _struct.unpack("<HHHHB", payload[desc + 1 : desc + 10])
+    assert (w_, h_) == (4, 16) and fl == 0
+    payload[desc + 9] = 0x40
+    out = decode_image(bytes(payload))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_gif_rejects_bad_payloads():
+    with pytest.raises(ValueError, match="signature"):
+        from piper_spark.sources.multimodal import _decode_gif
+
+        _decode_gif(b"GIF88a" + b"\x00" * 20)
+    # trailer with no frame
+    import struct as _struct
+
+    no_frame = b"GIF89a" + _struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b"
+    with pytest.raises(ValueError, match="no image frame"):
+        decode_image(no_frame)
+
+
+def test_gif_decode_query_pixel_sum(spark):
+    """img_decode_gif's distributed proof, checked locally (the GIF
+    sibling of the PNG check above)."""
+    from piper_spark.sources.multimodal import img_decode_gif
+
+    rows = img_decode_gif(spark, "/root/testdata/sf0.001").orderBy("doc_id").take(3)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    for r in rows:
+        (txt,) = con.execute(
+            "SELECT text FROM documents WHERE doc_id = ?", [r.doc_id]
+        ).fetchone()
+        payload = txt.encode()
+        w, h, _ = fake_decode_meta(payload)
+        tiled = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))
+        assert (r.width, r.height) == (w, h)
+        assert r.pix_sum == 3 * int(tiled.sum(dtype=np.int64))
+
+
 def test_payload_column_roundtrip(spark):
     df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     row = with_payload(df).collect()[0]
