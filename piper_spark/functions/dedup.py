@@ -80,7 +80,7 @@ def shingles(text: Column | str = "text", n: int = SHINGLE_SIZE) -> Column:
     oracle="""
 WITH d AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-  FROM documents WHERE doc_id < 200
+  FROM documents WHERE doc_id < 150
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
@@ -93,12 +93,12 @@ WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard ≥ 0.5 pairs on a bounded doc subset.
 
-    Deliberately O(n²) on ≤200 docs — this is the ground truth the LSH
+    Deliberately O(n²) on ≤150 docs — this is the ground truth the LSH
     path (`dedup_minhash`) approximates; never run this shape unbounded.
     """
     d = (
         table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < 150)
         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
     )
     a, b = d.alias("a"), d.alias("b")
@@ -121,7 +121,7 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w
-  FROM documents WHERE doc_id < 200
+  FROM documents WHERE doc_id < 150
 ),
 s AS (
   SELECT doc_id,
@@ -147,7 +147,7 @@ def dedup_jaccard_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = (
         table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < 150)
         .select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
     )
     a, b = d.alias("a"), d.alias("b")
@@ -230,7 +230,7 @@ def connected_components(
 WITH RECURSIVE
 d AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-  FROM documents WHERE doc_id < 200
+  FROM documents WHERE doc_id < 150
 ),
 e AS (
   SELECT a.doc_id AS u, b.doc_id AS v
@@ -258,7 +258,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = (
         table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < 150)
         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
     )
     a, b = d.alias("a"), d.alias("b")
@@ -562,7 +562,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
-  FROM embeddings WHERE vec_id < 200
+  FROM embeddings WHERE vec_id < 150
 ),
 s AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -582,12 +582,12 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization first (see functions/similarity.py). The synthetic
     embeddings have no true near-dups (max pairwise cosine ≈ 0.51), so
     the threshold sits below that to keep the oracle comparison
-    non-vacuous — it checks the pair math on ~40 real rows, not on an
+    non-vacuous — it checks the pair math on ~26 real rows, not on an
     empty set.
     """
     e = (
         table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 200)
+        .filter(F.col("vec_id") < 150)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
     )
     a, b = e.alias("a"), e.alias("b")

@@ -59,11 +59,15 @@ def get_spark(app_name: str = "piper_spark") -> SparkSession:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Parquet → columnar scan with pushdown.
 
-    events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as long nanos (legacy conf) and convert to
-    microsecond timestamps — the same ns→us truncation DuckDB applies,
-    so both engines see identical values. This is a narrow per-row
-    projection, free at any scale.
+    events.ts has shipped in two physical types across testdata
+    generations: TIMESTAMP(NANOS) (which Spark surfaces as int64 under
+    the legacy nanosAsLong conf) and plain TIMESTAMP(MICROS) (which
+    Spark 4 infers as TIMESTAMP_NTZ). Branch on the schema Spark
+    actually reads and normalize both to the session-UTC TIMESTAMP
+    type: long nanos get the ns→us truncation DuckDB applies, NTZ gets
+    a value-preserving cast (session tz is pinned to UTC above, so the
+    wall-clock values are identical and functions like unix_micros
+    keep working). A narrow per-row projection, free at any scale.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -73,6 +77,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         # Scope the legacy conf to this read: schema conversion happens
         # eagerly at plan time, so restoring immediately is safe — and a
@@ -87,7 +92,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
