@@ -308,3 +308,137 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tf", "df", "score")
     )
+
+
+@register(
+    "text_pii",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}-[0-9]{4}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(t, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS BIGINT)
+         AS n_ips,
+       length(regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g'),
+         '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g')) AS clean_len
+FROM aug
+""",
+)
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing — the redaction pass every training
+    corpus needs before the tokenizer sees it. The synthetic corpus
+    carries no real PII, so a deterministic per-doc contact line is
+    appended IN BOTH ENGINES first; the query then counts and redacts
+    emails / phone numbers / IPv4s with anchored character-class
+    regexes (kept inside the POSIX-compatible subset so Java regex and
+    DuckDB's RE2 agree). Pure per-row codegen'd expressions — no
+    shuffle at all; at 100 TB this is a free rider on any scan.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    email = r"[a-z0-9._]+@[a-z0-9.]+[a-z]"
+    phone = r"[0-9]{3}-[0-9]{4}-[0-9]{4}"
+    ip = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+    aug = d.select("doc_id", t.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+        ip,
+        "<IP>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(email), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(phone), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(ip), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
+@register(
+    "text_decontam",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+4], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 3, 2))]) AS sh
+  FROM w
+),
+eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0
+),
+train AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
+SELECT DISTINCT t.doc_id
+FROM train t JOIN eval_sh e ON t.g = e.g
+ORDER BY t.doc_id
+""",
+)
+def text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training docs sharing any
+    5-gram with the eval set (docs with doc_id % 97 == 0 stand in for
+    a held-out benchmark). Different from near-dup dedup: asymmetric
+    (corpus vs a SMALL eval set) and any-overlap, not a similarity
+    threshold. Shape: explode both sides to (doc, gram), hash the
+    grams, equi-join on the hash — the eval side is benchmark-sized,
+    so at 100 TB it broadcasts and the scan-side explode is the only
+    cost; the semi-join dedups flags before the distinct.
+    """
+    from piper_spark.functions.dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles("text", n=5)).alias("sh")
+    )
+    eval_grams = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )

@@ -14,4 +14,5 @@ from piper_spark.operators import (  # noqa: F401
     sorts,
     scalars,
     sampling,
+    tpch,
 )

@@ -1,0 +1,781 @@
+"""TPC-H suite completion (SURVEY.md §2B "Joins" / analytics shapes).
+
+Together with q3/q5/q6/q10/q14/q18/q19 in joins.py this covers ALL 22
+TPC-H query shapes. The testdata has no partsupp table and lineitem
+lacks commit/receipt dates, shipmode and container columns, so
+q2/q4/q9/q11/q12/q16/q17/q20/q21/q22 are ADAPTED shapes: the same
+logical plan skeleton (the correlated-min, the correlated-exists, the
+scalar-subquery threshold, the multi-exists anti-join, …) re-targeted
+at columns that exist. Every adaptation is named in its docstring.
+
+Scale notes shared by all queries here:
+- money aggregates use the scaled-long recipe (functions/numeric.py)
+  so values hash-match DuckDB exactly and stay in whole-stage codegen;
+- no fact-scaled relation ever carries a broadcast hint (AQE decides);
+  the only hinted relations are nation/region/supplier and 1-row
+  scalar aggregates (broadcast by construction);
+- every top-k ends in orderBy+limit → TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piper_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from piper_spark.registry import register
+from piper_spark.session import table
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 2)} AS sum_qty,
+       {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+         AS sum_charge,
+       {sql_davg('l_quantity', 2)} AS avg_qty,
+       {sql_davg('l_extendedprice', 2)} AS avg_price,
+       {sql_davg('l_discount', 2)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report. One pass over lineitem, all
+    eight aggregates in a single map-side-partial hash aggregate on a
+    6-value key — the canonical scan-heavy query. disc_price is a
+    4-decimal product and charge a 6-decimal triple product, so their
+    scaled-long sums are exact on both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg(F.col("l_quantity"), 2).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            davg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (ADAPTED): order priority checking. The spec's
+    late-commit EXISTS (l_commitdate < l_receiptdate) is re-targeted at
+    the columns that exist: an item shipped >30 days after the order
+    date. Same plan skeleton — quarter filter, correlated EXISTS
+    becomes a left-semi join on orderkey with the lateness predicate as
+    the join condition, then a tiny 5-key aggregate."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_12')
+    OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_11'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: volume shipping between two nations by year. The two
+    nation lookups are the only broadcast-hinted relations (25 rows
+    each, broadcastable at any SF); the nation-pair disjunction lands
+    as a post-join filter Catalyst pushes below the aggregate.
+    supplier is sub-linear and unhinted — AQE broadcasts it."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    sn = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cn = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_12")
+    ) | ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_11"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(dsum(rev, 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+)
+SELECT o_year,
+       round({sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END", 4)}
+             / {sql_dsum('volume', 4)}, 6) AS mkt_share
+FROM base GROUP BY o_year ORDER BY o_year
+""",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share inside one region for one part
+    type. Eight-table join; nation/region are broadcast-hinted, part
+    and supplier are sub-linear and left to AQE, the three fact tables
+    shuffle on their join keys. The share divides two exact scaled-long
+    sums, so the 6-decimal rounding is identical on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    sn = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cn = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("cn_region") == F.col("r_regionkey"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(dsum(national, 4) / dsum(volume, 4), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9",
+    oracle=f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity', 4)}
+         AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (ADAPTED): product-type profit by nation and
+    year. The spec's cost term is ps_supplycost from partsupp, which
+    the schema lacks; p_retailprice * l_quantity stands in as the cost
+    leg, preserving the revenue-minus-cost aggregate over a
+    name-filtered part join. Profit is a 4-decimal difference of
+    exact products, summed as scaled longs."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit, 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle=f"""
+WITH v AS (
+  SELECT l_partkey, {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM v
+WHERE value > (SELECT 1.5 * ({sql_dsum('value', 4)} / count(*)) FROM v)
+ORDER BY value DESC, l_partkey
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (ADAPTED): important-stock identification. The
+    spec sums ps_supplycost * ps_availqty over partsupp; with no
+    partsupp the same skeleton runs on lineitem revenue per part — a
+    grouped aggregate filtered by a scalar-subquery threshold. The
+    spec's fixed fraction (0.0001/SF) is scale-dependent by its own
+    admission, so the threshold here is 1.5× the average part's value
+    — selective and non-vacuous at every SF. The 1-row global
+    aggregate is broadcast-joined."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(rev, 4).alias("value"))
+    total = per_part.agg(
+        (F.lit(1.5) * (dsum(F.col("value"), 4) / F.count(F.lit(1)))).alias("__thresh")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("__thresh"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (ADAPTED): shipping-delay priority audit. The
+    spec buckets late lines by l_shipmode; with no shipmode column the
+    same high/low-priority conditional counts group by l_returnflag,
+    and "late" (receipt past commit) becomes shipped >60 days after
+    the order date. Plan skeleton is identical: one fact-fact equi-join
+    with the lateness predicate, then a 3-key pivot-style aggregate."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey).filter(
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution (the spec's
+    comment-pattern exclusion becomes an order-priority exclusion —
+    same left-join-with-predicate skeleton). Two aggregates: per
+    customer, then histogram over counts; count(o_orderkey) yields 0
+    for order-less customers on both engines."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue. The revenue view
+    is computed once and reused for both the max scalar subquery and
+    the final join (persist-free: Catalyst collapses the shared
+    aggregate; the 1-row max is broadcast). Exact scaled-long revenue
+    makes the equality-to-max comparison deterministic — the spec's
+    own footnote problem (ties) is handled by returning all maximal
+    suppliers ordered by key."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "total_revenue"
+        ))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (ADAPTED): supplier diversity per part group.
+    partsupp becomes lineitem (who actually supplied the part), and the
+    spec's complaint-comment exclusion becomes negative-balance
+    suppliers — the NOT IN lands as a broadcast anti-join (the excluded
+    set is bounded). count(DISTINCT) shuffles once on the group key
+    with distinct pre-aggregation map-side."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle=f"""
+WITH pq AS (
+  SELECT l_partkey AS pk, {sql_davg('l_quantity', 2)} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round({sql_dsum('l_extendedprice', 2)} / 7.0, 6) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pq   ON l_partkey = pk
+WHERE p_brand = 'Brand#2' AND l_quantity < 0.2 * avg_qty
+""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue (the spec's container
+    filter is dropped — no container column — leaving the brand
+    filter). The correlated per-part average becomes a grouped
+    aggregate re-joined on partkey, exactly how Catalyst decorrelates
+    the original. The average is an exact scaled-long sum over an
+    exact count, so the 0.2×avg threshold compares identical doubles
+    on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg(F.col("l_quantity"), 2).alias("avg_qty")
+    )
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == pq.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(
+        F.round(dsum(F.col("l_extendedprice"), 2) / 7.0, 6).alias("avg_yearly")
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle=f"""
+WITH sup_qty AS (
+  SELECT l_suppkey, {sql_dsum('l_quantity', 2)} AS sq
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM sup_qty
+  WHERE sq > (SELECT {sql_dsum('sq', 2)} / count(*) FROM sup_qty)
+)
+ORDER BY s_name, s_suppkey
+""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (ADAPTED): suppliers with excess throughput of
+    one part family. The spec's partsupp availability check (availqty >
+    half a year's shipments) becomes its observable half: suppliers who
+    shipped an above-average volume of red parts in the year — the
+    relative threshold stays meaningful at every SF where an absolute
+    one goes degenerate. Skeleton preserved: name-filtered part join,
+    per-supplier aggregate, scalar-subquery threshold (1-row
+    broadcast), IN becomes a left-semi join into supplier."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    sup_qty = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("sq"))
+    )
+    mean = sup_qty.agg(
+        (dsum(F.col("sq"), 2) / F.count(F.lit(1))).alias("__mean")
+    )
+    heavy = (
+        sup_qty.join(F.broadcast(mean))
+        .filter(F.col("sq") > F.col("__mean"))
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+),
+all_sups AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, count(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l1) w
+JOIN supplier ON w.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM all_sups a
+    WHERE a.l_orderkey = w.l_orderkey AND a.l_suppkey <> w.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM l1 b
+    WHERE b.l_orderkey = w.l_orderkey AND b.l_suppkey <> w.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (ADAPTED): suppliers who alone held up
+    multi-supplier finalized orders. "Late" (receipt past commit)
+    becomes shipped >60 days after the order date. The EXISTS /
+    NOT EXISTS pair lands as a left-semi then left-anti join on
+    orderkey with the supplier-inequality as join condition — the
+    decorrelated plan the spec query produces, with no correlated
+    per-row subquery execution anywhere."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_sups = li.select("l_orderkey", "l_suppkey").distinct()
+    w = l1
+    others = all_sups.select(
+        F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")
+    )
+    late_others = l1.select(
+        F.col("l_orderkey").alias("b_ok"), F.col("l_suppkey").alias("b_sk")
+    )
+    w = w.join(
+        others,
+        (w.l_orderkey == others.a_ok) & (w.l_suppkey != others.a_sk),
+        "left_semi",
+    )
+    w = w.join(
+        late_others,
+        (w.l_orderkey == late_others.b_ok) & (w.l_suppkey != late_others.b_sk),
+        "left_anti",
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        w.join(s, w.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT {sql_davg('c_acctbal', 2)} AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+       count(*) AS numcust,
+       {sql_dsum('c_acctbal', 2)} AS totacctbal
+FROM customer, avg_bal
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY cntrycode
+""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (ADAPTED): global-sales-opportunity report.
+    The spec's phone-prefix country codes become c_nationkey (no phone
+    column), and "never ordered" becomes "no order since 1999" — every
+    synthetic customer has at least one lifetime order, so the literal
+    NOT EXISTS is vacuous; the recency window keeps the anti-join
+    doing real work (empty at sf0.001's 150-customer corpus, ~7 rows
+    at the sf0.01 driver gate). Skeleton preserved exactly: scalar
+    subquery for
+    the positive-balance average (1-row broadcast), NOT EXISTS orders
+    as a left-anti join, then a per-country aggregate of exact sums."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    avg_bal = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(davg(F.col("c_acctbal"), 2).alias("__ab"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+),
+cand AS (
+  SELECT p_partkey, p_brand, p_size, s_suppkey, s_name, s_acctbal, n_name
+  FROM part JOIN ps ON p_partkey = partkey
+  JOIN supplier ON suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+FROM cand c
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                   WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal, p_partkey, s_suppkey
+LIMIT 100
+""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (ADAPTED): minimum-cost supplier per part. The
+    spec's partsupp relation and ps_supplycost column don't exist, so
+    the part↔supplier relationship comes from observed lineitem pairs
+    and the minimized attribute is s_acctbal — the correlated-min
+    subquery + 5-table dimension join skeleton is intact, completing
+    all 22 TPC-H query shapes. The correlated min decorrelates to a
+    per-part aggregate re-joined on (partkey, acctbal); min over
+    doubles involves no arithmetic, so the equality is deterministic
+    in both engines. region/nation broadcast-hinted; the distinct
+    part-supplier pair extraction is the only fact-table shuffle."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    cand = (
+        p.join(li, p.p_partkey == li.partkey)
+        .join(s, li.suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("mb")
+    )
+    return (
+        cand.join(
+            mins,
+            (cand.p_partkey == mins.mk) & (cand.s_acctbal == mins.mb),
+        )
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .orderBy("s_acctbal", "p_partkey", "s_suppkey")
+        .limit(100)
+    )

@@ -331,13 +331,13 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Pure-Python/numpy decoders: PPM/PGM (P6/P5), BI_RGB BMP,
     non-interlaced 8-bit PNG (stdlib zlib inflate + numpy unfiltering),
-    and GIF87a/89a (full LZW). Of the reference's accepted formats
-    (.jpg .jpeg .png .bmp .gif — constants.py:2, cv2.imdecode at
-    data_augment.py:53) only JPEG still requires a codec library this
-    container lacks and raises — and for GIF this engine EXCEEDS the
-    reference, whose cv2.imdecode cannot decode GIF and silently drops
-    the row. A bad payload raises — never the reference's silent
-    per-row skip (data_augment.py:74-75).
+    GIF87a/89a (full LZW), and baseline sequential-DCT JPEG — ALL five
+    of the reference's accepted formats (.jpg .jpeg .png .bmp .gif —
+    constants.py:2, cv2.imdecode at data_augment.py:53), with no codec
+    library. For GIF this engine EXCEEDS the reference, whose
+    cv2.imdecode cannot decode GIF and silently drops the row. A bad
+    payload raises — never the reference's silent per-row skip
+    (data_augment.py:74-75).
     """
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
@@ -347,9 +347,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise ValueError(
-        "unrecognized image payload (pure decoders cover PPM/PGM/BMP/PNG/GIF; "
-        "JPEG needs an image codec library)"
+        "unrecognized image payload (pure decoders cover "
+        "PPM/PGM/BMP/PNG/GIF/JPEG)"
     )
 
 
@@ -500,6 +502,455 @@ def encode_gif(img: np.ndarray, real_lzw: bool = True) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU T.81): the last of the reference's
+# five accepted formats (.jpg .jpeg — constants.py:2) to get a real
+# pure-Python decoder. Entropy coding is per-block sequential (Python
+# loop over huffman symbols); the IDCT is one vectorized einsum over
+# every block at once.
+# ---------------------------------------------------------------------------
+
+#: Zigzag scan order: index i in the entropy stream → position in the
+#: row-major 8×8 block.
+_JPEG_ZIGZAG = np.array(
+    [
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: block = A @ x @ A.T (FDCT),
+    x = A.T @ block @ A (IDCT). A[0] row carries the 1/√2 DC scale, so
+    a constant block v has exactly one nonzero coefficient 8·(v−128)
+    and the round trip is integer-exact for constant blocks."""
+    k = np.arange(8)
+    a = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+_JPEG_A = _jpeg_dct_matrix()
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol for a canonical JPEG huffman table
+    (T.81 Annex C code assignment)."""
+    table: dict[tuple[int, int], int] = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+#: Engine huffman tables, built rather than memorized: every symbol at
+#: one fixed code length (12 DC size categories at 4 bits; all 162
+#: legal AC run/size symbols at 8 bits). Canonically constructed, so
+#: the streams are spec-valid for ANY baseline decoder — the tables
+#: travel in the DHT segment like every JPEG's do; fixed-length codes
+#: just trade compression ratio for zero table-transcription risk.
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS)] + [0] * 8
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing and restart-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("hit restart marker mid-symbol")
+            else:
+                # Past the scan (e.g. into EOI): pad with 1-bits per spec.
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG stream")
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if not (
+            self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential-DCT JPEG → HWC uint8 RGB, pure numpy.
+
+    Supports 8-bit precision, 1-component (gray) and 3-component
+    (YCbCr/JFIF) scans, sampling factors 1–2 (so 4:4:4, 4:2:2, 4:2:0),
+    restart intervals, and tables split across any number of DQT/DHT
+    segments. Progressive/arithmetic/12-bit/truncated streams raise
+    loudly — never the reference's silent row skip
+    (data_augment.py:74-75).
+    """
+    try:
+        return _decode_jpeg_inner(payload)
+    except (IndexError, KeyError) as e:
+        # Truncated stream or a reference to a table that never arrived:
+        # both are corrupt payloads, surfaced as a decode error.
+        raise ValueError(f"corrupt or truncated JPEG payload: {e!r}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan_map: list[tuple[int, int]] = []
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI with no scan
+            raise ValueError("JPEG stream ended before SOS")
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                if prec:
+                    raise ValueError("16-bit quantization tables unsupported")
+                qt[tid] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8).astype(
+                    np.int32
+                )
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tclass, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                huff[(tclass, tid)] = _jpeg_canonical_codes(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "hs": samp >> 4, "vs": samp & 0x0F, "tq": tq}
+                )
+            if any(c["hs"] not in (1, 2) or c["vs"] not in (1, 2) for c in comps):
+                raise ValueError("JPEG sampling factors beyond 2 unsupported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_map.append((tables >> 4, tables & 0x0F))
+                if comps[c]["id"] != cs:
+                    raise ValueError("SOS component order must match SOF0")
+            pos += seglen
+            break
+        pos += seglen
+    if not comps or h == 0 or w == 0:
+        raise ValueError("JPEG missing SOF0 before SOS")
+
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        bw = mcus_x * c["hs"]
+        bh = mcus_y * c["vs"]
+        c["coef"] = np.zeros((bh * bw, 64), dtype=np.int32)
+        c["bw"] = bw
+
+    reader = _JpegBitReader(payload, pos)
+    pred = [0] * len(comps)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tab = huff[(0, scan_map[ci][0])]
+                ac_tab = huff[(1, scan_map[ci][1])]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        blk = np.zeros(64, dtype=np.int32)
+                        t = reader.huff(dc_tab)
+                        pred[ci] += _jpeg_extend(reader.bits(t), t) if t else 0
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0x0F
+                            blk[k] = _jpeg_extend(reader.bits(size), size)
+                            k += 1
+                        row = (my * c["vs"] + by) * c["bw"] + (mx * c["hs"] + bx)
+                        c["coef"][row] = blk
+            mcu += 1
+
+    planes = []
+    for c in comps:
+        dq = c["coef"] * qt[c["tq"]][np.argsort(_JPEG_ZIGZAG)][None, :]
+        blocks = np.zeros((len(dq), 64), dtype=np.float64)
+        blocks[:, _JPEG_ZIGZAG] = dq  # de-zigzag
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _JPEG_A, blocks, _JPEG_A) + 128.0
+        bw = c["bw"]
+        bh = len(dq) // bw
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1
+        )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing and 1-bit padding."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0xFF, 8 - self.nbits)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _jpeg_encode_block(
+    writer: _JpegBitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one zigzagged quantized block; returns its DC."""
+    diff = int(zz[0]) - pred
+    t = int(abs(diff)).bit_length()
+    code, ln = dc_codes[t]
+    writer.put(code, ln)
+    if t:
+        writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last = max(np.nonzero(zz)[0]) if np.any(zz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last:
+                code, ln = ac_codes[0x00]  # EOB
+                writer.put(code, ln)
+                break
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.put(code, ln)
+            run -= 16
+        size = int(abs(v)).bit_length()
+        code, ln = ac_codes[(run << 4) | size]
+        writer.put(code, ln)
+        writer.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+    """uint8 gray (h,w)/(h,w,1) or RGB (h,w,3) → baseline JPEG, pure
+    numpy, all-ones quantization tables (the max-quality stream, so
+    round-trip error comes only from DCT float rounding — zero for
+    constant blocks, which is what makes `img_decode_jpeg`'s oracle
+    exact). ``subsample`` writes 4:2:0 chroma (box-averaged), covering
+    the decoder's upsampling path. Dimensions are padded to full MCUs
+    by edge replication, standard encoder practice.
+    """
+    import struct
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_jpeg expects gray or RGB")
+    if subsample and ch == 1:
+        raise ValueError("subsampling needs 3 components")
+    f = img.astype(np.float64)
+    if ch == 3:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+    else:
+        planes = [f[:, :, 0]]
+        samps = [(1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    dc_codes = {
+        sym: (code, ln)
+        for (ln, code), sym in _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS).items()
+    }
+    ac_codes = {
+        sym: (code, ln)
+        for (ln, code), sym in _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS).items()
+    }
+
+    comp_blocks = []
+    for (hs, vs), plane in zip(samps, planes):
+        if (hs, vs) != (hmax, vmax):  # box-average chroma subsampling
+            plane = plane[: plane.shape[0] - plane.shape[0] % 2, : plane.shape[1] - plane.shape[1] % 2]
+            plane = (
+                plane.reshape(plane.shape[0] // 2, 2, plane.shape[1] // 2, 2).mean((1, 3))
+                if hmax == 2
+                else plane
+            )
+        ph, pw = mcus_y * vs * 8, mcus_x * hs * 8
+        pad = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = (
+            pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = np.einsum("xu,nuv,yv->nxy", _JPEG_A, blocks - 128.0, _JPEG_A)
+        zz = np.round(coefs.reshape(-1, 64))[:, _JPEG_ZIGZAG].astype(np.int32)
+        comp_blocks.append(zz.reshape(ph // 8, pw // 8, 64))
+
+    writer = _JpegBitWriter()
+    pred = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hs, vs) in enumerate(samps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zzb = comp_blocks[ci][my * vs + by, mx * hs + bx]
+                        pred[ci] = _jpeg_encode_block(
+                            writer, zzb, pred[ci], dc_codes, ac_codes
+                        )
+    data = writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    ones = bytes([0]) + bytes(np.ones(64, dtype=np.uint8))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(ones)) + ones  # DQT id 0
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, (hs, vs) in enumerate(samps):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tclass, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        seg = bytes([tclass << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
+    sos += b"\x00\x3f\x00"  # spectral selection (baseline fixed)
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += data
+    out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
@@ -806,6 +1257,67 @@ def img_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
     return d.mapInPandas(
         _gif_batches, schema="doc_id long, width int, height int, pix_sum long"
+    )
+
+
+def _jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload → constant-block gray image → REAL
+    JPEG encode → REAL JPEG decode → pixel facts. Constant 8×8 blocks
+    survive the DCT round trip bit-exactly (only the DC coefficient is
+    nonzero and 8·(v−128)/8 is integer-exact), which is what lets a
+    lossy codec carry an exact arithmetic oracle."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            wb, hb = 1 + n % 8, 1 + n % 6
+            vals = np.resize(np.frombuffer(payload, dtype=np.uint8), (hb, wb))
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            rgb = decode_image(encode_jpeg(img))
+            rows.append((doc_id, 8 * wb, 8 * hb, int(rgb.sum(dtype=np.int64))))
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pix_sum"])
+        rows = []
+
+
+@register(
+    "img_decode_jpeg",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         (1 + octet_length(encode(text)) % 8)
+           * (1 + octet_length(encode(text)) % 6) AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 * (1 + n % 8) AS INTEGER) AS width,
+       CAST(8 * (1 + n % 6) AS INTEGER) AS height,
+       CAST(192 * ((nb // n)
+                     * list_sum([ord(substring(text, i, 1))
+                                 FOR i IN range(1, n + 1)])
+                   + coalesce(list_sum([ord(substring(text, i, 1))
+                                        FOR i IN range(1, nb % n + 1)]), 0))
+            AS BIGINT) AS pix_sum
+FROM d
+""",
+)
+def img_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG codec round-trip, oracle-checked — the last of the
+    reference's five accepted formats (constants.py:2) to get a real
+    pure-Python decoder, completing the set. Payload bytes become
+    constant 8×8 blocks (one per byte, cyclically tiled into a
+    per-doc-sized grid), run through the baseline encoder (huffman DC +
+    EOB, byte stuffing, all-ones quant) and `decode_image`'s full
+    marker-parse → entropy-decode → dequant → IDCT path. Each pixel sum
+    equals 192× the tiled byte sum ONLY if every stage is bit-exact for
+    DC-only blocks; the DuckDB oracle recomputes it arithmetically.
+    The general AC/chroma/subsampling paths are tolerance-tested in
+    tests/test_multimodal.py (lossy codecs can't carry exact oracles on
+    arbitrary content).
+    """
+    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return d.mapInPandas(
+        _jpeg_batches, schema="doc_id long, width int, height int, pix_sum long"
     )
 
 

@@ -347,3 +347,96 @@ def test_mapinpandas_batches_are_columnar(spark):
     for r in out:
         assert r.width == 1 + r.n_bytes % 64
         assert r.height == 1 + r.n_bytes % 48
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT) — the fifth and last reference format.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_blocks_roundtrip_exactly():
+    # Constant 8x8 blocks carry only a DC coefficient, and 8*(v-128)/8
+    # is integer-exact — the property img_decode_jpeg's oracle rests on.
+    from piper_spark.sources.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    dec = decode_image(encode_jpeg(img))
+    assert np.array_equal(dec, np.repeat(img[:, :, None], 3, axis=2))
+
+
+def test_jpeg_gray_near_lossless_at_unit_quant():
+    # Arbitrary content through the full AC path (runs, ZRL, EOB,
+    # magnitude categories): with all-ones quant tables the only error
+    # source is DCT float rounding — at most 1 LSB.
+    from piper_spark.sources.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    dec = decode_image(encode_jpeg(g))
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])  # gray replicated
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+
+
+def test_jpeg_rgb_444_and_420_paths():
+    from piper_spark.sources.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    c = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    d444 = decode_image(encode_jpeg(c))
+    # YCbCr forward+inverse each round once -> small bounded error
+    assert np.abs(d444.astype(int) - c.astype(int)).max() <= 3
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = np.stack([yy * 4, xx * 4, (yy + xx) * 2], 2).astype(np.uint8)
+    d420 = decode_image(encode_jpeg(smooth, subsample=True))
+    # 2x2 box-averaged chroma on a smooth gradient: tight bound still
+    assert np.abs(d420.astype(int) - smooth.astype(int)).max() <= 6
+
+
+def test_jpeg_non_mcu_multiple_dims():
+    from piper_spark.sources.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    dec = decode_image(encode_jpeg(g))
+    assert dec.shape == (13, 21, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+
+
+def test_jpeg_rejects_unsupported_variants_loudly():
+    from piper_spark.sources.multimodal import _decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="baseline"):
+        _decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa")  # progressive SOF2
+    with pytest.raises(ValueError, match="SOI"):
+        _decode_jpeg(b"\x00\x00")
+    # corrupting the entropy stream must raise, not return garbage
+    good = bytearray(encode_jpeg(np.full((8, 8), 7, dtype=np.uint8)))
+    with pytest.raises(ValueError):
+        _decode_jpeg(bytes(good[:-10]) + b"\xff\xc7" + bytes(good[-8:]))
+
+
+def test_jpeg_decode_query_pixel_sum(spark):
+    """img_decode_jpeg's distributed proof, checked locally (the JPEG
+    sibling of the PNG/GIF checks above)."""
+    from piper_spark.sources.multimodal import img_decode_jpeg
+
+    rows = img_decode_jpeg(spark, "/root/testdata/sf0.001").orderBy("doc_id").take(3)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    for r in rows:
+        (txt,) = con.execute(
+            "SELECT text FROM documents WHERE doc_id = ?", [r.doc_id]
+        ).fetchone()
+        payload = txt.encode()
+        n = len(payload)
+        wb, hb = 1 + n % 8, 1 + n % 6
+        tiled = np.resize(np.frombuffer(payload, dtype=np.uint8), (hb, wb))
+        assert r.width == 8 * wb and r.height == 8 * hb
+        assert r.pix_sum == 192 * int(tiled.sum(dtype=np.int64))

@@ -137,3 +137,58 @@ def test_hot_paths_are_whole_stage_codegen(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in plan  # whole-stage-codegen stage marker
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+NEW_TPCH = [
+    "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q20", "tpch_q21", "tpch_q22",
+]
+
+#: Explicit broadcast hints each query is ALLOWED: bounded dimensions
+#: (nation 25 rows, region 5) and 1-row scalar aggregates only — a new
+#: fact-side hint shows up here as a count mismatch and fails. q2's
+#: budget is 4 because its 2-hint candidate subtree appears twice in
+#: the analyzed plan (reused for the correlated per-part min).
+TPCH_HINT_BUDGET = {
+    "tpch_q1": 0, "tpch_q2": 4, "tpch_q4": 0, "tpch_q7": 2, "tpch_q8": 3,
+    "tpch_q9": 1,
+    "tpch_q11": 1, "tpch_q12": 0, "tpch_q13": 0, "tpch_q15": 1,
+    "tpch_q16": 1, "tpch_q17": 0, "tpch_q20": 1, "tpch_q21": 0,
+    "tpch_q22": 1,
+}
+
+#: Queries whose plan legitimately contains ONE BroadcastNestedLoopJoin:
+#: the conditionless join against a broadcast 1-row scalar aggregate
+#: whose comparison is an INEQUALITY (threshold / mean / avg-balance).
+#: q15's equality-to-max filter is absent: Catalyst extracts it as the
+#: join key and plans a hash join. Anything else must stay equi-join.
+TPCH_SCALAR_BNLJ = {"tpch_q11", "tpch_q20", "tpch_q22"}
+
+
+@pytest.mark.parametrize("name", NEW_TPCH)
+def test_tpch_suite_hint_budget_and_no_cartesian(spark, name):
+    assert hints_of(spark, name) == TPCH_HINT_BUDGET[name]
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj == (1 if name in TPCH_SCALAR_BNLJ else 0)
+
+
+def test_tpch_q1_is_single_pass_partial_agg(spark):
+    # The canonical scan-heavy query: one scan, map-side partial
+    # aggregate, one shuffle on the 6-value group key — nothing else.
+    plan = plan_of(spark, "tpch_q1")
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan  # map-side combine before the shuffle
+    assert "Join" not in plan
+
+
+def test_tpch_q21_multi_exists_is_semi_then_anti(spark):
+    # The EXISTS / NOT EXISTS pair must decorrelate to one left-semi
+    # and one left-anti equi-join on orderkey, never a per-row subquery
+    # or a cross product.
+    plan = plan_of(spark, "tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
