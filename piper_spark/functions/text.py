@@ -420,11 +420,19 @@ def text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. Shape: explode both sides to (doc, gram), hash the
     grams, equi-join on the hash — the eval side is benchmark-sized,
     so at 100 TB it broadcasts and the scan-side explode is the only
-    cost; the semi-join dedups flags before the distinct.
+    cost; the semi-join dedups flags before the distinct. The train
+    side is round-robin repartitioned first so the explode+probe work
+    spreads across cores even when the corpus arrives as one small
+    parquet split (at real scale the input's own splits do this).
     """
     from piper_spark.functions.dedup import shingles
 
-    d = table(spark, sf_dir, "documents")
+    # Repartition the RAW rows, below the shingle projection: an
+    # exchange above it would ship pre-computed shingle arrays but
+    # leave the expensive compute itself on the input's single split.
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = d.select(
         "doc_id", F.array_distinct(shingles("text", n=5)).alias("sh")
     )

@@ -8,20 +8,21 @@ all per-item work runs through Arrow-batched `mapInPandas` /
 `pandas_udf` — the JVM↔Python crossing is columnar, not row pickling.
 
 The compressed-image libraries (OpenCV/Pillow) are not in this
-container, so `decode_image` handles what a pure reader can: binary
+container, so `decode_image` is pure numpy/stdlib — and covers ALL
+FIVE of the reference's accepted formats (constants.py:2 lists
+.jpg .jpeg .png .bmp .gif; decode at data_augment.py:41-54): binary
 PPM/PGM (P6/P5), BI_RGB BMP (24/32-bit), non-interlaced 8-bit PNG
 (stdlib zlib + numpy unfiltering; gray, gray+alpha, RGB, RGBA,
-palette), and GIF87a/89a (full pure-Python LZW, interlace, palettes).
-Of the reference's five accepted formats (constants.py:2 lists
-.jpg .jpeg .png .bmp .gif; decode at data_augment.py:41-54) only JPEG
-still needs an external codec — and GIF support EXCEEDS the reference,
-whose cv2.imdecode cannot decode GIF (rows silently dropped). Unknown
+palette), GIF87a/89a (full pure-Python LZW, interlace, palettes), and
+baseline sequential-DCT JPEG (huffman entropy decode, vectorized
+IDCT, 4:4:4/4:2:0 chroma). GIF support EXCEEDS the reference, whose
+cv2.imdecode cannot decode GIF (rows silently dropped). Unknown
 payloads raise — unlike the reference, which silently skips the row on
 a failed decode (data_augment.py:74-75). `fake_decode_meta` remains
 the deterministic stand-in that lets the DuckDB oracle reproduce the
 metadata path (`img_meta`, `img_resize`); `img_decode_png` /
-`img_decode_gif` run REAL pixels through encode→decode and are
-oracle-checked against cyclic byte arithmetic.
+`img_decode_gif` / `img_decode_jpeg` run REAL pixels through
+encode→decode and are oracle-checked against cyclic byte arithmetic.
 
 Numeric semantics mirrored from the reference (tested in tests/):
   decode        — data_augment.py:41-54 (cv2.imdecode → HWC u8)
@@ -764,7 +765,10 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
 
     planes = []
     for c in comps:
-        dq = c["coef"] * qt[c["tq"]][np.argsort(_JPEG_ZIGZAG)][None, :]
+        # Both the entropy-decoded coefficient rows and the raw DQT
+        # bytes are in ZIGZAG order (T.81 B.2.4.1), so they multiply
+        # positionally — no permutation here; de-zigzag happens below.
+        dq = c["coef"] * qt[c["tq"]][None, :]
         blocks = np.zeros((len(dq), 64), dtype=np.float64)
         blocks[:, _JPEG_ZIGZAG] = dq  # de-zigzag
         blocks = blocks.reshape(-1, 8, 8)
@@ -852,14 +856,19 @@ def _jpeg_encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    img: np.ndarray, subsample: bool = False, quant: "int | np.ndarray" = 1
+) -> bytes:
     """uint8 gray (h,w)/(h,w,1) or RGB (h,w,3) → baseline JPEG, pure
-    numpy, all-ones quantization tables (the max-quality stream, so
-    round-trip error comes only from DCT float rounding — zero for
-    constant blocks, which is what makes `img_decode_jpeg`'s oracle
-    exact). ``subsample`` writes 4:2:0 chroma (box-averaged), covering
-    the decoder's upsampling path. Dimensions are padded to full MCUs
-    by edge replication, standard encoder practice.
+    numpy. ``quant`` is the quantization table — a uniform step (int)
+    or a full 64-entry row-major table (values 1..255); the default 1
+    is the max-quality stream, where round-trip error comes only from
+    DCT float rounding — zero for constant blocks, which is what makes
+    `img_decode_jpeg`'s oracle exact. Larger steps produce genuinely
+    lossy, smaller streams that exercise the decoder's dequant path
+    with real tables. ``subsample`` writes 4:2:0 chroma (box-averaged),
+    covering the decoder's upsampling path. Dimensions are padded to
+    full MCUs by edge replication, standard encoder practice.
     """
     import struct
 
@@ -870,6 +879,14 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
         raise ValueError("encode_jpeg expects gray or RGB")
     if subsample and ch == 1:
         raise ValueError("subsampling needs 3 components")
+    qtable = (
+        np.full(64, int(quant), dtype=np.int64)
+        if np.isscalar(quant)
+        else np.asarray(quant, dtype=np.int64).reshape(64)
+    )
+    if qtable.min() < 1 or qtable.max() > 255:
+        raise ValueError("quantization steps must be in 1..255")
+    qz = qtable[_JPEG_ZIGZAG]  # zigzag order: stream and DQT layout
     f = img.astype(np.float64)
     if ch == 3:
         r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
@@ -915,7 +932,9 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
             pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         )
         coefs = np.einsum("xu,nuv,yv->nxy", _JPEG_A, blocks - 128.0, _JPEG_A)
-        zz = np.round(coefs.reshape(-1, 64))[:, _JPEG_ZIGZAG].astype(np.int32)
+        zz = np.round(
+            coefs.reshape(-1, 64)[:, _JPEG_ZIGZAG] / qz[None, :]
+        ).astype(np.int32)
         comp_blocks.append(zz.reshape(ph // 8, pw // 8, 64))
 
     writer = _JpegBitWriter()
@@ -932,8 +951,8 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
     data = writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
-    ones = bytes([0]) + bytes(np.ones(64, dtype=np.uint8))
-    out += b"\xff\xdb" + struct.pack(">H", 2 + len(ones)) + ones  # DQT id 0
+    dqt = bytes([0]) + bytes(qz.astype(np.uint8))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt  # DQT id 0
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for ci, (hs, vs) in enumerate(samps):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
@@ -1024,6 +1043,22 @@ def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     `spark.read.format("binaryFile")`.
     """
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def spread_for_decode(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism before a
+    CPU-heavy per-row Python stage (codec work: ~1 ms/row).
+
+    Decode cost must not be hostage to the INPUT file layout: a small
+    corpus arrives as one parquet split, and without this every codec
+    row would run on a single core (measured 6 s → <1 s at sf0.1).
+    The shuffled rows are a few hundred bytes each, so the exchange is
+    noise next to the decode it parallelizes. Cheap metadata-only
+    passes (img_meta) skip this — for them the shuffle would cost more
+    than the work.
+    """
+    sess = df.sparkSession
+    return df.repartition(sess.sparkContext.defaultParallelism)
 
 
 def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1149,7 +1184,9 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is the shape of real frame extraction: opaque binary
     in, per-frame rows out, no driver involvement, codec in the worker.
     """
-    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
     return d.mapInPandas(
         _frame_batches, schema="doc_id long, frame_no int, frame_sum long"
     )
@@ -1201,7 +1238,9 @@ def img_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this query is a distributed correctness proof of the PNG decoder
     (reference decode path: constants.py:2, data_augment.py:41-54).
     """
-    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
     return d.mapInPandas(
         _png_batches, schema="doc_id long, width int, height int, pix_sum long"
     )
@@ -1254,7 +1293,9 @@ def img_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode it — rows are silently dropped at data_augment.py:74-75;
     this engine decodes GIF for real.
     """
-    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
     return d.mapInPandas(
         _gif_batches, schema="doc_id long, width int, height int, pix_sum long"
     )
@@ -1315,7 +1356,9 @@ def img_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py (lossy codecs can't carry exact oracles on
     arbitrary content).
     """
-    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
     return d.mapInPandas(
         _jpeg_batches, schema="doc_id long, width int, height int, pix_sum long"
     )
@@ -1356,7 +1399,9 @@ def img_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes at flat positions ≡ c (mod 3), which the oracle reproduces
     with cyclic-index arithmetic.
     """
-    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
     return d.mapInPandas(
         _channel_batches, schema="doc_id long, channel int, ch_sum long"
     )
@@ -1394,7 +1439,9 @@ def img_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the tiled image (cyclic-sum arithmetic). The pixel MATH of
     resize_area is unit-tested against the area-filter formula.
     """
-    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
     return d.mapInPandas(
         _resize_batches,
         schema="doc_id long, in_w int, in_h int, out_w int, out_h int, pix_sum long",

@@ -440,3 +440,36 @@ def test_jpeg_decode_query_pixel_sum(spark):
         tiled = np.resize(np.frombuffer(payload, dtype=np.uint8), (hb, wb))
         assert r.width == 8 * wb and r.height == 8 * hb
         assert r.pix_sum == 192 * int(tiled.sum(dtype=np.int64))
+
+
+def test_jpeg_quantized_streams_decode_with_bounded_loss():
+    # Real (non-unit) quantization: lossy but bounded, and the stream
+    # must shrink. Exercises the dequant path with genuine tables.
+    from piper_spark.sources.multimodal import encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    smooth = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    b1 = encode_jpeg(smooth)
+    b8 = encode_jpeg(smooth, quant=8)
+    assert len(b8) < len(b1)
+    d8 = decode_image(b8)[:, :, 0]
+    assert np.abs(d8.astype(int) - smooth.astype(int)).max() <= 8
+
+
+def test_jpeg_nonuniform_quant_table_order():
+    # A non-uniform table catches any zigzag/natural-order mix-up in
+    # quant/dequant — uniform tables are permutation-invariant and
+    # CANNOT detect a mis-ordered dequant (the bug class this guards).
+    from piper_spark.sources.multimodal import encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    smooth = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    tbl = np.ones((8, 8), dtype=np.int64)
+    tbl[4:, :] = 16
+    tbl[:, 4:] = 16  # crush only high frequencies
+    dec = decode_image(encode_jpeg(smooth, quant=tbl.reshape(64)))[:, :, 0]
+    # smooth image has little high-frequency energy -> tiny loss if the
+    # table lines up positionally; garbage (>50) if permuted
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 4
+    with pytest.raises(ValueError, match="1..255"):
+        encode_jpeg(smooth, quant=0)
