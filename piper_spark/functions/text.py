@@ -310,45 +310,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_pii",
-    oracle="""
-WITH aug AS (
-  SELECT doc_id,
-         text || ' contact user' || CAST(doc_id AS VARCHAR)
-              || '@mail.example or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-              || CASE WHEN doc_id % 3 = 0
-                      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
-                      ELSE '' END AS t
-  FROM documents
-)
-SELECT doc_id,
-       CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS BIGINT)
-         AS n_emails,
-       CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}-[0-9]{4}')) AS BIGINT)
-         AS n_phones,
-       CAST(len(regexp_extract_all(t, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS BIGINT)
-         AS n_ips,
-       length(regexp_replace(
-         regexp_replace(
-           regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
-           '[0-9]{3}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g'),
-         '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g')) AS clean_len
-FROM aug
-""",
-)
-def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection + scrubbing — the redaction pass every training
-    corpus needs before the tokenizer sees it. The synthetic corpus
-    carries no real PII, so a deterministic per-doc contact line is
-    appended IN BOTH ENGINES first; the query then counts and redacts
-    emails / phone numbers / IPv4s with anchored character-class
-    regexes (kept inside the POSIX-compatible subset so Java regex and
-    DuckDB's RE2 agree). Pure per-row codegen'd expressions — no
-    shuffle at all; at 100 TB this is a free rider on any scan.
-    """
-    d = table(spark, sf_dir, "documents")
+def pii_facts(d: DataFrame) -> DataFrame:
+    """The PII count/redact expression set over a (doc_id, text)
+    relation — shared verbatim by the batch query `text_pii` and the
+    streaming twin `streaming.events.stream_pii_scrub` (stateless
+    per-row maps run unchanged under Structured Streaming)."""
     t = F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id").cast("string"),
@@ -389,6 +355,47 @@ def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.length(clean).cast("long").alias("clean_len"),
     )
+
+
+@register(
+    "text_pii",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}-[0-9]{4}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(t, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS BIGINT)
+         AS n_ips,
+       length(regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g'),
+         '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g')) AS clean_len
+FROM aug
+""",
+)
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing — the redaction pass every training
+    corpus needs before the tokenizer sees it. The synthetic corpus
+    carries no real PII, so a deterministic per-doc contact line is
+    appended IN BOTH ENGINES first; the query then counts and redacts
+    emails / phone numbers / IPv4s with anchored character-class
+    regexes (kept inside the POSIX-compatible subset so Java regex and
+    DuckDB's RE2 agree). Pure per-row codegen'd expressions — no
+    shuffle at all; at 100 TB this is a free rider on any scan.
+    """
+    return pii_facts(table(spark, sf_dir, "documents"))
 
 
 @register(

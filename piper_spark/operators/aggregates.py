@@ -451,3 +451,37 @@ def accuracy_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(hit) * 100, 4).alias("acc_pct"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+SELECT CAST(least(19, floor(o_totalprice / 25000.0)) AS BIGINT) AS bucket,
+       count(*) AS n,
+       {sql_dsum('o_totalprice', 2)} AS total
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (20 × 25k buckets, top
+    bucket open-ended). Bucketing is explicit floor arithmetic rather
+    than width_bucket — one correctly-rounded double divide + floor,
+    bit-identical in both engines (DuckDB lacks width_bucket; Spark's
+    would hide the edge semantics this pins). One map-side-combined
+    hash aggregate on a 20-value key — a free rider on any scan at
+    100 TB.
+    """
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(F.lit(19), F.floor(F.col("o_totalprice") / 25000.0)).cast(
+        "long"
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )

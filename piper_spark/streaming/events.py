@@ -165,3 +165,30 @@ def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -
         .start()
     )
     q.awaitTermination()
+
+
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over parquet document batches."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_pii_scrub(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `text_pii` query — the SAME
+    expression set (`functions.text.pii_facts`), applied to a document
+    stream. Stateless per-row maps need no watermark and no state
+    store; append mode emits each scrubbed row exactly once. This is
+    how the redaction pass runs on a live ingest feed instead of a
+    static corpus.
+    """
+    from piper_spark.functions.text import pii_facts
+
+    return pii_facts(docs)

@@ -192,3 +192,37 @@ def test_tpch_q21_multi_exists_is_semi_then_anti(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_join_pruning_engages(spark):
+    # At 100 TB, Catalyst's runtime bloom-filter injection prunes the
+    # probe side of a selective fact-fact shuffle join before the
+    # shuffle (SPARK-32268). Local inputs sit under the default size
+    # thresholds, so this scopes them down to prove the engine's
+    # session leaves the mechanism intact — nothing in our conf or
+    # query shapes may suppress it.
+    from pyspark.sql import functions as F
+
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        o = table(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") > 400000)
+        li = table(spark, SF_SMOKE, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -136,3 +136,29 @@ def test_stream_sessionize_matches_batch_totals(spark, events_dir):
     got = _per_user_totals(spark.table("sessions_out"))
     want = _per_user_totals(event_sessions(spark, SF_SMOKE))
     assert got == want
+
+
+def test_stream_pii_scrub_matches_batch(spark):
+    """Stateless streaming twin: the PII redaction expression set must
+    produce identical per-doc facts on a stream as on the batch table
+    (no watermark, no state — append mode, one row out per row in)."""
+    import tempfile as _tf
+
+    from piper_spark.functions.text import text_pii
+    from piper_spark.streaming.events import read_document_stream, stream_pii_scrub
+
+    d = _tf.mkdtemp(prefix="piper_docs_")
+    table(spark, SF_SMOKE, "documents").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = read_document_stream(spark, d)
+    run_available_now(stream_pii_scrub(stream), "pii_out", output_mode="append")
+    got = {
+        r.doc_id: (r.n_emails, r.n_phones, r.n_ips, r.clean_len)
+        for r in spark.table("pii_out").collect()
+    }
+    want = {
+        r.doc_id: (r.n_emails, r.n_phones, r.n_ips, r.clean_len)
+        for r in text_pii(spark, SF_SMOKE).collect()
+    }
+    assert got == want
