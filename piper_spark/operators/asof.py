@@ -30,13 +30,19 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
-    right_ts <= left_ts (strict: < left_ts) within the same `on` key.
+    right_ts <= left_ts (strict: <); ``direction="forward"`` instead
+    attaches the SMALLEST right_ts >= left_ts — the next event rather
+    than the latest state. Both directions are the same union-and-carry
+    plan, differing only in the window's timestamp sort order.
 
     Returns the left columns + right_payload columns (null when no
-    earlier right row exists).
+    matching right row exists).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     lt = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
@@ -53,9 +59,10 @@ def asof_join(
     )
     # strict: right rows at the same ts sort AFTER left rows → not visible.
     side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts"), side_order)
+        .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt).select(
@@ -103,4 +110,38 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         left, right, on="user_id", left_ts="ts", right_ts="ts",
         right_payload=["ts", "event_id"],
+    )
+
+
+@register(
+    "join_asof_fwd",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts, s.ts AS r_ts, s.event_id AS r_event_id
+FROM (SELECT * FROM events WHERE event_type <> 'signup') e
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id, ts) s
+  ON e.user_id = s.user_id AND e.ts <= s.ts
+""",
+)
+def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: attach each non-signup event to the user's NEXT
+    signup at-or-after it — time-to-next-event analysis, the mirror of
+    `join_asof`'s enrich-with-latest-state. Same union-and-carry plan
+    with the window's timestamp order reversed; one shuffle on the
+    key, no range explosion. DuckDB's ASOF with a flipped inequality
+    is the oracle.
+    """
+    e = table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["ts", "event_id"], direction="forward",
     )

@@ -114,3 +114,44 @@ def split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "sample_capped",
+    oracle="""
+SELECT source, doc_id
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+ORDER BY source, doc_id
+""",
+)
+def sample_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the domain-capping pass a pretraining
+    corpus runs so no single source dominates the mixture. Keeps at
+    most 5 docs per source, chosen by a deterministic pseudo-random
+    order (a Knuth multiplicative scramble of doc_id — injective, so
+    tie-free; no RNG, both engines compute it with the same integer
+    arithmetic). Window partitioned on the bounded source key, so at
+    100 TB each partition ranks independently after one shuffle on
+    source; heavy sources never collect to one machine beyond their
+    own group, and a skewed source can pre-aggregate with the same
+    scramble as a filter threshold before ranking.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    order = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    w = Window.partitionBy("source").orderBy(order, "doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
