@@ -250,3 +250,83 @@ def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT step, users FROM (
+  SELECT 'step1_view' AS step, count(*) AS users FROM v
+  UNION ALL SELECT 'step2_click', count(*) FROM c
+  UNION ALL SELECT 'step3_purchase', count(*) FROM p
+)
+ORDER BY step
+""",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked
+    STRICTLY after their first view, then purchased strictly after
+    that click — the sequential-constraint aggregation behind every
+    product-analytics funnel.
+
+    The oracle expresses it as three chained min-aggregates (each step
+    joined back on user) — 3 shuffles. The engine computes the same
+    strict-ordering semantics in ONE shuffle: collect each user's
+    events, sort once, and fold a (stage, ts) state machine over the
+    array with `aggregate` — a step advances only on its event type
+    with a strictly later timestamp, so equal-ts orderings cannot
+    change the outcome and the fold is deterministic. Per-user state is
+    one struct; the array is bounded by per-user event counts (at
+    100 TB a per-user cap or a time-windowed funnel bounds it — the
+    same bound any funnel system needs).
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    evs = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("ts")
+    )
+    step = {1: "view", 2: "click", 3: "purchase"}
+
+    def advance(acc, x):
+        out = acc
+        for stage, etype in reversed(step.items()):
+            cond = (acc["stage"] == stage - 1) & (x["event_type"] == F.lit(etype))
+            if stage > 1:
+                cond = cond & (x["ts"] > acc["ts"])
+            out = F.when(
+                cond,
+                F.struct(F.lit(stage).alias("stage"), x["ts"].alias("ts")),
+            ).otherwise(out)
+        return out
+
+    staged = evs.select(F.aggregate("evs", init, advance)["stage"].alias("stage"))
+    counts = staged.agg(
+        *[
+            F.sum(F.when(F.col("stage") >= s, 1).otherwise(0)).alias(f"s{s}")
+            for s in (1, 2, 3)
+        ]
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'step1_view', s1, 'step2_click', s2, "
+            "'step3_purchase', s3) AS (step, users)"
+        )
+    ).orderBy("step")
