@@ -818,6 +818,13 @@ class _JpegBitWriter:
             self.put(0xFF, 8 - self.nbits)  # pad with 1-bits per spec
         return bytes(self.out)
 
+    def restart_marker(self, n: int) -> None:
+        """Byte-align (1-bit padding) and emit RSTn — marker bytes are
+        written raw, never byte-stuffed (T.81 E.1.2)."""
+        if self.nbits:
+            self.put(0xFF, 8 - self.nbits)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _jpeg_encode_block(
     writer: _JpegBitWriter,
@@ -857,7 +864,10 @@ def _jpeg_encode_block(
 
 
 def encode_jpeg(
-    img: np.ndarray, subsample: bool = False, quant: "int | np.ndarray" = 1
+    img: np.ndarray,
+    subsample: bool = False,
+    quant: "int | np.ndarray" = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 gray (h,w)/(h,w,1) or RGB (h,w,3) → baseline JPEG, pure
     numpy. ``quant`` is the quantization table — a uniform step (int)
@@ -867,8 +877,11 @@ def encode_jpeg(
     `img_decode_jpeg`'s oracle exact. Larger steps produce genuinely
     lossy, smaller streams that exercise the decoder's dequant path
     with real tables. ``subsample`` writes 4:2:0 chroma (box-averaged),
-    covering the decoder's upsampling path. Dimensions are padded to
-    full MCUs by edge replication, standard encoder practice.
+    covering the decoder's upsampling path. ``restart_interval`` > 0
+    emits a DRI segment and an RSTn marker (with DC-predictor reset)
+    every N MCUs — what real encoders write for error resilience, and
+    what makes huge scans splittable mid-stream. Dimensions are padded
+    to full MCUs by edge replication, standard encoder practice.
     """
     import struct
 
@@ -939,8 +952,13 @@ def encode_jpeg(
 
     writer = _JpegBitWriter()
     pred = [0] * len(planes)
+    mcu = rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart_marker(rst)
+                rst = (rst + 1) % 8
+                pred = [0] * len(planes)
             for ci, (hs, vs) in enumerate(samps):
                 for by in range(vs):
                     for bx in range(hs):
@@ -948,6 +966,7 @@ def encode_jpeg(
                         pred[ci] = _jpeg_encode_block(
                             writer, zzb, pred[ci], dc_codes, ac_codes
                         )
+            mcu += 1
     data = writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -963,6 +982,8 @@ def encode_jpeg(
     ):
         seg = bytes([tclass << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     sos = bytes([len(planes)])
     for ci in range(len(planes)):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all

@@ -473,3 +473,26 @@ def test_jpeg_nonuniform_quant_table_order():
     assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 4
     with pytest.raises(ValueError, match="1..255"):
         encode_jpeg(smooth, quant=0)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    # DRI + RSTn every N MCUs with DC-predictor resets — the decoder's
+    # restart path (byte re-align, predictor reset, marker consume)
+    # must reproduce the no-DRI result exactly.
+    from piper_spark.sources.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, size=(24, 48), dtype=np.uint8)  # 18 MCUs
+    plain = decode_image(encode_jpeg(g))
+    for interval in (1, 2, 5):
+        b = encode_jpeg(g, restart_interval=interval)
+        assert b"\xff\xdd" in b  # DRI segment present
+        assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+        assert np.array_equal(decode_image(b), plain)
+    # interacts cleanly with chroma subsampling (multi-block MCUs)
+    c = rng.integers(0, 256, size=(16, 32, 3), dtype=np.uint8)
+    assert decode_image(encode_jpeg(c, subsample=True, restart_interval=1)).shape == (
+        16,
+        32,
+        3,
+    )
