@@ -252,6 +252,13 @@ def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard per-user state bound for event_funnel: the first this-many
+# funnel-relevant events per user enter the fold. Far above any tested
+# SF's per-user volume (sf0.1 ≈ 4k events/user), but a real bound — the
+# collected array can never exceed it regardless of corpus skew.
+FUNNEL_EVENT_CAP = 32768
+
+
 @register(
     "event_funnel",
     oracle="""
@@ -290,14 +297,29 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     array with `aggregate` — a step advances only on its event type
     with a strictly later timestamp, so equal-ts orderings cannot
     change the outcome and the fold is deterministic. Per-user state is
-    one struct; the array is bounded by per-user event counts (at
-    100 TB a per-user cap or a time-windowed funnel bounds it — the
-    same bound any funnel system needs).
+    one struct.
+
+    Per-user state is BOUNDED in code, not just documented: a
+    row_number window keeps each user's first FUNNEL_EVENT_CAP
+    funnel-relevant events before the collect. The window's sort is
+    Spark's spillable external sort, so a pathological user cannot OOM
+    an executor the way an uncapped `collect_list` would; beyond the
+    cap, later events are ignored — funnels favor EARLIEST events, so
+    any user who converts within their first cap-many events is exact
+    (all users at tested SFs sit far below the cap, keeping the oracle
+    identical). The window hash-partitions by user_id, which the
+    groupBy reuses — still one shuffle end-to-end.
     """
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click", "purchase")
     )
-    evs = e.groupBy("user_id").agg(
+    wcap = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        e.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= FUNNEL_EVENT_CAP)
+        .drop("rn")
+    )
+    evs = capped.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
     )
     init = F.struct(

@@ -440,19 +440,35 @@ def text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = d.select(
-        "doc_id", F.array_distinct(shingles("text", n=5)).alias("sh")
+    # Hash every gram to 8 bytes INSIDE the shingle projection: both
+    # join sides then carry int64s instead of ~50-byte gram strings, so
+    # the broadcast build and the exploded probe shrink ~6×. A 64-bit
+    # collision flagging one extra doc-for-review is acceptable for a
+    # decontamination op (and vanishingly unlikely below ~2^32 distinct
+    # grams). persist() makes the eval and train branches share ONE
+    # shingle pass instead of recomputing it per branch.
+    # CACHE LIFETIME: this returns a lazy plan, so the caller owns the
+    # persisted relation (clearCache()/unpersist after the action).
+    sh = (
+        d.select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(shingles("text", n=5)),
+                lambda g: F.xxhash64(g),
+            ).alias("hs"),
+        )
+        .persist()
     )
     eval_grams = (
         sh.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("sh").alias("g"))
+        .select(F.explode("hs").alias("h"))
         .distinct()
     )
     train = sh.filter(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.explode("sh").alias("g")
+        "doc_id", F.explode("hs").alias("h")
     )
     return (
-        train.join(F.broadcast(eval_grams), "g", "left_semi")
+        train.join(F.broadcast(eval_grams), "h", "left_semi")
         .select("doc_id")
         .distinct()
         .orderBy("doc_id")

@@ -124,7 +124,7 @@ FROM (
   SELECT source, doc_id,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+           ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id
          ) AS rn
   FROM documents
 )
@@ -147,7 +147,15 @@ def sample_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
-    order = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    # Reduce doc_id mod p BEFORE multiplying: the raw product overflows
+    # int64 once doc_id exceeds ~3.5e9 (Spark wraps silently, DuckDB
+    # raises — divergence exactly at corpus scale). (x % p) * m stays
+    # below 2.66e18 < 2^63 and is congruent mod p, so the order — and
+    # every tested result — is unchanged; ids ≥ p fall back to the
+    # doc_id tiebreak, deterministically on both engines.
+    order = ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)) % F.lit(
+        1000000007
+    )
     w = Window.partitionBy("source").orderBy(order, "doc_id")
     return (
         d.select("source", "doc_id", F.row_number().over(w).alias("rn"))

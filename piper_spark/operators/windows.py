@@ -177,13 +177,55 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist — distribution window functions. Both
     are ratios of exact integer ranks, so the doubles match across
-    engines without any recipe."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    engines without any recipe.
+
+    o_orderstatus has only 3 values, so the naive window
+    (`partitionBy(o_orderstatus)`) sorts a third of the table in ONE
+    task — a scale-killer at 100 TB. Scale-safe decomposition instead:
+
+    1. band every row by a fixed price bucket (value-derived, so it is
+       deterministic and needs no pre-pass),
+    2. aggregate per-(status, bucket) counts — a tiny relation
+       (3 × #buckets rows), on which the per-status prefix-sum window
+       is trivially cheap,
+    3. row_number within (status, bucket) — the only window the big
+       table flows through, and its partitions are price bands, each a
+       small slice of a status (narrow the band width to scale), and
+    4. broadcast the offsets back: global rank = band offset + rn.
+
+    (o_totalprice, o_orderkey) is a unique ordering, so rank ==
+    row_number and cume_dist == rank/n; both ratios are exact-integer
+    divisions and match the oracle bit-for-bit.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.withColumn("bucket", F.floor(F.col("o_totalprice") / F.lit(10000.0)))
+    counts = b.groupBy("o_orderstatus", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wpre = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "o_orderstatus",
+        "bucket",
+        F.coalesce(F.sum("cnt").over(wpre), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    wrn = Window.partitionBy("o_orderstatus", "bucket").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = b.withColumn("rn", F.row_number().over(wrn))
+    rank = F.col("offset") + F.col("rn")
+    return ranked.join(F.broadcast(offsets), ["o_orderstatus", "bucket"]).select(
         "o_orderkey",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise((rank - 1) / (F.col("n") - 1))
+        .alias("pr"),
+        (rank / F.col("n")).alias("cd"),
     )
 
 

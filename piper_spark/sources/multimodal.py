@@ -665,10 +665,19 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them rather than reading a length out of
+        # payload bytes.
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI with no scan
             raise ValueError("JPEG stream ended before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn are standalone (length-less) markers —
+            # nothing to parse, continue at the next marker.
+            continue
         seglen = int.from_bytes(payload[pos : pos + 2], "big")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -1062,8 +1071,15 @@ def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     In production this column comes straight from parquet `binary` or
     `spark.read.format("binaryFile")`.
+
+    Zero-byte payloads are dropped: every codec stand-in divides by the
+    payload length (and a real decoder has nothing to decode), so a
+    single empty document in a regenerated testdata round must yield
+    "no row", not a worker exception. Each codec oracle mirrors this
+    with `WHERE octet_length(encode(text)) > 0`.
     """
-    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.withColumn("payload", payload).filter(F.octet_length(payload) > 0)
 
 
 def spread_for_decode(df: DataFrame) -> DataFrame:
@@ -1098,7 +1114,7 @@ SELECT doc_id,
        1 + octet_length(encode(text)) % 64 AS width,
        1 + octet_length(encode(text)) % 48 AS height,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-FROM documents
+FROM documents WHERE octet_length(encode(text)) > 0
 """,
 )
 def img_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,7 +1199,7 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
 WITH d AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n
-  FROM documents
+  FROM documents WHERE octet_length(encode(text)) > 0
 ),
 f AS (
   SELECT doc_id, text,
@@ -1235,7 +1251,7 @@ WITH d AS (
          octet_length(encode(text)) AS n,
          1 + octet_length(encode(text)) % 64 AS w,
          1 + octet_length(encode(text)) % 48 AS h
-  FROM documents
+  FROM documents WHERE octet_length(encode(text)) > 0
 )
 SELECT doc_id,
        CAST(w AS INTEGER) AS width,
@@ -1289,7 +1305,7 @@ WITH d AS (
          octet_length(encode(text)) AS n,
          1 + octet_length(encode(text)) % 64 AS w,
          1 + octet_length(encode(text)) % 48 AS h
-  FROM documents
+  FROM documents WHERE octet_length(encode(text)) > 0
 )
 SELECT doc_id,
        CAST(w AS INTEGER) AS width,
@@ -1349,7 +1365,7 @@ WITH d AS (
          octet_length(encode(text)) AS n,
          (1 + octet_length(encode(text)) % 8)
            * (1 + octet_length(encode(text)) % 6) AS nb
-  FROM documents
+  FROM documents WHERE octet_length(encode(text)) > 0
 )
 SELECT doc_id,
        CAST(8 * (1 + n % 8) AS INTEGER) AS width,
@@ -1405,7 +1421,7 @@ WITH d AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n,
          (1 + octet_length(encode(text)) % 64)
            * (1 + octet_length(encode(text)) % 48) AS px
-  FROM documents
+  FROM documents WHERE octet_length(encode(text)) > 0
 )
 SELECT doc_id, CAST(c AS INTEGER) AS channel,
        CAST(list_sum([ord(substring(text, ((3 * j + c) % n) + 1, 1))
@@ -1436,7 +1452,7 @@ WITH d AS (
          octet_length(encode(text)) AS n,
          1 + octet_length(encode(text)) % 64 AS w,
          1 + octet_length(encode(text)) % 48 AS h
-  FROM documents
+  FROM documents WHERE octet_length(encode(text)) > 0
 )
 SELECT doc_id,
        CAST(w AS INTEGER) AS in_w,

@@ -226,3 +226,21 @@ def test_runtime_bloom_filter_join_pruning_engages(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_win_dist_has_no_low_cardinality_window_over_base_table(spark):
+    # win_dist's naive form windows the whole orders table partitioned
+    # by the 3-value o_orderstatus — a third of the table sorted in ONE
+    # task at scale. The scale-safe decomposition must (a) run every
+    # big-table window partitioned by (status, bucket), never status
+    # alone, and (b) join the tiny offset relation back by broadcast.
+    plan = plan_of(spark, "win_dist")
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    # Windows over the tiny per-(status,bucket) count relation mention
+    # cnt#; every other window runs over the base table and must carry
+    # bucket in its partition spec.
+    big_table_windows = [l for l in win_lines if "cnt#" not in l]
+    assert big_table_windows, "expected a row_number window over the base table"
+    for l in big_table_windows:
+        assert "bucket#" in l, f"window over base table not bucketed: {l}"
+    assert "BroadcastHashJoin" in plan

@@ -211,3 +211,46 @@ def test_topk_is_sorted_prefix_of_full_sort(spark, rows):
         for r in df.orderBy(F.col("v").desc(), "id").limit(5).collect()
     ]
     assert top == full[:5]
+
+
+def test_event_funnel_pathological_user_is_capped_and_exact(spark, tmp_path):
+    # One user with more funnel events than FUNNEL_EVENT_CAP: the
+    # per-user state must stay bounded (the cap filter drops the tail)
+    # and the funnel result must still be exact, because conversion
+    # happens inside the first cap-many events. A second user converts
+    # only AFTER the cap — the documented bound ignores that tail.
+    import pandas as pd
+
+    from piper_spark.functions.sessions import FUNNEL_EVENT_CAP
+    from piper_spark.registry import all_queries
+
+    n = FUNNEL_EVENT_CAP + 2000
+    base = pd.Timestamp("2024-01-01")
+    step = pd.Timedelta(seconds=1)
+
+    def mk_user(uid, convert_early):
+        ts = [base + i * step for i in range(n)]
+        types = ["view"] * n
+        if convert_early:
+            types[1], types[2] = "click", "purchase"
+        else:  # conversion events land beyond the cap
+            types[n - 2], types[n - 1] = "click", "purchase"
+        return pd.DataFrame(
+            {
+                "event_id": [uid * n + i for i in range(n)],
+                "ts": ts,
+                "user_id": uid,
+                "event_type": types,
+                "value": 0.0,
+                "props": "{}",
+            }
+        )
+
+    pdf = pd.concat([mk_user(1, True), mk_user(2, False)])
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["step"]: r["users"]
+        for r in all_queries()["event_funnel"](spark, str(tmp_path)).collect()
+    }
+    # Both users view; only user 1 clicks+purchases within the cap.
+    assert out == {"step1_view": 2, "step2_click": 1, "step3_purchase": 1}
