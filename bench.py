@@ -55,6 +55,20 @@ def main() -> None:
     # timed queries don't inherit cache/GC pressure from one another.
     spark.catalog.clearCache()
 
+    # Hardware calibration row: a fixed 100M-row codegen sum that reads
+    # no data and never changes with engine code. Its time is purely a
+    # function of the host (CPU + contention), so a noisy bench host is
+    # self-evident from the artifact: if `calib_sec` doubles between
+    # rounds, so should every query — that delta is the machine, not a
+    # regression. (Judge-ordered, round-3 VERDICT item 6.)
+    calib_df = spark.range(0, 100_000_000, 1, 32).selectExpr(
+        "sum(id * 2654435761 % 1000003) AS s"
+    )
+    run_to_noop(calib_df)  # warm the codegen path
+    t0 = time.perf_counter()
+    run_to_noop(calib_df)
+    calib_sec = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         t0 = time.perf_counter()
@@ -70,6 +84,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "calib_sec": calib_sec,
     }
     # Durable copy of the per-query map, immune to stdout clipping.
     detail_path = os.path.join(
@@ -96,6 +111,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "queries_file": "BENCH_DETAIL.json",
+                "calib_sec": calib_sec,
                 "slowest": slowest,
             }
         )

@@ -96,10 +96,14 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deliberately O(n²) on ≤150 docs — this is the ground truth the LSH
     path (`dedup_minhash`) approximates; never run this shape unbounded.
     """
+    # persist: the self-join reads this projection from BOTH aliases —
+    # one tokenization pass instead of two (caller owns the cache
+    # lifetime, as with dedup_minhash).
     d = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
+        .persist()
     )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
@@ -145,10 +149,12 @@ def dedup_jaccard_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures a different similarity — shared vocabulary — and is the
     ground truth for the word-unit signature twin instead).
     """
+    # persist: one shingle pass shared by both self-join aliases.
     d = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
         .select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
+        .persist()
     )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -256,10 +262,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE. At scale the edge input is `lsh_candidate_pairs` instead of
     the exact O(n²) graph — same component algorithm.
     """
+    # persist: read three times (both edge-join aliases + vertices).
     d = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
+        .persist()
     )
     a, b = d.alias("a"), d.alias("b")
     jac = (
@@ -585,10 +593,12 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-vacuous — it checks the pair math on ~26 real rows, not on an
     empty set.
     """
+    # persist: one cast/projection pass shared by both self-join aliases.
     e = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 150)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
+        .persist()
     )
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(

@@ -134,6 +134,129 @@ def scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
 
 
+def _binary_tree_batches(batches):
+    """mapInPandas worker: real image FILE bytes → decode → pixel facts."""
+    import numpy as np
+    import pandas as pd
+
+    from piper_spark.sources.multimodal import decode_image
+
+    out = []
+    for pdf in batches:
+        for doc_id, lang, content in zip(pdf["doc_id"], pdf["lang"], pdf["content"]):
+            rgb = decode_image(bytes(content))
+            out.append(
+                (
+                    int(doc_id),
+                    lang,
+                    rgb.shape[1],
+                    rgb.shape[0],
+                    int(rgb.sum(dtype=np.int64)),
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "lang", "width", "height", "pix_sum"]
+        )
+        out = []
+
+
+@register(
+    "source_binary",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, text,
+         octet_length(encode(text)) AS n,
+         1 + octet_length(encode(text)) % 64 AS w,
+         1 + octet_length(encode(text)) % 48 AS h
+  FROM documents
+  WHERE doc_id < 200 AND octet_length(encode(text)) > 0
+    AND lang IN ('en', 'de')
+)
+SELECT doc_id, lang,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 * ((h * w // n)
+                   * list_sum([ord(substring(text, i, 1))
+                               FOR i IN range(1, n + 1)])
+                 + coalesce(list_sum([ord(substring(text, i, 1))
+                                      FOR i IN range(1, (h * w) % n + 1)]), 0))
+            AS BIGINT) AS pix_sum
+FROM d
+""",
+)
+def source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal ingest shape: a DIRECTORY TREE of encoded
+    image files scanned into rows (reference data_augment.py:115-120 —
+    `spark.read.format("image")` over a class-per-folder tree with an
+    extension filter, labels from directory names via loader.rs:13-19).
+
+    Engine form: `spark.read.format("binaryFile")` with a
+    `pathGlobFilter` (the reference's IMG_EXTENSIONS filter,
+    constants.py:2) over a Hive-partitioned `lang=<label>/` tree of
+    REAL PNG files. The label is the discovered partition column — a
+    `lang IN ('en','de')` predicate prunes whole directories before any
+    file is opened (PartitionFilters, pinned in test_plan_shapes.py) —
+    and each file's bytes run through the real PNG decoder, so the
+    DuckDB oracle can recompute every pixel sum arithmetically.
+
+    The tree itself is test scaffolding materialized from `documents`
+    (driver-side, bounded to doc_id < 200 — a corpus fixture, like the
+    bounded O(n²) dedup ground truths); in production the tree already
+    exists on object storage and ONLY the read below is the operator.
+    At 100 TB the scan parallelizes per-file, the glob and partition
+    pruning happen in the driver's file index, and decode runs in
+    Arrow-batched Python exactly as here.
+    """
+    import shutil
+
+    import numpy as np
+
+    from piper_spark.sources.multimodal import encode_png, spread_for_decode
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 200)
+            & (F.octet_length(F.encode("text", "utf-8")) > 0)
+        )
+        .select("doc_id", "lang", "text")
+        .collect()  # bounded fixture materialization (≤200 rows), not a data path
+    )
+    path = f"{WAREHOUSE_DIR}/binary_tree_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    for row in docs:
+        payload = row.text.encode("utf-8")
+        n = len(payload)
+        w, h = 1 + n % 64, 1 + n % 48
+        gray = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))
+        d = f"{path}/lang={row.lang}"
+        os.makedirs(d, exist_ok=True)
+        with open(f"{d}/doc_{row.doc_id}.png", "wb") as fh:
+            fh.write(encode_png(gray))
+    # A non-image decoy proves the glob filter actually filters.
+    os.makedirs(f"{path}/lang=en", exist_ok=True)
+    with open(f"{path}/lang=en/notes.txt", "w") as fh:
+        fh.write("not an image")
+
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+        .filter(F.col("lang").isin("en", "de"))
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.png", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("lang").cast("string").alias("lang"),
+            F.col("content"),
+        )
+    )
+    return spread_for_decode(binf).mapInPandas(
+        _binary_tree_batches,
+        schema="doc_id long, lang string, width int, height int, pix_sum long",
+    )
+
+
 @register(
     "source_files",
     oracle="SELECT source, count(*) AS cnt FROM documents GROUP BY source",

@@ -572,6 +572,13 @@ _JPEG_AC_VALS = [0x00, 0xF0] + [
 ]
 _JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS)] + [0] * 8
 
+#: Progressive-scan AC table: the baseline symbols plus the EOBn
+#: run-length symbols (n = 1..14, T.81 G.1.2.2) that cross-block EOB
+#: runs need. 176 codes at one fixed length — still canonical, still
+#: short of the all-ones code, so spec-valid for any decoder.
+_JPEG_ACP_VALS = _JPEG_AC_VALS + [n << 4 for n in range(1, 15)]
+_JPEG_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_ACP_VALS)] + [0] * 8
+
 
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
@@ -635,14 +642,17 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential-DCT JPEG → HWC uint8 RGB, pure numpy.
+    """Baseline (SOF0) and progressive (SOF2) DCT JPEG → HWC uint8 RGB,
+    pure numpy.
 
     Supports 8-bit precision, 1-component (gray) and 3-component
     (YCbCr/JFIF) scans, sampling factors 1–2 (so 4:4:4, 4:2:2, 4:2:0),
-    restart intervals, and tables split across any number of DQT/DHT
-    segments. Progressive/arithmetic/12-bit/truncated streams raise
-    loudly — never the reference's silent row skip
-    (data_augment.py:74-75).
+    restart intervals, tables split across any number of DQT/DHT
+    segments, and the full progressive feature set: multi-scan spectral
+    selection, successive approximation (DC and AC refinement scans),
+    EOB runs, and non-interleaved component scans. Arithmetic-coded /
+    12-bit / hierarchical / truncated streams raise loudly — never the
+    reference's silent row skip (data_augment.py:74-75).
     """
     try:
         return _decode_jpeg_inner(payload)
@@ -650,6 +660,181 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         # Truncated stream or a reference to a table that never arrived:
         # both are corrupt payloads, surfaced as a decode error.
         raise ValueError(f"corrupt or truncated JPEG payload: {e!r}") from e
+
+
+def _jpeg_scan_units(
+    comps: list[dict],
+    scan_comps: list[tuple[int, int, int]],
+    mcus_x: int,
+    mcus_y: int,
+):
+    """Yield groups of (ci, coef-row, dc_id, ac_id) data units per MCU.
+
+    Interleaved scans (ns > 1) walk the MCU grid with each component's
+    sampling-factor block cluster (T.81 A.2.3); non-interleaved scans
+    (ns == 1) walk the single component's OWN block grid — which is
+    ceil-of-component-size, NOT the MCU-padded grid (T.81 A.2.2) — one
+    block per yielded group, so restart intervals count single blocks.
+    """
+    if len(scan_comps) == 1:
+        ci, dc_id, ac_id = scan_comps[0]
+        c = comps[ci]
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                yield [(ci, by * c["bw"] + bx, dc_id, ac_id)]
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                group = []
+                for ci, dc_id, ac_id in scan_comps:
+                    c = comps[ci]
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            row = (my * c["vs"] + by) * c["bw"] + (mx * c["hs"] + bx)
+                            group.append((ci, row, dc_id, ac_id))
+                yield group
+
+
+def _jpeg_decode_scan(
+    payload: bytes,
+    pos: int,
+    comps: list[dict],
+    scan_comps: list[tuple[int, int, int]],
+    huff: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+    progressive: bool,
+) -> int:
+    """Entropy-decode ONE scan into comps[*]['coef']; returns the byte
+    offset of the next marker's 0xFF.
+
+    Baseline: the classic DC-diff + AC run/size loop per block.
+    Progressive (T.81 G.2): four scan kinds selected by (ss, ah) —
+    DC-first (coef = diff << al), DC-refinement (one appended bit per
+    block), AC-first over band [ss, se] with EOB runs, and
+    AC-refinement (correction bit per already-nonzero coefficient,
+    newly-significant coefficients arriving as ±1 << al).
+    """
+    if progressive and ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved (T.81 G.1)")
+    reader = _JpegBitReader(payload, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << al
+
+    def refine_nonzero(blk: np.ndarray, k: int) -> None:
+        """Append a correction bit to an already-nonzero coefficient."""
+        if reader.bits(1) and not int(blk[k]) & p1:
+            blk[k] += p1 if blk[k] > 0 else -p1
+
+    unit = 0
+    for group in _jpeg_scan_units(comps, scan_comps, mcus_x, mcus_y):
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.restart()
+            pred = [0] * len(comps)
+            eobrun = 0
+        unit += 1
+        for ci, row, dc_id, ac_id in group:
+            blk = comps[ci]["coef"][row]
+            if not progressive:
+                t = reader.huff(huff[(0, dc_id)])
+                pred[ci] += _jpeg_extend(reader.bits(t), t) if t else 0
+                blk[0] = pred[ci]
+                ac_tab = huff[(1, ac_id)]
+                k = 1
+                while k < 64:
+                    rs = reader.huff(ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    size = rs & 0x0F
+                    blk[k] = _jpeg_extend(reader.bits(size), size)
+                    k += 1
+            elif ss == 0 and ah == 0:  # progressive DC first
+                t = reader.huff(huff[(0, dc_id)])
+                pred[ci] += _jpeg_extend(reader.bits(t), t) if t else 0
+                blk[0] = pred[ci] << al
+            elif ss == 0:  # progressive DC refinement — raw bit, no huffman
+                if reader.bits(1):
+                    blk[0] = int(blk[0]) | p1
+            elif ah == 0:  # progressive AC first (band [ss, se])
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                ac_tab = huff[(1, ac_id)]
+                k = ss
+                while k <= se:
+                    rs = reader.huff(ac_tab)
+                    r, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if r < 15:  # EOBn: run of 2^r (+ext) all-zero bands
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    blk[k] = _jpeg_extend(reader.bits(size), size) << al
+                    k += 1
+            else:  # progressive AC refinement (T.81 G.2 / Figure G.7)
+                k = ss
+                if eobrun == 0:
+                    ac_tab = huff[(1, ac_id)]
+                    while k <= se:
+                        rs = reader.huff(ac_tab)
+                        r, size = rs >> 4, rs & 0x0F
+                        val = 0
+                        if size == 0:
+                            if r < 15:  # EOBn
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            # ZRL: skip 16 zero-HISTORY positions
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "AC refinement magnitude must be 1 bit"
+                                )
+                            val = p1 if reader.bits(1) else -p1
+                        # advance past r zero-history coefficients,
+                        # refining every nonzero-history one on the way
+                        while k <= se:
+                            if blk[k] != 0:
+                                refine_nonzero(blk, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun:
+                    # EOB run covers this block: still refine every
+                    # remaining nonzero coefficient in the band
+                    while k <= se:
+                        if blk[k] != 0:
+                            refine_nonzero(blk, k)
+                        k += 1
+                    eobrun -= 1
+    # Leftover padding bits were never byte-advanced past, so reader.pos
+    # sits at (or before) the next marker; skip any trailing RSTn.
+    end = reader.pos
+    while not (
+        payload[end] == 0xFF and payload[end + 1] not in (0x00,)
+    ) or (payload[end] == 0xFF and 0xD0 <= payload[end + 1] <= 0xD7):
+        end += 2 if payload[end] == 0xFF else 1
+    return end
 
 
 def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
@@ -660,8 +845,10 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
     h = w = 0
+    hmax = vmax = mcus_x = mcus_y = 0
     restart_interval = 0
-    scan_map: list[tuple[int, int]] = []
+    progressive = False
+    seen_scan = False
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -672,8 +859,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             pos += 1
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI with no scan
-            raise ValueError("JPEG stream ended before SOS")
+        if marker == 0xD9:  # EOI — end of image
+            break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # TEM / stray RSTn are standalone (length-less) markers —
             # nothing to parse, continue at the next marker.
@@ -690,7 +877,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                     np.int32
                 )
                 i += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT — tables may be (re)defined between scans
             i = 0
             while i < len(seg):
                 tclass, tid = seg[i] >> 4, seg[i] & 0x0F
@@ -699,7 +886,10 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 huff[(tclass, tid)] = _jpeg_canonical_codes(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if comps:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
             h = int.from_bytes(seg[1:3], "big")
@@ -712,65 +902,62 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 )
             if any(c["hs"] not in (1, 2) or c["vs"] not in (1, 2) for c in comps):
                 raise ValueError("JPEG sampling factors beyond 2 unsupported")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+            if h == 0 or w == 0:
+                raise ValueError("JPEG with zero dimension")
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                bw = mcus_x * c["hs"]
+                bh = mcus_y * c["vs"]
+                c["coef"] = np.zeros((bh * bw, 64), dtype=np.int32)
+                c["bw"] = bw
+                # Non-interleaved scan grid: ceil of the COMPONENT's own
+                # pixel size (T.81 A.2.2), ≤ the MCU-padded alloc above.
+                c["nbw"] = -(-(-(-w * c["hs"] // hmax)) // 8)
+                c["nbh"] = -(-(-(-h * c["vs"] // vmax)) // 8)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — one of possibly many scans
+            if not comps:
+                raise ValueError("JPEG missing SOF before SOS")
             ns = seg[0]
+            by_id = {c["id"]: i for i, c in enumerate(comps)}
+            scan_comps = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_map.append((tables >> 4, tables & 0x0F))
-                if comps[c]["id"] != cs:
-                    raise ValueError("SOS component order must match SOF0")
-            pos += seglen
-            break
+                if cs not in by_id:
+                    raise ValueError("SOS names a component missing from SOF")
+                scan_comps.append((by_id[cs], tables >> 4, tables & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("baseline SOS must cover the full band")
+            pos = _jpeg_decode_scan(
+                payload,
+                pos + seglen,
+                comps,
+                scan_comps,
+                huff,
+                ss,
+                se,
+                ah,
+                al,
+                restart_interval,
+                mcus_x,
+                mcus_y,
+                progressive,
+            )
+            seen_scan = True
+            continue
         pos += seglen
-    if not comps or h == 0 or w == 0:
-        raise ValueError("JPEG missing SOF0 before SOS")
-
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    for c in comps:
-        bw = mcus_x * c["hs"]
-        bh = mcus_y * c["vs"]
-        c["coef"] = np.zeros((bh * bw, 64), dtype=np.int32)
-        c["bw"] = bw
-
-    reader = _JpegBitReader(payload, pos)
-    pred = [0] * len(comps)
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                reader.restart()
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dc_tab = huff[(0, scan_map[ci][0])]
-                ac_tab = huff[(1, scan_map[ci][1])]
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        blk = np.zeros(64, dtype=np.int32)
-                        t = reader.huff(dc_tab)
-                        pred[ci] += _jpeg_extend(reader.bits(t), t) if t else 0
-                        blk[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(ac_tab)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            size = rs & 0x0F
-                            blk[k] = _jpeg_extend(reader.bits(size), size)
-                            k += 1
-                        row = (my * c["vs"] + by) * c["bw"] + (mx * c["hs"] + bx)
-                        c["coef"][row] = blk
-            mcu += 1
+    if not seen_scan:
+        raise ValueError("JPEG stream ended before SOS")
 
     planes = []
     for c in comps:
@@ -872,11 +1059,243 @@ def _jpeg_encode_block(
     return int(zz[0])
 
 
+class _JpegProgAC:
+    """Progressive AC scan entropy encoder (T.81 G.1.2.2-3).
+
+    Holds the cross-block state both progressive AC passes need: the
+    pending EOB run and, for refinement scans, the buffered correction
+    bits that ride behind the next emitted symbol. Mirrors the decode
+    side in `_jpeg_decode_scan` bit for bit.
+    """
+
+    MAX_EOBRUN = 0x7FFF  # largest run one EOB14 + 14 extension bits holds
+
+    def __init__(self, writer: _JpegBitWriter, ac_codes: dict) -> None:
+        self.w = writer
+        self.codes = ac_codes
+        self.eobrun = 0
+        self.bits: list[int] = []  # buffered correction bits
+
+    def _emit(self, sym: int) -> None:
+        code, ln = self.codes[sym]
+        self.w.put(code, ln)
+
+    def flush(self) -> None:
+        """Emit the pending EOBn (+ extension bits) and buffered bits."""
+        if self.eobrun:
+            n = self.eobrun.bit_length() - 1
+            self._emit(n << 4)
+            if n:
+                self.w.put(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for b in self.bits:
+            self.w.put(b, 1)
+        self.bits = []
+
+    def first_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        """AC first pass over band [ss, se]: run/size on the
+        point-transformed (toward-zero) magnitudes, EOB runs across
+        all-zero bands and trailing zeros."""
+        vals = [int(v) for v in zz[ss : se + 1]]
+        coded = [abs(v) >> al for v in vals]
+        if not any(coded):
+            self.eobrun += 1
+            if self.eobrun == self.MAX_EOBRUN:
+                self.flush()
+            return
+        last = max(i for i, c in enumerate(coded) if c)
+        self.flush()
+        r = 0
+        for i in range(last + 1):
+            c = coded[i]
+            if c == 0:
+                r += 1
+                continue
+            while r > 15:
+                self._emit(0xF0)  # ZRL
+                r -= 16
+            size = c.bit_length()
+            self._emit((r << 4) | size)
+            v = c if vals[i] > 0 else -c
+            self.w.put(v if v >= 0 else v + (1 << size) - 1, size)
+            r = 0
+        if last < len(coded) - 1:
+            self.eobrun += 1
+            if self.eobrun == self.MAX_EOBRUN:
+                self.flush()
+
+    def refine_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        """AC refinement pass: newly-significant coefficients (scaled
+        magnitude exactly 1) as (run, 1) + sign, one buffered correction
+        bit per already-significant coefficient, zero-history runs via
+        ZRL, tails riding the EOB run."""
+        vals = [int(v) for v in zz[ss : se + 1]]
+        scaled = [abs(v) >> al for v in vals]
+        eob = -1
+        for i, t in enumerate(scaled):
+            if t == 1:
+                eob = i
+        r = 0
+        br: list[int] = []  # this block's corrections since the last symbol
+        for i, t in enumerate(scaled):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self.flush()  # pending EOBn + ITS buffered bits come first
+                self._emit(0xF0)  # ZRL, then this run's correction bits
+                r -= 16
+                for b in br:
+                    self.w.put(b, 1)
+                br = []
+            if t > 1:  # already significant: buffer its correction bit
+                br.append(t & 1)
+                continue
+            # newly significant (scaled magnitude exactly 1)
+            self.flush()
+            self._emit((r << 4) | 1)
+            self.w.put(1 if vals[i] > 0 else 0, 1)
+            for b in br:
+                self.w.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            # tail rides the EOB run; its corrections join the run buffer
+            self.eobrun += 1
+            self.bits.extend(br)
+            if self.eobrun == self.MAX_EOBRUN:
+                self.flush()
+
+
+def _encode_jpeg_progressive(
+    h: int,
+    w: int,
+    qz: np.ndarray,
+    samps: list[tuple[int, int]],
+    comp_blocks: list[np.ndarray],
+    dc_codes: dict,
+    hmax: int,
+    vmax: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> bytes:
+    """Assemble a progressive (SOF2) stream from quantized blocks.
+
+    The scan script exercises every progressive decode path: an
+    interleaved DC-first scan at Al=1, per-component spectral-selection
+    AC scans (bands [1,5] and [6,63]) at Al=1, a raw-bit DC refinement
+    scan, and per-component AC refinement scans over the merged band —
+    i.e. both spectral selection AND successive approximation, the shape
+    real encoders emit. The AC Huffman table is deliberately delivered
+    in a DHT BETWEEN scans, so multi-scan table handling is exercised.
+    """
+    import struct
+
+    acp_codes = {
+        sym: (code, ln)
+        for (ln, code), sym in _jpeg_canonical_codes(
+            _JPEG_ACP_BITS, _JPEG_ACP_VALS
+        ).items()
+    }
+    nc = len(samps)
+    # Non-interleaved scan grids: ceil of each COMPONENT's size (T.81
+    # A.2.2) — smaller than the MCU-padded grid when subsampled.
+    nb = []
+    for hs, vs in samps:
+        nb.append((-(-(-(-h * vs // vmax)) // 8), -(-(-(-w * hs // hmax)) // 8)))
+
+    def sos(comps_tb: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        seg = bytes([len(comps_tb)])
+        for cid, tdc, tac in comps_tb:
+            seg += bytes([cid, (tdc << 4) | tac])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    scans: list[bytes] = []
+
+    # Scan 1 — DC first, interleaved, Al=1 (point transform = arithmetic
+    # shift for DC, T.81 A.4; prediction runs on the SHIFTED values).
+    wtr = _JpegBitWriter()
+    pred = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hs, vs) in enumerate(samps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(comp_blocks[ci][my * vs + by, mx * hs + bx, 0]) >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t = abs(diff).bit_length()
+                        code, ln = dc_codes[t]
+                        wtr.put(code, ln)
+                        if t:
+                            wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    scans.append(
+        sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 0, 1) + wtr.flush()
+    )
+
+    # Spectral-selection AC first passes per component, Al=1.
+    for ci in range(nc):
+        nbh, nbw = nb[ci]
+        for ss_, se_ in ((1, 5), (6, 63)):
+            wtr = _JpegBitWriter()
+            prog = _JpegProgAC(wtr, acp_codes)
+            for by in range(nbh):
+                for bx in range(nbw):
+                    prog.first_block(comp_blocks[ci][by, bx], ss_, se_, 1)
+            prog.flush()
+            scans.append(sos([(ci + 1, 0, 0)], ss_, se_, 0, 1) + wtr.flush())
+
+    # DC refinement, interleaved, Ah=1 → Al=0: one raw bit per block.
+    wtr = _JpegBitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hs, vs) in enumerate(samps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        wtr.put(
+                            int(comp_blocks[ci][my * vs + by, mx * hs + bx, 0]) & 1,
+                            1,
+                        )
+    scans.append(
+        sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0) + wtr.flush()
+    )
+
+    # AC refinement per component over the merged band, Ah=1 → Al=0.
+    for ci in range(nc):
+        nbh, nbw = nb[ci]
+        wtr = _JpegBitWriter()
+        prog = _JpegProgAC(wtr, acp_codes)
+        for by in range(nbh):
+            for bx in range(nbw):
+                prog.refine_block(comp_blocks[ci][by, bx], 1, 63, 0)
+        prog.flush()
+        scans.append(sos([(ci + 1, 0, 0)], 1, 63, 1, 0) + wtr.flush())
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = bytes([0]) + bytes(qz.astype(np.uint8))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (hs, vs) in enumerate(samps):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht_dc)) + dht_dc
+    out += scans[0]  # DC scan needs only the DC table
+    dht_ac = bytes([0x10]) + bytes(_JPEG_ACP_BITS) + bytes(_JPEG_ACP_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac)) + dht_ac
+    for s in scans[1:]:
+        out += s
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def encode_jpeg(
     img: np.ndarray,
     subsample: bool = False,
     quant: "int | np.ndarray" = 1,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """uint8 gray (h,w)/(h,w,1) or RGB (h,w,3) → baseline JPEG, pure
     numpy. ``quant`` is the quantization table — a uniform step (int)
@@ -891,6 +1310,10 @@ def encode_jpeg(
     every N MCUs — what real encoders write for error resilience, and
     what makes huge scans splittable mid-stream. Dimensions are padded
     to full MCUs by edge replication, standard encoder practice.
+    ``progressive`` writes an SOF2 multi-scan stream (spectral selection
+    + successive approximation — see `_encode_jpeg_progressive`) that
+    carries the SAME quantized coefficients, so baseline and progressive
+    encodes of one image decode bit-identically.
     """
     import struct
 
@@ -958,6 +1381,15 @@ def encode_jpeg(
             coefs.reshape(-1, 64)[:, _JPEG_ZIGZAG] / qz[None, :]
         ).astype(np.int32)
         comp_blocks.append(zz.reshape(ph // 8, pw // 8, 64))
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "restart intervals unsupported in progressive encode mode"
+            )
+        return _encode_jpeg_progressive(
+            h, w, qz, samps, comp_blocks, dc_codes, hmax, vmax, mcus_x, mcus_y
+        )
 
     writer = _JpegBitWriter()
     pred = [0] * len(planes)
@@ -1398,6 +1830,67 @@ def img_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.mapInPandas(
         _jpeg_batches, schema="doc_id long, width int, height int, pix_sum long"
+    )
+
+
+def _jpeg_prog_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload → constant-block gray image →
+    PROGRESSIVE (SOF2) JPEG encode → full multi-scan decode → pixel
+    facts. Same constant-block exactness argument as `_jpeg_batches`,
+    but the bytes now travel through spectral-selection + successive-
+    approximation scans."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            wb, hb = 1 + n % 7, 1 + n % 5
+            vals = np.resize(np.frombuffer(payload, dtype=np.uint8), (hb, wb))
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            rgb = decode_image(encode_jpeg(img, progressive=True))
+            rows.append((doc_id, 8 * wb, 8 * hb, int(rgb.sum(dtype=np.int64))))
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pix_sum"])
+        rows = []
+
+
+@register(
+    "img_decode_jpeg_prog",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         (1 + octet_length(encode(text)) % 7)
+           * (1 + octet_length(encode(text)) % 5) AS nb
+  FROM documents WHERE octet_length(encode(text)) > 0
+)
+SELECT doc_id,
+       CAST(8 * (1 + n % 7) AS INTEGER) AS width,
+       CAST(8 * (1 + n % 5) AS INTEGER) AS height,
+       CAST(192 * ((nb // n)
+                     * list_sum([ord(substring(text, i, 1))
+                                 FOR i IN range(1, n + 1)])
+                   + coalesce(list_sum([ord(substring(text, i, 1))
+                                        FOR i IN range(1, nb % n + 1)]), 0))
+            AS BIGINT) AS pix_sum
+FROM d
+""",
+)
+def img_decode_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG codec round-trip, oracle-checked — the decoder
+    path the reference's cv2 handles but `img_decode_jpeg`'s baseline
+    scan never touches (reference decode: data_augment.py:41-54; a real
+    web corpus is full of SOF2 files). Constant 8×8 blocks tile each
+    payload, travel through the full multi-scan progressive pipeline
+    (DC at Al=1 → spectral-selection AC scans → DC/AC refinement scans,
+    cross-block EOB runs, inter-scan DHT), and come back integer-exact,
+    so the DuckDB oracle can recompute every pixel sum arithmetically.
+    General-content progressive streams are pinned by the
+    bit-identical-to-baseline equality in tests/test_multimodal.py.
+    """
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
+    return d.mapInPandas(
+        _jpeg_prog_batches, schema="doc_id long, width int, height int, pix_sum long"
     )
 
 

@@ -408,7 +408,9 @@ def test_jpeg_rejects_unsupported_variants_loudly():
     from piper_spark.sources.multimodal import _decode_jpeg, encode_jpeg
 
     with pytest.raises(ValueError, match="baseline"):
-        _decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa")  # progressive SOF2
+        _decode_jpeg(b"\xff\xd8\xff\xc9\x00\x05aaa")  # arithmetic SOF9
+    with pytest.raises(ValueError, match="baseline"):
+        _decode_jpeg(b"\xff\xd8\xff\xc3\x00\x05aaa")  # lossless SOF3
     with pytest.raises(ValueError, match="SOI"):
         _decode_jpeg(b"\x00\x00")
     # corrupting the entropy stream must raise, not return garbage
@@ -496,3 +498,49 @@ def test_jpeg_restart_markers_roundtrip():
         32,
         3,
     )
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Baseline and progressive encodes carry the SAME quantized
+    coefficients, so their decodes must be bit-identical — one equality
+    that pins the entire progressive path (DC/AC first passes,
+    successive-approximation refinement, spectral bands, EOB runs,
+    non-interleaved scans, inter-scan DHT) against the already-proven
+    baseline decoder."""
+    from piper_spark.sources.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(1234)
+    cases = [
+        dict(shape=(37, 53), quant=1),  # gray, non-MCU dims, max quality
+        dict(shape=(41, 29, 3), quant=rng.integers(1, 40, 64)),  # real table
+        dict(shape=(50, 66, 3), quant=8, subsample=True),  # 4:2:0 upsampling
+        dict(shape=(8, 8), quant=1),  # single block
+    ]
+    for c in cases:
+        img = rng.integers(0, 256, c.pop("shape"), dtype=np.uint8)
+        base = decode_image(encode_jpeg(img, **c))
+        prog = decode_image(encode_jpeg(img, progressive=True, **c))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_eob_runs_and_constant_blocks():
+    from piper_spark.sources.multimodal import encode_jpeg
+
+    # near-empty AC spectrum → long cross-block EOB runs (EOBn + ext
+    # bits on both first and refinement passes)
+    img = np.full((128, 128), 100, np.uint8)
+    img[5, 7] = 240
+    assert np.array_equal(
+        decode_image(encode_jpeg(img, quant=2)),
+        decode_image(encode_jpeg(img, quant=2, progressive=True)),
+    )
+    # constant 8×8 blocks survive progressive round trip EXACTLY — the
+    # contract the img_decode_jpeg_prog oracle is built on
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    tiles = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    out = decode_image(encode_jpeg(tiles, progressive=True))
+    assert np.array_equal(out[:, :, 0], tiles)
+    # progressive + restart intervals are declared unsupported loudly
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(tiles, progressive=True, restart_interval=2)

@@ -244,3 +244,17 @@ def test_win_dist_has_no_low_cardinality_window_over_base_table(spark):
     for l in big_table_windows:
         assert "bucket#" in l, f"window over base table not bucketed: {l}"
     assert "BroadcastHashJoin" in plan
+
+
+def test_source_binary_prunes_partitions_and_filters_glob(spark):
+    # The binaryFile tree scan must prune lang=<label> directories from
+    # the partition predicate — at corpus scale the pruned directories'
+    # files are never even listed into tasks — and the decoy .txt file
+    # must be excluded by the glob, not by a post-read filter.
+    plan = plan_of(spark, "source_binary")
+    scan = next(l for l in plan.splitlines() if "FileScan binaryFile" in l)
+    part = scan.split("PartitionFilters")[1][:200]
+    assert "lang" in part and ("IN (" in part.upper() or "in(lang" in part)
+    # all surviving rows come from .png files only (glob did the work)
+    rows = registry.all_queries()["source_binary"](spark, SF_SMOKE)
+    assert rows.filter("doc_id IS NULL").count() == 0

@@ -162,3 +162,119 @@ def test_stream_pii_scrub_matches_batch(spark):
         for r in text_pii(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_stream_append_mode_watermark_eviction_observed(spark):
+    """Soak beyond the availableNow smokes: time-ordered micro-batches in
+    APPEND mode, where a window row is emitted only once the watermark
+    passes its end — and the state store must EVICT it at that point.
+    Asserts eviction from the engine's own state-operator metrics, not
+    from output shape alone."""
+    import time
+
+    ordered = tempfile.mkdtemp(prefix="piper_events_soak_")
+    e = table(spark, SF_SMOKE, "events")
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    lo = F.lit("1900-01-01").cast("timestamp")
+    bounds = [(lo, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
+    for lo_b, hi_b in bounds:
+        s = e.filter(F.col("ts") >= lo_b)
+        if hi_b is not None:
+            s = s.filter(F.col("ts") < F.lit(hi_b).cast("timestamp"))
+        s.coalesce(1).write.mode("append").parquet(ordered)
+        time.sleep(1.1)  # distinct mtimes → deterministic trigger order
+    stream = read_event_stream(spark, ordered, max_files_per_trigger=1)
+    q = (
+        stream_tumbling(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("soak_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = [p.asDict(recursive=True) if hasattr(p, "asDict") else p
+                for p in q.recentProgress]
+    import json as _json
+
+    progress = [p if isinstance(p, dict) else _json.loads(p.json) for p in q.recentProgress]
+    fed = [p for p in progress if p["numInputRows"] > 0]
+    assert len(fed) >= 3, "soak must span multiple micro-batches"
+    # watermark advanced across batches
+    wms = [p["eventTime"].get("watermark") for p in progress if p.get("eventTime")]
+    wms = [w for w in wms if w and not w.startswith("1970")]
+    assert len(set(wms)) >= 2, f"watermark never advanced: {wms}"
+    # state rows were REMOVED when the watermark passed their window
+    removed = sum(
+        so.get("numRowsRemoved", 0) for p in progress for so in p.get("stateOperators", [])
+    )
+    assert removed > 0, "no state eviction observed across the soak"
+    # append-mode output is exactly the batch windows the final watermark
+    # passed — a subset of the oracle-checked batch twin, never different
+    got = {
+        (r.day, r.event_type): (r.cnt, r.total_value)
+        for r in spark.table("soak_out").collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.cnt, r.total_value)
+        for r in event_tumbling(spark, SF_SMOKE).collect()
+    }
+    assert got, "append mode emitted nothing — watermark never closed a window"
+    for k, v in got.items():
+        assert want.get(k) == v, f"append-mode row diverges from batch twin: {k}"
+
+
+def test_stream_rate_source_soak_live_triggers(spark):
+    """A genuinely live (non-availableNow) run: rate source + processing-
+    time trigger, stopped after several micro-batches. Exercises the
+    always-on path — trigger scheduling, watermark advance on live
+    event time, state eviction — that backlog drains can't."""
+    import time
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 7).alias("user_id"),
+        )
+    )
+    windowed = (
+        rate.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "1 second").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("sec"), "user_id", "cnt")
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("rate_soak")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import json as _json
+
+    deadline = time.time() + 120  # generous: live triggers share cores
+                                  # with whatever else the host runs
+    while time.time() < deadline:
+        progress = [_json.loads(p.json) if not isinstance(p, dict) else p
+                    for p in q.recentProgress]
+        removed = sum(
+            so.get("numRowsRemoved", 0)
+            for p in progress
+            for so in p.get("stateOperators", [])
+        )
+        if removed > 0 and spark.table("rate_soak").count() > 0:
+            break
+        time.sleep(1)
+    q.stop()
+    assert removed > 0, "live soak: no watermark-driven state eviction"
+    out = spark.table("rate_soak")
+    assert out.count() > 0
+    # every emitted (closed) window carries a full second of the rate
+    # source: 200 rows/s over 7 users → per-user counts must total 200
+    per_sec = {r.sec: r.total for r in out.groupBy("sec").agg(
+        F.sum("cnt").alias("total")).collect()}
+    full = [v for v in per_sec.values() if v == 200]
+    assert full, f"no complete 1-second window observed: {per_sec}"
