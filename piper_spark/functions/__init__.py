@@ -8,6 +8,7 @@ from piper_spark.functions import (  # noqa: F401
     text,
     dedup,
     similarity,
+    lsh,
     sessions,
     udfs,
 )

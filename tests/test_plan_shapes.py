@@ -130,6 +130,15 @@ def test_minhash_join_is_equi_join_on_band_hash(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_cosine_candidates_come_from_equi_join(spark):
+    """dedup_lsh_cosine proposes pairs via a (band_id, band_val)
+    equi-join — never an all-pairs comparison. The only permissible
+    BNLJ in the ANN twin is the broadcast of the 1-row query vector."""
+    plan = plan_of(spark, "dedup_lsh_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.mark.parametrize("name", ["agg_group", "proj_math", "clamp_scale"])
 def test_hot_paths_are_whole_stage_codegen(spark, name):
     df = registry.all_queries()[name](spark, SF_SMOKE)

@@ -152,6 +152,39 @@ def test_ann_ivf_recall_vs_exact_topk(spark):
     assert len(exact & approx) / len(exact) >= 0.7
 
 
+def test_lsh_cosine_finds_every_planted_pair(spark):
+    """Sign-LSH near-dup must recover ALL planted ×1.1 twins (cos 1.0):
+    64 sign bits of a scaled vector match the original's except where
+    the quantized dot sits within quantization noise of zero — with
+    4×16-bit bands at least one full band survives for every pair here,
+    and the exact-cosine verify reports 1.0 by scale invariance."""
+    from piper_spark.functions.lsh import PLANT_MOD, PLANT_OFFSET, dedup_lsh_cosine
+
+    rows = dedup_lsh_cosine(spark, SF_SMOKE).collect()
+    planted = {
+        (v, v + PLANT_OFFSET)
+        for (v,) in table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") % PLANT_MOD == 0)
+        .select("vec_id")
+        .collect()
+    }
+    got = {(r.id1, r.id2) for r in rows}
+    assert planted, "fixture must plant at least one pair"
+    assert got == planted  # full recall, zero false positives at τ=0.95
+    assert all(r.cos_sim == 1.0 for r in rows)
+
+
+def test_ann_lsh_top1_is_planted_twin(spark):
+    """The query vector's planted twin shares all its LSH buckets, so
+    bucket-pruned search must rank it first with cosine exactly 1.0."""
+    from piper_spark.functions.lsh import PLANT_OFFSET, sim_ann_lsh
+
+    rows = sim_ann_lsh(spark, SF_SMOKE).collect()
+    assert rows, "candidate buckets must be non-empty"
+    assert rows[0].vec_id == PLANT_OFFSET  # twin of vec_id 0
+    assert rows[0].cos_sim == 1.0
+
+
 @given(
     st.integers(1, 40),
     st.integers(1, 40),
