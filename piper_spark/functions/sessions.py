@@ -352,3 +352,38 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'step3_purchase', s3) AS (step, users)"
         )
     ).orderBy("step")
+
+
+@register(
+    "event_retention",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY 1)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, ud.d) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS users
+FROM ud JOIN f ON ud.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users active on day cohort_day + offset.
+
+    The classic growth-analytics triangle. Scale shape: the distinct
+    user-day projection partial-aggregates map-side before its shuffle;
+    the cohort (min-day) aggregate and the join both hash on user_id,
+    so the exchange is REUSED between them (one user_id shuffle, not
+    two); the final aggregate lands on the bounded (cohort, offset)
+    grid — days², independent of row count. No windows, no state.
+    """
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    f = ud.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ud.join(f, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("users"))
+    )

@@ -473,3 +473,74 @@ def text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_gopher",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, w, len(w) AS n,
+         list_transform(w[1:len(w) - 1], (x, i) -> concat(x, ' ', w[i + 1])) AS bg,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS tot
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       round(alpha / CAST(n AS DOUBLE), 4) AS alpha_frac,
+       round(1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 4)
+         AS dup_bigram_frac,
+       CAST(CASE WHEN n >= 3
+                  AND tot / CAST(n AS DOUBLE) BETWEEN 1 AND 12
+                  AND alpha / CAST(n AS DOUBLE) >= 0.8
+                  AND 1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE) <= 0.3
+             THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+FROM s
+""",
+)
+def text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public paper):
+    word-count bounds, mean-word-length window [1, 12], ≥80% words with
+    an alphabetic character, ≤30% duplicate bigrams. Complements
+    `text_quality` (length/stopword signals) with the repetition and
+    alpha-coverage rules a pretraining filter actually gates on.
+
+    All signals are per-row HOF folds over one split — shuffle-free,
+    codegen, a free rider on any scan. The pass flag is computed from
+    the same doubles in both engines, so threshold boundaries agree
+    bit-for-bit.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    n = F.size(w).cast("long")
+    bg = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
+    tot = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha_frac = alpha / n.cast("double")
+    avg_wl = tot / n.cast("double")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg).cast("double")
+    gopher_pass = (
+        (n >= 3)
+        & avg_wl.between(1.0, 12.0)
+        & (alpha_frac >= 0.8)
+        & (dup_frac <= 0.3)
+    )
+    return (
+        d.filter(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            n.alias("n_words"),
+            F.round(alpha_frac, 4).alias("alpha_frac"),
+            F.round(dup_frac, 4).alias("dup_bigram_frac"),
+            gopher_pass.cast("long").alias("gopher_pass"),
+        )
+    )

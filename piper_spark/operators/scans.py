@@ -268,3 +268,23 @@ def source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "source_orc",
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip — Spark's second built-in columnar
+    format. Unlike the text sources, ORC carries its own schema and
+    types, so doubles ride along bit-exactly with no timestampFormat
+    ceremony; the read is a columnar scan with pushdown, same as
+    parquet. The session is pinned UTC (session.table), so ORC's
+    local-time timestamp semantics write and read the same instants.
+    """
+    src = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = f"{WAREHOUSE_DIR}/events_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

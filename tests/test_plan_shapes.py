@@ -130,6 +130,21 @@ def test_minhash_join_is_equi_join_on_band_hash(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_join_bucket_has_no_join_side_exchange(spark):
+    """Bucketed tables joined on their bucket key must sort-merge with
+    ZERO Exchange under the join — the only shuffle allowed in the plan
+    is the final low-cardinality groupBy on c_mktsegment."""
+    import re
+
+    df = registry.all_queries()["join_bucket"](spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(k.startswith("c_mktsegment") for k in keys), keys
+    assert "SelectedBucketsCount" in plan  # bucketed scan engaged
+
+
 def test_lsh_cosine_candidates_come_from_equi_join(spark):
     """dedup_lsh_cosine proposes pairs via a (band_id, band_val)
     equi-join — never an all-pairs comparison. The only permissible
