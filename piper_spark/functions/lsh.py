@@ -195,12 +195,28 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_val) equi-join over 4×16-bit signatures — never an all-pairs
     comparison — then exact cosine only on candidates. Deterministic
     end-to-end (module docstring), so the oracle reproduces the exact
-    candidate set, not just the final filter.
+    candidate set, not just the final filter. Band width is the
+    corpus-size knob: random band collisions scale ~n²/2^bits, so
+    production grows bits_per_band with log₂(n) — the measured effect
+    of widening is in SCALING.md (scripts/bench_scaling.py runs
+    `lsh_near_dup_pairs` at 16- and 24-bit bands over 10×/100×
+    corpora).
     """
     # persist: the union feeds the signature pass AND both verify-join
     # sides; lifetime is caller-owned (same discipline as dedup_embed).
     un = planted_union(spark, sf_dir).persist()
-    bands = band_signatures(un, _DEDUP_PLANES, _DEDUP_BITS)
+    return lsh_near_dup_pairs(un, _DEDUP_PLANES, _DEDUP_BITS)
+
+
+def lsh_near_dup_pairs(
+    un: DataFrame,
+    n_planes: int = _DEDUP_PLANES,
+    bits_per_band: int = _DEDUP_BITS,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Parameterized core of `dedup_lsh_cosine`: banded candidates +
+    exact-cosine verify over any (vec_id, ed array<double>) frame."""
+    bands = band_signatures(un, n_planes, bits_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -218,7 +234,7 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(e1, "id1")
         .join(e2, "id2")
         .withColumn("cos", cosine(F.col("ed1"), F.col("ed2")))
-        .filter(F.col("cos") >= 0.95)
+        .filter(F.col("cos") >= threshold)
         .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
     )
 

@@ -163,3 +163,71 @@ def sample_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "sample_mixture",
+    oracle="""
+WITH c AS (
+  SELECT source, count(*) AS n,
+         1 + CAST(substr(source, 4) AS BIGINT) % 4 AS w
+  FROM documents GROUP BY 1
+),
+tt AS (SELECT min(CAST(floor(n / CAST(w AS DOUBLE)) AS BIGINT)) AS t FROM c),
+k AS (SELECT source, w, w * t AS keep FROM c, tt),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT r.source,
+       CAST(count(*) AS BIGINT) AS kept,
+       CAST(min(k.keep) AS BIGINT) AS target_kept,
+       CAST(min(k.w) AS BIGINT) AS weight
+FROM r JOIN k ON r.source = k.source
+WHERE r.rn <= k.keep
+GROUP BY 1
+""",
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining MIXTURE construction: resample sources to target
+    proportions. Each source s gets an integer weight w_s (derived here
+    from the source name so the demo is self-contained); the pass keeps
+    exactly T·w_s docs per source where T = min_s ⌊n_s / w_s⌋ — the
+    largest total for which every source can fill its share — chosen by
+    the same Knuth-scramble order as `sample_capped` (its sibling: cap
+    bounds a source's absolute count, mixture sets RELATIVE shares).
+
+    Everything is integer arithmetic (T·w_s, scramble), so both engines
+    agree bit-for-bit. Scale shape: per-source counts are one tiny hash
+    agg; T is a 1-row broadcast; the keep-threshold table (one row per
+    source) broadcasts back; the only per-row work is the same
+    source-partitioned rank window as sample_capped. No driver-side
+    data, no floats in the decision path.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    wexpr = 1 + F.substring("source", 4, 10).cast("long") % 4
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).withColumn("w", wexpr)
+    tt = c.agg(F.min(F.floor(F.col("n") / F.col("w")).cast("long")).alias("t"))
+    k = c.crossJoin(F.broadcast(tt)).select(
+        "source", "w", (F.col("w") * F.col("t")).alias("keep")
+    )
+    order = ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)) % F.lit(
+        1000000007
+    )
+    rn = F.row_number().over(Window.partitionBy("source").orderBy(order, "doc_id"))
+    r = d.select("doc_id", "source").withColumn("rn", rn)
+    return (
+        r.join(F.broadcast(k), "source")
+        .filter(F.col("rn") <= F.col("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.min("keep").alias("target_kept"),
+            F.min("w").alias("weight"),
+        )
+    )
