@@ -387,3 +387,171 @@ def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("users"))
     )
+
+
+@register(
+    "ts_interp",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         (CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100.0) AS v
+  FROM events WHERE event_type = 'purchase' AND user_id = 7 GROUP BY 1
+),
+j AS (SELECT cal.day, daily.v FROM cal LEFT JOIN daily ON cal.day = daily.day),
+carried AS (
+  SELECT day, v,
+         last_value(v IGNORE NULLS) OVER
+           (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+           (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prev_d,
+         first_value(v IGNORE NULLS) OVER
+           (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+           (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_d
+  FROM j
+)
+SELECT day,
+       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+       round(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN prev_v IS NULL THEN next_v
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v)
+              * (date_diff('day', prev_d, day)
+                 / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+       END, 4) AS val_interp
+FROM carried
+""",
+)
+def ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: `ts_gapfill`'s sibling for VALUE
+    series (zero-fill is wrong for a metric that exists between
+    observations). Missing days get prev + (next−prev)·Δ/gap over the
+    user-7 purchase series (sparse at every SF); edge days clamp to the
+    nearest observation.
+
+    Scale shape: the carry windows run over the CALENDAR join result —
+    bounded by the date range (30 rows here, thousands for years),
+    never by event volume — so the single-partition window is over a
+    bounded relation by construction, the same argument as
+    `ts_gapfill`'s calendar. Per-series interpolation at scale
+    partitions the same windows by series key. Daily totals use the
+    exact scaled-integer sum (functions/numeric.py), and the
+    interpolation arithmetic is the same double ops in both engines.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("user_id") == 7))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum(F.col("value")).alias("v"))
+    )
+    j = cal.join(daily, "day", "left")
+    back = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    c = j.select(
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("prev_v"),
+        F.last(known_day, ignorenulls=True).over(back).alias("prev_d"),
+        F.first("v", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first(known_day, ignorenulls=True).over(fwd).alias("next_d"),
+    )
+    frac = F.datediff("day", "prev_d") / F.datediff("next_d", "prev_d").cast(
+        "double"
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return c.select(
+        "day",
+        F.col("v").isNotNull().cast("long").alias("observed"),
+        F.round(interp, 4).alias("val_interp"),
+    )
+
+
+@register(
+    "event_anomaly",
+    oracle="""
+WITH s AS (
+  SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2
+  FROM s GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT s.user_id,
+       CAST(min(m.n) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN (s.x - m.s1 / CAST(m.n AS DOUBLE))
+                          * (s.x - m.s1 / CAST(m.n AS DOUBLE))
+                     > 4.0 * ((m.s2 - m.s1 * (m.s1 / CAST(m.n AS DOUBLE)))
+                              / CAST(m.n - 1 AS DOUBLE))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM s JOIN m ON s.user_id = m.user_id
+GROUP BY 1
+""",
+)
+def event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier counts: purchases beyond 2 sample standard
+    deviations of the user's own mean. The z-test is rearranged to
+    (x − mean)² > 4·var — no sqrt, no division by a possibly-zero std —
+    and the moments are exact scaled integers (the `agg_stats`
+    discipline: n, Σx, Σx² are mergeable counters, map-side partial),
+    so both engines evaluate identical doubles in the comparison.
+
+    Scale shape: moments aggregate in one hash agg; the re-join on
+    user_id reuses the same hash partitioning (co-partitioned, no extra
+    exchange under AQE); output is one row per user. Σx² fits long up
+    to ~10⁹ rows/user at 5-digit scaled values — cast the moment to
+    decimal beyond that (agg_stats shows the decimal form).
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = e.select(
+        "user_id", F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("x")
+    )
+    m = (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mean = F.col("s1") / F.col("n").cast("double")
+    var = (F.col("s2") - F.col("s1") * mean) / (F.col("n") - 1).cast("double")
+    dev = F.col("x").cast("double") - mean
+    return (
+        s.join(m, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("n").alias("n_events"),
+            F.sum((dev * dev > 4.0 * var).cast("long")).alias("n_anomalies"),
+        )
+    )
