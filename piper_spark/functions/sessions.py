@@ -555,3 +555,80 @@ def event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((dev * dev > 4.0 * var).cast("long")).alias("n_anomalies"),
         )
     )
+
+
+@register(
+    "event_anomaly_run",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, x,
+         row_number() OVER w - 1 AS n,
+         CAST(coalesce(sum(x) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s1,
+         CAST(coalesce(sum(x * x) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s2
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN n >= 2
+                      AND (x - s1 / CAST(n AS DOUBLE))
+                          * (x - s1 / CAST(n AS DOUBLE))
+                        > 4.0 * ((s2 - s1 * (s1 / CAST(n AS DOUBLE)))
+                                 / CAST(n - 1 AS DOUBLE))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM r GROUP BY 1
+""",
+)
+def event_anomaly_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREQUENTIAL anomaly counts: each purchase is tested against the
+    running moments of the user's STRICTLY PRIOR purchases — the
+    decision an online monitor can actually make at event time (the
+    batch `event_anomaly` uses full-series stats; this one never looks
+    ahead). Same rearranged z-test, same exact-integer moments, but
+    accumulated by an exclusive-frame running window. Streaming twin:
+    `stream_anomaly_counts` (applyInPandasWithState) folds the same
+    state and is parity-tested against this query.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    r = s.select(
+        "user_id",
+        "x",
+        (F.row_number().over(w) - 1).alias("n"),
+        F.coalesce(F.sum("x").over(prior), F.lit(0)).alias("s1"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(prior), F.lit(0)).alias(
+            "s2"
+        ),
+    )
+    # greatest() keeps ANSI mode from raising on the n<2 rows, whose
+    # flag is forced false anyway; for n>=2 it is the identity.
+    mean = F.col("s1") / F.greatest(F.col("n"), F.lit(1)).cast("double")
+    var = (F.col("s2") - F.col("s1") * mean) / F.greatest(
+        F.col("n") - 1, F.lit(1)
+    ).cast("double")
+    dev = F.col("x").cast("double") - mean
+    flag = (F.col("n") >= 2) & (dev * dev > 4.0 * var)
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(flag.cast("long")).alias("n_flagged"),
+    )

@@ -150,6 +150,62 @@ def stream_high_water_marks(events: DataFrame) -> DataFrame:
     )
 
 
+def _anomaly_update(key, pdfs, state):  # pragma: no cover — runs in worker
+    """applyInPandasWithState update fn: per-user prequential anomaly
+    fold — carry (n, Σx, Σx², flagged) and test each purchase against
+    the moments of STRICTLY PRIOR purchases (the same rearranged
+    (x−mean)² > 4·var z-test, so no sqrt and no zero-std division)."""
+    import math
+    import pandas as pd  # local import: executes in the Python worker
+
+    if state.exists:
+        n, s1, s2, flagged = state.get
+    else:
+        n, s1, s2, flagged = 0, 0, 0, 0
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for v in batch["value"]:
+            x = int(math.floor(float(v) * 100.0 + 0.5))
+            if n >= 2:
+                mean = s1 / float(n)
+                var = (s2 - s1 * mean) / float(n - 1)
+                dev = float(x) - mean
+                if dev * dev > 4.0 * var:
+                    flagged += 1
+            n, s1, s2 = n + 1, s1 + x, s2 + x * x
+    state.update((n, s1, s2, flagged))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "n_flagged": [flagged]}
+    )
+
+
+def stream_anomaly_counts(events: DataFrame) -> DataFrame:
+    """CUSTOM stateful operator #2 via applyInPandasWithState: online
+    per-user anomaly counts with prequential (never-look-ahead)
+    semantics — exactly the fold the oracle-checked batch twin
+    `event_anomaly_run` (functions/sessions.py) expresses with an
+    exclusive-frame running window; parity tested with availableNow.
+
+    Scale notes: state is four integers per user key (the mergeable
+    moments of `agg_stats`), sharded across shuffle partitions; the
+    float comparisons are the same IEEE doubles the batch plan
+    evaluates, so the counts agree exactly.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return purchases.groupBy("user_id").applyInPandasWithState(
+        _anomaly_update,
+        outputStructType="user_id long, n_events long, n_flagged long",
+        stateStructType="n long, s1 long, s2 long, flagged long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain all available input through the stream into a memory sink.
 

@@ -128,6 +128,53 @@ def test_stream_custom_state_matches_batch(spark, events_dir):
     assert got == want
 
 
+def test_stream_anomaly_counts_match_prequential_batch(spark, events_dir):
+    """applyInPandasWithState (running-moment anomaly fold) must equal
+    the oracle-checked exclusive-window batch twin after draining the
+    input in time order — same prequential semantics, same integer
+    moments, same IEEE comparisons."""
+    import time
+
+    from piper_spark.functions.sessions import event_anomaly_run
+    from piper_spark.streaming.events import stream_anomaly_counts
+
+    ordered = tempfile.mkdtemp(prefix="piper_events_anom_")
+    e = table(spark, SF_SMOKE, "events")
+    cut1, cut2 = "2024-01-11", "2024-01-21"
+    slices = [
+        e.filter(F.col("ts") < F.lit(cut1).cast("timestamp")),
+        e.filter(
+            (F.col("ts") >= F.lit(cut1).cast("timestamp"))
+            & (F.col("ts") < F.lit(cut2).cast("timestamp"))
+        ),
+        e.filter(F.col("ts") >= F.lit(cut2).cast("timestamp")),
+    ]
+    for s in slices:
+        s.coalesce(1).sortWithinPartitions("ts", "event_id").write.mode(
+            "append"
+        ).parquet(ordered)
+        time.sleep(1.1)  # distinct mtimes → deterministic trigger order
+    stream = read_event_stream(spark, ordered, max_files_per_trigger=1)
+    run_available_now(
+        stream_anomaly_counts(stream), "anom_out", output_mode="update"
+    )
+    got = {
+        (r.user_id, r.n_events, r.n_flagged)
+        for r in spark.table("anom_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_flagged").alias("n_flagged"),
+        )
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n_events, r.n_flagged)
+        for r in event_anomaly_run(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
 def test_stream_sessionize_matches_batch_totals(spark, events_dir):
     stream = read_event_stream(spark, events_dir)
     run_available_now(stream_sessionize(stream), "sessions_out")
