@@ -485,3 +485,34 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users
+FROM events GROUP BY 1
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via mergeable BITMAP partial aggregates —
+    the third distinct-count path beside `agg_distinct` (expand-based
+    exact) and `agg_approx_distinct` (HLL sketch). Two stages: bucket
+    each user_id with bitmap_bucket_number, build a fixed-size (4KB)
+    bitmap per (group, bucket) with bitmap_construct_agg — a mergeable,
+    map-side-combinable partial — then sum per-bucket bitmap_count.
+    Buckets partition the ID space, so the counts add exactly.
+
+    At 100 TB this is how exact distinct survives: the shuffle carries
+    one 4KB bitmap per (group, bucket) instead of one row per distinct
+    value, and bitmaps OR-merge associatively (bitmap_or_agg) across
+    partials. Result identical to count(DISTINCT …) — the oracle runs
+    the plain form.
+    """
+    e = table(spark, sf_dir, "events")
+    partial = e.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("b")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    return partial.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").alias("nd_users")
+    )

@@ -372,3 +372,30 @@ def arr_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     idx = F.array_position(F.col("embedding"), F.array_max(F.col("embedding")))
     return e.select("vec_id", idx.alias("argmax_idx"))
+
+
+@register(
+    "json_variant",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 16 AS k_band,
+       count(*) AS cnt,
+       CAST(max(json_extract_string(props, '$.k') :: BIGINT) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1
+""",
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    `parse_json` once into an open-schema binary encoding, then typed
+    `variant_get` path extraction — the modern shredded-JSON surface
+    next to `json_extract` (stringly get_json_object) and `json_typed`
+    (closed-schema from_json). At scale VARIANT parses each document
+    once and pushes typed paths into columnar reads instead of
+    re-walking JSON text per expression.
+    """
+    e = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return e.groupBy((k % 16).alias("k_band")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(k).alias("max_k"),
+    )
