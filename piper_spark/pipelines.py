@@ -210,3 +210,130 @@ def pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     cleaned = tag_split(dedup_exact_docs(quality_filter(docs)))
     return cleaned.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "pipeline_curate",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang, source, text, string_split(text, ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang, source, text FROM w
+  WHERE len(ws) >= 3
+    AND list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))
+        / CAST(len(ws) AS DOUBLE) BETWEEN 1 AND 12
+    AND len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+        / CAST(len(ws) AS DOUBLE) >= 0.8
+    AND 1 - len(list_distinct(list_transform(ws[1:len(ws) - 1],
+                  (x, i) -> concat(x, ' ', ws[i + 1]))))
+          / CAST(greatest(len(ws) - 1, 1) AS DOUBLE) <= 0.3
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+4], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 3, 2))]) AS sh
+  FROM w
+),
+eval_sh AS (SELECT DISTINCT unnest(sh) AS gr FROM sh WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM (SELECT doc_id, unnest(sh) AS gr FROM sh WHERE doc_id % 97 <> 0) s
+  JOIN eval_sh e ON s.gr = e.gr
+),
+clean AS (
+  SELECT * FROM g
+  WHERE doc_id % 97 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+ded AS (
+  SELECT c.doc_id, c.lang, c.source FROM clean c
+  JOIN (SELECT text, min(doc_id) AS doc_id FROM clean GROUP BY text) k
+    ON c.text = k.text AND c.doc_id = k.doc_id
+)
+SELECT CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'val' END AS split,
+       lang, count(*) AS cnt,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM ded GROUP BY 1, 2
+""",
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation spine a pretraining corpus actually runs —
+    `pipeline_stats`' bigger sibling composing this round's gates:
+
+      documents
+        → Gopher quality gate   (word count, mean word length,
+                                 alpha coverage, duplicate bigrams)
+        → decontamination       (drop eval docs AND train docs sharing
+                                 any 5-gram with the eval set)
+        → exact dedup           (min-doc_id keeper per text)
+        → deterministic split   (doc_id % 100 80/20)
+        → per-(split, lang) counts + source diversity
+
+    One lazy plan: the gates are per-row codegen folds, decontam is the
+    hashed-gram broadcast semi-join (eval side is benchmark-sized), and
+    dedup is one text-keyed hash agg — each stage's scale argument is
+    its standalone query's. Denominators carry greatest(·,1) guards so
+    ANSI mode cannot raise if Catalyst merges and reorders the filter
+    conjuncts onto degenerate rows.
+    """
+    from piper_spark.functions.dedup import shingles
+    from piper_spark.functions.text import words_col
+
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    n = F.size(w).cast("long")
+    nbg = F.greatest(F.size(w) - 1, F.lit(1))
+    bg = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tot = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / n.cast("double")
+    avg_wl = tot / n.cast("double")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(bg)) / nbg.cast("double")
+    g = d.filter(
+        (n >= 3)
+        & avg_wl.between(1.0, 12.0)
+        & (alpha_frac >= 0.8)
+        & (dup_frac <= 0.3)
+    )
+
+    sh = d.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(shingles("text", n=5)), lambda x: F.xxhash64(x)
+        ).alias("hs"),
+    ).persist()
+    eval_grams = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(eval_grams), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .persist()
+    )
+    keeper = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    ded = clean.join(keeper, ["text", "doc_id"], "left_semi")
+    split = F.when(F.col("doc_id") % 100 < 80, F.lit("train")).otherwise(
+        F.lit("val")
+    )
+    return ded.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("source").alias("n_sources"),
+    )

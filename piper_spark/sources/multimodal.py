@@ -1976,3 +1976,90 @@ def img_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_batches,
         schema="doc_id long, in_w int, in_h int, out_w int, out_h int, pix_sum long",
     )
+
+
+#: Audio framing: 16-bit little-endian PCM, 64 samples per frame.
+AUDIO_FRAME_SAMPLES = 64
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload → int16 PCM samples → framed energy
+    (sum of squares per frame) — exact int64 arithmetic end to end."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_samp = len(payload) // 2
+            n_frames = n_samp // AUDIO_FRAME_SAMPLES
+            if n_frames < 1:
+                continue
+            used = n_frames * AUDIO_FRAME_SAMPLES
+            s = (
+                np.frombuffer(payload[: used * 2], dtype="<i2")
+                .astype(np.int64)
+                .reshape(n_frames, AUDIO_FRAME_SAMPLES)
+            )
+            energy = (s * s).sum(axis=1)
+            rows.append(
+                (
+                    int(doc_id),
+                    n_frames,
+                    int(energy.sum(dtype=np.int64)),
+                    int(energy.max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_frames", "total_energy", "peak_energy"]
+        )
+        rows = []
+
+
+@register(
+    "audio_energy",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text,
+         (octet_length(encode(text)) // 2) // {AUDIO_FRAME_SAMPLES} AS n_frames
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, n_frames, text, unnest(range(0, n_frames)) AS f
+  FROM d WHERE n_frames >= 1
+),
+e AS (
+  SELECT doc_id, n_frames,
+         list_sum(list_transform(
+           list_transform(range(0, {AUDIO_FRAME_SAMPLES}),
+             i -> ord(substring(text, 2 * ({AUDIO_FRAME_SAMPLES} * f + i) + 1, 1))
+                  + 256 * ord(substring(text,
+                              2 * ({AUDIO_FRAME_SAMPLES} * f + i) + 2, 1))),
+           x -> x * x)) AS energy
+  FROM fr
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(sum(energy) AS BIGINT) AS total_energy,
+       CAST(max(energy) AS BIGINT) AS peak_energy
+FROM e GROUP BY doc_id, n_frames
+""",
+)
+def audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column analogue of `video_frames`, completing the
+    image/audio/video multimodal trio: an opaque binary payload is
+    read as 16-bit little-endian signed PCM, framed at 64 samples, and
+    reduced to per-frame energies (Σ sample² — exact int64, so the
+    byte-arithmetic oracle matches bit-for-bit; the ASCII payload's
+    high bytes stay < 128, so the two's-complement samples equal
+    b0 + 256·b1 and the oracle needs no sign branch — the numpy
+    decoder handles real negative PCM regardless). The per-doc output
+    (frame count, total and peak energy) is the feature a silence/clip
+    filter gates on in an audio pretraining pipeline. Same scale shape
+    as every codec op: Arrow `mapInPandas`, decode parallelism spread
+    by `spread_for_decode`, no driver involvement.
+    """
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
+    return d.mapInPandas(
+        _audio_batches,
+        schema="doc_id long, n_frames long, total_energy long, peak_energy long",
+    )
