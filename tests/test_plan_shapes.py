@@ -282,3 +282,34 @@ def test_source_binary_prunes_partitions_and_filters_glob(spark):
     # all surviving rows come from .png files only (glob did the work)
     rows = registry.all_queries()["source_binary"](spark, SF_SMOKE)
     assert rows.filter("doc_id IS NULL").count() == 0
+
+
+def test_pipeline_curate_decontam_is_broadcast_semi_join(spark):
+    """The curation spine's decontamination stage must probe the
+    benchmark-sized gram set by broadcast (semi/anti), never shuffle
+    the exploded train side against it, and no stage may cartesian."""
+    plan = plan_of(spark, "pipeline_curate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan or "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sample_mixture_thresholds_broadcast_back(spark):
+    """Mixture keep-thresholds (one row per source) must return to the
+    big table via broadcast; the only big-table window partitions on
+    the bounded source key."""
+    plan = plan_of(spark, "sample_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ts_interp_windows_run_over_bounded_calendar(spark):
+    """ts_interp's single-partition carry windows are legal ONLY
+    because they run over the date-range-bounded calendar join — the
+    plan must show the window above the calendar generator, not above
+    the raw events scan."""
+    df = registry.all_queries()["ts_interp"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the window's child chain contains the sequence-explode calendar
+    assert "Window" in plan and "explode" in plan.lower()
