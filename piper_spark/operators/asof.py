@@ -145,3 +145,62 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on="user_id", left_ts="ts", right_ts="ts",
         right_payload=["ts", "event_id"], direction="forward",
     )
+
+
+@register(
+    "event_attribution",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts, arg_max(event_type, event_id) AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, ts
+)
+SELECT coalesce(a.channel, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       (CAST(sum(CAST(floor(a.value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 100.0) AS total_value
+FROM (
+  SELECT p.*, t.channel
+  FROM p ASOF LEFT JOIN t
+    ON p.user_id = t.user_id AND p.ts >= t.ts
+) a
+GROUP BY 1
+""",
+)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: credit each purchase to the user's most
+    recent preceding click or view (the standard marketing-analytics
+    composite over the as-of machinery), reporting purchase count and
+    exact revenue per attributed channel — 'none' when no touch
+    precedes the purchase.
+
+    Same union-and-carry plan as `join_asof` (one shuffle on user_id,
+    no range explosion); the touch side is deduped to one row per
+    (user, ts) with a deterministic arg-max channel so ASOF tie
+    behavior matches DuckDB's native operator exactly.
+    """
+    from piper_spark.functions.numeric import dsum
+
+    e = table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "event_type"))["event_type"].alias("channel"))
+    )
+    j = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["channel"],
+    )
+    return j.groupBy(
+        F.coalesce(F.col("r_channel"), F.lit("none")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum(F.col("value")).alias("total_value"),
+    )
