@@ -272,3 +272,79 @@ def test_win_rank_tie_break(spark):
     w = Window.partitionBy("cust").orderBy(F.col("price").desc(), F.col("okey"))
     rows = df.withColumn("rn", F.row_number().over(w)).orderBy("rn").collect()
     assert [r.okey for r in rows] == [98, 99, 100]  # ties broken by key
+
+
+def test_audio_batches_decode_signed_pcm():
+    """The oracle only exercises ASCII payloads (all-positive samples);
+    the decoder itself must handle real two's-complement PCM, negative
+    samples included, matching a numpy reference exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from piper_spark.sources.multimodal import AUDIO_FRAME_SAMPLES, _audio_batches
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32768, AUDIO_FRAME_SAMPLES * 3 + 11, dtype=np.int16)
+    payload = samples.tobytes()
+    (out,) = list(
+        _audio_batches(iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})]))
+    )
+    framed = samples[: AUDIO_FRAME_SAMPLES * 3].astype(np.int64).reshape(3, -1)
+    energies = (framed * framed).sum(axis=1)
+    row = out.iloc[0]
+    assert row.n_frames == 3  # trailing 11 samples dropped
+    assert row.total_energy == energies.sum()
+    assert row.peak_energy == energies.max()
+
+
+def test_audio_batches_short_payload_yields_no_row():
+    import pandas as pd
+
+    from piper_spark.sources.multimodal import _audio_batches
+
+    (out,) = list(
+        _audio_batches(iter([pd.DataFrame({"doc_id": [1], "payload": [b"xy" * 10]})]))
+    )
+    assert len(out) == 0
+
+
+def test_sample_mixture_hits_exact_proportions(spark):
+    """Every source must keep exactly target_kept = T * weight docs —
+    the achieved mixture is proportional to the weights by construction,
+    and no source is asked for more docs than it has."""
+    from piper_spark.operators.sampling import sample_mixture
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    rows = sample_mixture(spark, SF_SMOKE).collect()
+    avail = {
+        r.source: r.cnt
+        for r in table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert rows
+    ratios = {r.kept / r.weight for r in rows}
+    assert len(ratios) == 1  # kept_s / w_s == T for every source
+    for r in rows:
+        assert r.kept == r.target_kept
+        assert r.kept <= avail[r.source]
+
+
+def test_event_attribution_partitions_all_purchases(spark):
+    """Channel buckets (click/view/none) must partition the purchase
+    set exactly — nothing dropped, nothing double-counted."""
+    from piper_spark.operators.asof import event_attribution
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    rows = event_attribution(spark, SF_SMOKE).collect()
+    total = sum(r.n_purchases for r in rows)
+    want = (
+        table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total == want
+    assert {r.channel for r in rows} <= {"click", "view", "none"}
