@@ -1,5 +1,8 @@
 """Random-hyperplane (sign) LSH over embedding columns — DETERMINISTIC,
 hence fully oracle-checkable (unlike the probabilistic textbook form).
+The sign-bit construction is Charikar's SimHash for cosine similarity
+(STOC 2002, public paper); banding follows the standard MinHash-LSH
+band/row trade-off.
 
 Two registered queries:
 
