@@ -305,29 +305,27 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dup_frac <= 0.3)
     )
 
-    sh = d.select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(shingles("text", n=5)), lambda x: F.xxhash64(x)
-        ).alias("hs"),
-    ).persist()
+    # Shingle ONLY what decontam needs: every eval doc (the benchmark
+    # side is unconditional) + the gate-PASSING train docs — gate-failed
+    # docs are already gone, so hashing their grams would be pure waste.
+    hs = F.transform(
+        F.array_distinct(shingles("text", n=5)), lambda x: F.xxhash64(x)
+    ).alias("hs")
     eval_grams = (
-        sh.filter(F.col("doc_id") % 97 == 0)
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(hs)
         .select(F.explode("hs").alias("h"))
         .distinct()
     )
+    gated = g.filter(F.col("doc_id") % 97 != 0).persist()
     contaminated = (
-        sh.filter(F.col("doc_id") % 97 != 0)
+        gated.select("doc_id", hs)
         .select("doc_id", F.explode("hs").alias("h"))
         .join(F.broadcast(eval_grams), "h", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    clean = (
-        g.filter(F.col("doc_id") % 97 != 0)
-        .join(contaminated, "doc_id", "left_anti")
-        .persist()
-    )
+    clean = gated.join(contaminated, "doc_id", "left_anti").persist()
     keeper = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     ded = clean.join(keeper, ["text", "doc_id"], "left_semi")
     split = F.when(F.col("doc_id") % 100 < 80, F.lit("train")).otherwise(
