@@ -304,6 +304,7 @@ def test_stream_rate_source_soak_live_triggers(spark):
 
     deadline = time.time() + 120  # generous: live triggers share cores
                                   # with whatever else the host runs
+    removed, full = 0, []
     while time.time() < deadline:
         progress = [_json.loads(p.json) if not isinstance(p, dict) else p
                     for p in q.recentProgress]
@@ -312,16 +313,22 @@ def test_stream_rate_source_soak_live_triggers(spark):
             for p in progress
             for so in p.get("stateOperators", [])
         )
-        if removed > 0 and spark.table("rate_soak").count() > 0:
+        # The FIRST closed window is usually partial (the stream starts
+        # mid-second), so don't stop until a COMPLETE one has been
+        # emitted — under host load that can take several extra batches.
+        per_sec = {
+            r.sec: r.total
+            for r in spark.table("rate_soak")
+            .groupBy("sec")
+            .agg(F.sum("cnt").alias("total"))
+            .collect()
+        }
+        full = [v for v in per_sec.values() if v == 200]
+        if removed > 0 and full:
             break
         time.sleep(1)
     q.stop()
     assert removed > 0, "live soak: no watermark-driven state eviction"
-    out = spark.table("rate_soak")
-    assert out.count() > 0
     # every emitted (closed) window carries a full second of the rate
     # source: 200 rows/s over 7 users → per-user counts must total 200
-    per_sec = {r.sec: r.total for r in out.groupBy("sec").agg(
-        F.sum("cnt").alias("total")).collect()}
-    full = [v for v in per_sec.values() if v == 200]
     assert full, f"no complete 1-second window observed: {per_sec}"
