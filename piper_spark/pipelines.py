@@ -281,7 +281,14 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piper_spark.functions.dedup import shingles
     from piper_spark.functions.text import words_col
 
-    d = table(spark, sf_dir, "documents")
+    # Round-robin the RAW rows across cores first: the testdata ships
+    # as one parquet split, which would serialize every per-row gate
+    # fold and the shingle hashing on a single task (the same lesson as
+    # text_decontam / spread_for_decode — at real scale the input's own
+    # splits provide this parallelism and the exchange is a no-op).
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     w = words_col()
     n = F.size(w).cast("long")
     nbg = F.greatest(F.size(w) - 1, F.lit(1))
