@@ -244,3 +244,38 @@ def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     return e.select("event_id", "user_id", gap.alias("gap_us"))
+
+
+@register(
+    "win_rangeframe",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_hour_cents
+FROM events
+""",
+)
+def win_rangeframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window — the VALUE-based frame the ROWS-framed
+    `win_movavg` can't express: each event's trailing-one-hour spend,
+    bounded by TIME distance (µs epoch), not row count. Equal
+    timestamps share one frame, so no tie-break is needed for
+    determinism (unlike row_number windows). Partitioned on user_id —
+    bounded per-partition state like every window here; the frame is
+    evaluated with a sliding aggregate, not a per-row rescan. Sums are
+    exact scaled integers (functions/numeric.py discipline).
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("trailing_hour_cents"),
+    )
