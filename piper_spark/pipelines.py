@@ -342,3 +342,62 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@register(
+    "dq_quarantine",
+    oracle="""
+WITH flagged AS (
+  SELECT *,
+         CASE WHEN o_custkey IS NULL
+                OR o_totalprice <= 0
+                OR o_orderstatus NOT IN ('F', 'O', 'P')
+              THEN 'quarantine' ELSE 'admitted' END AS route
+  FROM orders
+)
+SELECT route,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM flagged GROUP BY 1
+""",
+)
+def dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission ROUTING — `dq_checks` counts violations; this one acts
+    on them: rows failing any admission rule are written to a
+    quarantine sink, the rest to the admitted sink, and the query
+    reports per-route counts + key ranges (read back from the sinks, so
+    the numbers prove the WRITES, not just the classification).
+
+    One scan classifies; two filtered writes route (Spark's batch form
+    of a dead-letter queue). At scale the route column makes this a
+    single `partitionBy("route")` write — demonstrated here as two
+    sinks because quarantine typically lives in a different location /
+    retention policy than admitted data.
+    """
+    import os as _os
+
+    from piper_spark.operators.scans import WAREHOUSE_DIR
+
+    o = table(spark, sf_dir, "orders")
+    bad = (
+        F.col("o_custkey").isNull()
+        | (F.col("o_totalprice") <= 0)
+        | ~F.col("o_orderstatus").isin("F", "O", "P")
+    )
+    flagged = o.withColumn(
+        "route", F.when(bad, F.lit("quarantine")).otherwise(F.lit("admitted"))
+    )
+    base = f"{WAREHOUSE_DIR}/dq_{_os.path.basename(sf_dir.rstrip('/'))}"
+    for route in ("admitted", "quarantine"):
+        flagged.filter(F.col("route") == route).write.mode("overwrite").parquet(
+            f"{base}/{route}"
+        )
+    back = spark.read.parquet(f"{base}/admitted").unionByName(
+        spark.read.parquet(f"{base}/quarantine")
+    )
+    return back.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
