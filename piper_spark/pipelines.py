@@ -351,6 +351,7 @@ WITH flagged AS (
   SELECT *,
          CASE WHEN o_custkey IS NULL
                 OR o_totalprice <= 0
+                OR o_totalprice > 480000
                 OR o_orderstatus NOT IN ('F', 'O', 'P')
               THEN 'quarantine' ELSE 'admitted' END AS route
   FROM orders
@@ -380,9 +381,13 @@ def dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piper_spark.operators.scans import WAREHOUSE_DIR
 
     o = table(spark, sf_dir, "orders")
+    # The suspicious-value bound (> 480k) is the rule that actually
+    # fires on clean synthetic data, keeping the quarantine sink (and
+    # its oracle row) non-vacuous at every SF.
     bad = (
         F.col("o_custkey").isNull()
         | (F.col("o_totalprice") <= 0)
+        | (F.col("o_totalprice") > 480000)
         | ~F.col("o_orderstatus").isin("F", "O", "P")
     )
     flagged = o.withColumn(
