@@ -632,3 +632,37 @@ def event_anomaly_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(flag.cast("long")).alias("n_flagged"),
     )
+
+
+@register(
+    "event_markov",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS transitions
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transition matrix: counts of consecutive
+    (prev_type → next_type) pairs per user stream — the input to any
+    Markov-chain / next-action model over clickstreams. One per-user
+    lag window (bounded partitions, deterministic (ts, event_id)
+    order) + one hash agg onto the tiny type×type grid.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return o.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("transitions")
+    )

@@ -516,3 +516,44 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.expr("sum(bitmap_count(bm))").alias("nd_users")
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS k
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, CAST(sum(k) AS BIGINT) AS n,
+         CAST(sum(k * k) AS BIGINT) AS sq
+  FROM c GROUP BY 1
+)
+SELECT user_id, n AS n_events,
+       round(1.0 - sq / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)
+         AS gini_impurity
+FROM t
+""",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of each user's event-type mix: 1 − Σp_i² — the
+    LOG-FREE diversity metric (entropy needs libm `log`, whose last-ulp
+    behavior differs across engines; Gini is pure integer counts + one
+    double division, so it hashes identically everywhere). Two stacked
+    hash aggs, both map-side combinable; Σk² fits long to ~3e9 events
+    per (user, type).
+    """
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    t = c.groupBy("user_id").agg(
+        F.sum("k").alias("n"), F.sum(F.col("k") * F.col("k")).alias("sq")
+    )
+    gini = F.lit(1.0) - F.col("sq") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return t.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round(gini, 4).alias("gini_impurity"),
+    )
