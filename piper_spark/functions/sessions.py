@@ -666,3 +666,52 @@ def event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("transitions")
     )
+
+
+@register(
+    "event_topk_run",
+    oracle="""
+WITH s AS (
+  SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         event_id
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cents DESC, event_id) AS rn
+  FROM s
+)
+SELECT user_id,
+       CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS top1,
+       CAST(max(CASE WHEN rn = 2 THEN cents END) AS BIGINT) AS top2,
+       CAST(max(CASE WHEN rn = 3 THEN cents END) AS BIGINT) AS top3
+FROM r WHERE rn <= 3
+GROUP BY 1
+""",
+)
+def event_topk_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 purchase values (exact scaled cents, null-padded)
+    — the multiset of the 3 largest values is ORDER-INSENSITIVE, which
+    is what makes it maintainable as streaming state: the twin
+    `stream_running_topk` (streaming/events.py) keeps exactly these
+    three longs per key through Spark 4's transformWithStateInPandas
+    and converges to this query's rows from ANY micro-batch order
+    (parity test needs no time-ordered fixture, unlike the running-max
+    twin). Batch shape: one spillable rank window, top-3 filter, pivot
+    by rank — never a per-user collect.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("cents").desc(), "event_id")
+    r = s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    pick = lambda i: F.max(F.when(F.col("rn") == i, F.col("cents")))  # noqa: E731
+    return r.groupBy("user_id").agg(
+        pick(1).alias("top1"), pick(2).alias("top2"), pick(3).alias("top3")
+    )

@@ -206,6 +206,62 @@ def stream_anomaly_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def _topk_update(key, pdfs, state):  # pragma: no cover — runs in worker
+    """Update fn: fold each micro-batch's purchase values into the
+    per-user top-3 triple (scaled cents). The top-3 MULTISET is
+    order-insensitive, so the state converges to the batch twin from
+    ANY micro-batch arrival order — no sorting of the batch needed."""
+    import math
+
+    import pandas as pd
+
+    best = []
+    if state.exists:
+        best = [v for v in state.get if v is not None]
+    for pdf in pdfs:
+        cents = [
+            int(math.floor(float(v) * 100.0 + 0.5)) for v in pdf["value"]
+        ]
+        best = sorted(best + cents, reverse=True)[:3]
+    padded = (best + [None, None, None])[:3]
+    state.update(tuple(padded))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "top1": [padded[0]],
+            "top2": [padded[1]],
+            "top3": [padded[2]],
+        }
+    )
+
+
+def stream_running_topk(events: DataFrame) -> DataFrame:
+    """CUSTOM stateful operator #3: each user's running top-3 purchase
+    values (scaled cents) as three longs of keyed state. Unlike the
+    running-max and running-moments operators, this state is
+    ORDER-INSENSITIVE (a multiset of maxima), so the parity test drains
+    an UNORDERED fixture on purpose and still matches the
+    oracle-checked batch twin `event_topk_run` exactly.
+
+    Implemented on applyInPandasWithState; the processor maps 1:1 onto
+    Spark 4's successor API (`transformWithStateInPandas` ValueState —
+    same init/fold/emit split) — that API's Python driver worker needs
+    `google.protobuf`, which this container lacks, so the engine stays
+    on the universally available operator (mandate: gate anything
+    extra behind availability, never hard-depend on it).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return purchases.groupBy("user_id").applyInPandasWithState(
+        _topk_update,
+        outputStructType="user_id long, top1 long, top2 long, top3 long",
+        stateStructType="t1 long, t2 long, t3 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain all available input through the stream into a memory sink.
 

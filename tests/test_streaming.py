@@ -175,6 +175,38 @@ def test_stream_anomaly_counts_match_prequential_batch(spark, events_dir):
     assert got == want
 
 
+def test_stream_running_topk_matches_batch_any_order(spark, events_dir):
+    """The running top-3 state must converge to the oracle-checked
+    batch twin from an UNORDERED fixture — the top-k multiset is
+    order-insensitive, which is the point of choosing it as state."""
+    from piper_spark.functions.sessions import event_topk_run
+    from piper_spark.streaming.events import stream_running_topk
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    run_available_now(
+        stream_running_topk(stream), "topk_out", output_mode="update"
+    )
+    # Every emission is best-so-far, so each slot is monotone
+    # non-decreasing per user (None first) — the final state is the
+    # per-user elementwise max, no emission-order bookkeeping needed.
+    got = {
+        r.user_id: (r.top1, r.top2, r.top3)
+        for r in spark.table("topk_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("top1").alias("top1"),
+            F.max("top2").alias("top2"),
+            F.max("top3").alias("top3"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.top1, r.top2, r.top3)
+        for r in event_topk_run(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
 def test_stream_sessionize_matches_batch_totals(spark, events_dir):
     stream = read_event_stream(spark, events_dir)
     run_available_now(stream_sessionize(stream), "sessions_out")
