@@ -544,3 +544,60 @@ def test_jpeg_progressive_eob_runs_and_constant_blocks():
     # progressive + restart intervals are declared unsupported loudly
     with pytest.raises(ValueError, match="restart"):
         encode_jpeg(tiles, progressive=True, restart_interval=2)
+
+
+def test_phash_survives_jpeg_reencode_and_flags_edits():
+    """pHash must be stable under lossy re-encoding (near-zero Hamming)
+    yet move far for a structural edit — the two properties that make
+    it a near-dup signature rather than a checksum."""
+    import numpy as np
+
+    from piper_spark.sources.multimodal import decode_image, encode_jpeg, phash64
+
+    rng = np.random.default_rng(11)
+    # smooth content (random noise has no low-frequency structure for
+    # a perceptual hash to hold on to)
+    y, x = np.mgrid[0:64, 0:96]
+    img = np.stack(
+        [
+            (127 + 80 * np.sin(x / 9.0) + 40 * np.cos(y / 7.0)).clip(0, 255),
+            (127 + 80 * np.cos(x / 11.0)).clip(0, 255),
+            (127 + 60 * np.sin((x + y) / 13.0)).clip(0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    h0 = phash64(img)
+    reenc = decode_image(encode_jpeg(img, quant=8, subsample=True))
+    h1 = phash64(reenc)
+    flipped = img[:, ::-1]
+    h2 = phash64(flipped)
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(h0, h1) <= 6  # lossy re-encode: perceptually same
+    assert ham(h0, h2) >= 16  # mirror: structurally different
+
+
+def test_img_phash_recovers_planted_near_dups(spark):
+    """Every planted perturbed copy (1% of pixels +1) must be found by
+    the banded pHash join at small Hamming distance."""
+    from pyspark.sql import functions as F
+
+    from piper_spark.session import table
+    from piper_spark.sources.multimodal import (
+        PHASH_PLANT_MOD,
+        PHASH_PLANT_OFFSET,
+        img_phash,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = img_phash(spark, SF_SMOKE).collect()
+    found = {(r.id1, r.id2) for r in rows}
+    planted = {
+        (d, d + PHASH_PLANT_OFFSET)
+        for (d,) in table(spark, SF_SMOKE, "documents")
+        .filter((F.col("doc_id") % PHASH_PLANT_MOD == 0))
+        .select("doc_id")
+        .collect()
+        if (d, d + PHASH_PLANT_OFFSET)  # all planted ids
+    }
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, (recall, len(planted))
