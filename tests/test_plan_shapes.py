@@ -313,3 +313,11 @@ def test_ts_interp_windows_run_over_bounded_calendar(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # the window's child chain contains the sequence-explode calendar
     assert "Window" in plan and "explode" in plan.lower()
+
+
+def test_img_phash_candidates_come_from_equi_join(spark):
+    """Perceptual-hash near-dup candidates must come from the banded
+    equi-join, never an all-pairs comparison."""
+    plan = plan_of(spark, "img_phash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
