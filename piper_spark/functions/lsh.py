@@ -32,7 +32,7 @@ Determinism recipe (what makes a hash-bucket algorithm oracle-exact):
    every bucket) matches across engines. A float dot could flip a sign
    on summation-order differences; an integer dot cannot.
 3. Near-dups are PLANTED from the table itself (vec_id % 50 == 0 →
-   vec_id + 1_000_000, vector scaled ×1.1 — cosine 1.0 by scale
+   vec_id + 2^40, vector scaled ×1.1 — cosine 1.0 by scale
    invariance): the synthetic corpus has no natural near-dups (max
    pairwise cos ≈ 0.51), and both engines derive the same planted rows
    from the same input, keeping the check non-vacuous at any SF.
@@ -48,6 +48,8 @@ surface); mandated by the LLM-pipeline north star.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -62,10 +64,35 @@ from piper_spark.session import table
 QUANT = 8192
 #: Planted near-dup derivation: every PLANT_MOD-th vector reappears as
 #: vec_id + PLANT_OFFSET scaled by ×1.1 (cosine exactly 1.0).
-PLANT_MOD, PLANT_OFFSET = 50, 1_000_000
+#: The offset sits at 2^40, far above any realistic vec_id, so planted
+#: ids can never collide with real ones (a 1e6 offset would collide on
+#: a ≥1M-row corpus — scripts/gen_scale_vecs.py takes arbitrary N).
+PLANT_MOD, PLANT_OFFSET = 50, 1 << 40
 
-_DEDUP_PLANES, _DEDUP_BITS = 64, 16  # 4 bands × 16 bits
+#: Band GEOMETRY: the band COUNT is fixed (recall = P[any band agrees]
+#: depends on the count), while the band WIDTH grows with corpus size —
+#: random band collisions scale ~n²/2^bits, so production derives
+#: bits_per_band = max(16, ceil(log2(n))) from a cheap count. SCALING.md
+#: measures the fixed-16-bit form super-linear at 500k vectors and the
+#: widened form near-linear; the registered `dedup_lsh_cosine` applies
+#: the rule automatically (at the driver's test SFs n ≤ 2000, so the
+#: derived width stays 16 and the oracle rows are unchanged).
+_DEDUP_BANDS, _DEDUP_MIN_BITS = 4, 16
+_DEDUP_PLANES, _DEDUP_BITS = 64, 16  # the n ≤ 65536 geometry (defaults)
 _ANN_PLANES, _ANN_BITS = 32, 8  # 4 bands × 8 bits
+
+
+def derived_band_bits(n_rows: int) -> int:
+    """bits_per_band for an n-row corpus: max(16, ceil(log2(n))).
+
+    Keeps expected random band collisions (~n²/2^bits per band) at most
+    ~n per band as the corpus grows, which is what keeps the candidate
+    equi-join linear in n. Matches the DuckDB-side derivation
+    ``GREATEST(16, CAST(ceil(log2(n)) AS INTEGER))`` exactly: log2 is
+    correctly rounded in both engines, and the only inputs where
+    ceil(log2(n)) is boundary-sensitive are exact powers of two, where
+    both are exact."""
+    return max(_DEDUP_MIN_BITS, math.ceil(math.log2(max(int(n_rows), 2))))
 
 
 def _planes(n_planes: int) -> np.ndarray:
@@ -140,7 +167,7 @@ base AS (
 un AS (
   SELECT vec_id, ed FROM base
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, list_transform(ed, x -> x * 1.1) AS ed
+  SELECT vec_id + 1099511627776 AS vec_id, list_transform(ed, x -> x * 1.1) AS ed
   FROM base WHERE vec_id % 50 = 0
 ),
 q AS (
@@ -171,44 +198,93 @@ _COS_SQL = """list_sum(list_transform({a}.ed, (x, i) -> x * {b}.ed[i]))
               * sqrt(list_sum(list_transform({b}.ed, x -> x * x))))"""
 
 
-@register(
-    "dedup_lsh_cosine",
-    oracle=f"""
-WITH h AS ({_H_SQL.format(n_coeffs=_DEDUP_PLANES * 64)}),
-{_union_sql(_DEDUP_PLANES, _DEDUP_BITS)},
+#: Dynamic-width dedup oracle: bits_per_band is DERIVED IN SQL from the
+#: corpus count (GREATEST(16, ceil(log2(n))) — the same rule
+#: `derived_band_bits` applies on the Spark side), so one static oracle
+#: string is exact at every SF. `nb` is a 1-row CTE cross-joined where
+#: the width is needed; the hyperplane list and the plane range scale
+#: with it (n_planes = 4 × bits_per_band — band count fixed at 4).
+_DEDUP_ORACLE = """
+WITH nb AS (
+  SELECT GREATEST(16, CAST(ceil(log2(count(*))) AS INTEGER)) AS bpb
+  FROM embeddings
+),
+h AS (
+  SELECT list_transform(range(0, bpb * 4 * 64), k ->
+           xor((k * 2654435761 + 1013904223) % 4294967296,
+               ((k * 2654435761 + 1013904223) % 4294967296) // 65536)
+           % 65536 - 32768) AS hv
+  FROM nb
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+),
+un AS (
+  SELECT vec_id, ed FROM base
+  UNION ALL
+  SELECT vec_id + 1099511627776 AS vec_id,
+         list_transform(ed, x -> x * 1.1) AS ed
+  FROM base WHERE vec_id % 50 = 0
+),
+q AS (
+  SELECT vec_id, ed,
+         list_transform(ed, x -> CAST(floor(x * 8192) AS BIGINT)) AS qd
+  FROM un
+),
+p AS (SELECT unnest(range(0, (SELECT bpb * 4 FROM nb))) AS pid),
+bits AS (
+  SELECT vec_id, p.pid,
+         CASE WHEN list_sum(list_transform(qd,
+                (x, i) -> x * hv[p.pid * 64 + i])) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM q, h, p
+),
+bands AS (
+  SELECT vec_id, pid // bpb AS band_id,
+         sum(bit * (CAST(1 AS BIGINT) << (pid % bpb))) AS band_val
+  FROM bits, nb GROUP BY 1, 2
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
   FROM bands a JOIN bands b USING (band_id, band_val)
   WHERE a.vec_id < b.vec_id
 ),
 pairs AS (
-  SELECT id1, id2, {_COS_SQL.format(a="e1", b="e2")} AS cos
+  SELECT id1, id2, {cos} AS cos
   FROM cand
   JOIN q e1 ON cand.id1 = e1.vec_id
   JOIN q e2 ON cand.id2 = e2.vec_id
 )
 SELECT id1, id2, round(cos, 4) AS cos_sim
 FROM pairs WHERE cos >= 0.95
-""",
-)
+"""
+
+
+@register("dedup_lsh_cosine", oracle=_DEDUP_ORACLE.format(cos=_COS_SQL.format(a="e1", b="e2")))
 def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via sign-LSH bands + exact-cosine verify.
 
     The 100 TB shape for `dedup_embed`: candidates from a (band_id,
-    band_val) equi-join over 4×16-bit signatures — never an all-pairs
+    band_val) equi-join over banded signatures — never an all-pairs
     comparison — then exact cosine only on candidates. Deterministic
     end-to-end (module docstring), so the oracle reproduces the exact
-    candidate set, not just the final filter. Band width is the
-    corpus-size knob: random band collisions scale ~n²/2^bits, so
-    production grows bits_per_band with log₂(n) — the measured effect
-    of widening is in SCALING.md (scripts/bench_scaling.py runs
-    `lsh_near_dup_pairs` at 16- and 24-bit bands over 10×/100×
-    corpora).
+    candidate set, not just the final filter.
+
+    Band width is corpus-size-DERIVED, not fixed: bits_per_band =
+    max(16, ceil(log2(n))) from one cheap parquet-metadata count, with
+    the band count held at 4 (n_planes = 4 × bits). Random band
+    collisions scale ~n²/2^bits, so a fixed width goes super-linear
+    once n²/2^bits dominates — SCALING.md measures exactly that for
+    the 16-bit form at 500k vectors and near-linear cost for the
+    widened form this rule selects. The oracle derives the identical
+    width in SQL, so the check stays exact at every SF.
     """
+    n = table(spark, sf_dir, "embeddings").count()
+    bpb = derived_band_bits(n)
     # persist: the union feeds the signature pass AND both verify-join
     # sides; lifetime is caller-owned (same discipline as dedup_embed).
     un = planted_union(spark, sf_dir).persist()
-    return lsh_near_dup_pairs(un, _DEDUP_PLANES, _DEDUP_BITS)
+    return lsh_near_dup_pairs(un, _DEDUP_BANDS * bpb, bpb)
 
 
 def lsh_near_dup_pairs(

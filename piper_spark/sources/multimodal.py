@@ -2096,8 +2096,10 @@ def phash64(img: np.ndarray) -> int:
 #: Planted perceptual near-dups: every PHASH_PLANT_MOD-th doc reappears
 #: as doc_id + PHASH_PLANT_OFFSET with every 97th payload byte bumped —
 #: ~1% of pixels change by +1, a perceptually-invisible edit pHash must
-#: survive (the corpus has no natural duplicate payloads).
-PHASH_PLANT_MOD, PHASH_PLANT_OFFSET = 40, 1_000_000
+#: survive (the corpus has no natural duplicate payloads). The offset
+#: sits at 2^40, far above any realistic doc_id, so planted ids never
+#: collide with real ones on large generated corpora.
+PHASH_PLANT_MOD, PHASH_PLANT_OFFSET = 40, 1 << 40
 
 
 def _perturb(payload: bytes) -> bytes:
@@ -2130,9 +2132,17 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-dup pairs by perceptual hash — the missing cell of
     the dedup × multimodal matrix (text has minhash/simhash; images get
     pHash). Per-image 64-bit DCT hashes via Arrow `mapInPandas`, then
-    the SAME banded-LSH shape as every other near-dup op: 4×16-bit
-    bands → equi-join candidates → exact Hamming ≤ 6 verify. Never
+    the SAME banded-LSH shape as every other near-dup op: banded hash
+    slices → equi-join candidates → exact Hamming ≤ 6 verify. Never
     all-pairs; band_val is the bucket key at scale.
+
+    Band width follows the same corpus-size rule as `dedup_lsh_cosine`
+    (functions/lsh.py `derived_band_bits`: max(16, ceil(log2(n))) from
+    one cheap count) — a FIXED 16-bit slice goes super-linear once
+    random collisions (~n²/2^bits per band) dominate, measured in
+    SCALING.md. The hash is a fixed 64 bits, so wider bands mean fewer
+    of them (64 // bits, tail bits unused); Hamming verify is a single
+    codegen'd `bit_count(xor)` — no string round-trips.
 
     Rows-only by design (the DCT/median floats are not reproducible in
     SQL) — pinned instead by property tests: exact-duplicate payloads
@@ -2141,9 +2151,13 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_multimodal.py). The exact ground-truth twin for
     byte-identical images is `dedup_exact_hash`.
     """
-    d = spread_for_decode(
-        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
-    )
+    from piper_spark.functions.lsh import derived_band_bits
+
+    docs = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    bpb = derived_band_bits(docs.count())
+    n_bands = 64 // bpb
+    mask = (1 << bpb) - 1
+    d = spread_for_decode(docs)
     hashes = d.mapInPandas(_phash_batches, schema="doc_id long, phash long").persist()
     bands = hashes.select(
         "doc_id",
@@ -2151,8 +2165,8 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("phash", s).bitwiseAND(F.lit(0xFFFF))
-                    for s in (0, 16, 32, 48)
+                    F.shiftrightunsigned("phash", b * bpb).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band_id", "band_val"),
@@ -2168,13 +2182,12 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id1"),
             F.col("b.doc_id").alias("id2"),
-            F.bin(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("xb"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hd"),
         )
         .distinct()
     )
-    hamming = F.length(F.regexp_replace(F.col("xb"), "0", ""))
     return (
-        cand.select("id1", "id2", hamming.cast("long").alias("hamming"))
+        cand.select("id1", "id2", F.col("hd").cast("long").alias("hamming"))
         .filter(F.col("hamming") <= 6)
         .orderBy("id1", "id2")
     )

@@ -597,7 +597,6 @@ def test_img_phash_recovers_planted_near_dups(spark):
         .filter((F.col("doc_id") % PHASH_PLANT_MOD == 0))
         .select("doc_id")
         .collect()
-        if (d, d + PHASH_PLANT_OFFSET)  # all planted ids
     }
     recall = len(found & planted) / len(planted)
     assert recall >= 0.9, (recall, len(planted))

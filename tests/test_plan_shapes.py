@@ -317,7 +317,10 @@ def test_ts_interp_windows_run_over_bounded_calendar(spark):
 
 def test_img_phash_candidates_come_from_equi_join(spark):
     """Perceptual-hash near-dup candidates must come from the banded
-    equi-join, never an all-pairs comparison."""
+    equi-join, never an all-pairs comparison; the Hamming verify is a
+    codegen'd bit_count, not a per-row string round-trip."""
     plan = plan_of(spark, "img_phash")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
+    assert "regexp" not in plan.lower()
