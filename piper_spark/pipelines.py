@@ -398,8 +398,12 @@ def dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.filter(F.col("route") == route).write.mode("overwrite").parquet(
             f"{base}/{route}"
         )
-    back = spark.read.parquet(f"{base}/admitted").unionByName(
-        spark.read.parquet(f"{base}/quarantine")
+    # Read back with the writer's explicit schema: a route that matched
+    # zero rows leaves a data-file-less sink, and schema inference would
+    # fail on it — the explicit schema makes the empty read well-defined
+    # instead of relying on the data distribution to populate both sinks.
+    back = spark.read.schema(flagged.schema).parquet(f"{base}/admitted").unionByName(
+        spark.read.schema(flagged.schema).parquet(f"{base}/quarantine")
     )
     return back.groupBy("route").agg(
         F.count(F.lit(1)).alias("n_rows"),
