@@ -134,6 +134,47 @@ def scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
 
 
+def ensure_binary_tree(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (overwrite) the class-per-folder PNG fixture tree the
+    binary/image sources scan — a Hive-partitioned `lang=<label>/` tree
+    of real PNG files derived from `documents`, plus one non-image
+    decoy proving the glob filter filters. Bounded to doc_id < 200
+    (corpus fixture, like the bounded O(n²) dedup ground truths); in
+    production the tree already exists on object storage and only the
+    read is the operator."""
+    import shutil
+
+    import numpy as np
+
+    from piper_spark.sources.multimodal import encode_png
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 200)
+            & (F.octet_length(F.encode("text", "utf-8")) > 0)
+        )
+        .select("doc_id", "lang", "text")
+        .collect()  # bounded fixture materialization (≤200 rows), not a data path
+    )
+    path = f"{WAREHOUSE_DIR}/binary_tree_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    for row in docs:
+        payload = row.text.encode("utf-8")
+        n = len(payload)
+        w, h = 1 + n % 64, 1 + n % 48
+        gray = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))
+        d = f"{path}/lang={row.lang}"
+        os.makedirs(d, exist_ok=True)
+        with open(f"{d}/doc_{row.doc_id}.png", "wb") as fh:
+            fh.write(encode_png(gray))
+    # A non-image decoy proves the glob filter actually filters.
+    os.makedirs(f"{path}/lang=en", exist_ok=True)
+    with open(f"{path}/lang=en/notes.txt", "w") as fh:
+        fh.write("not an image")
+    return path
+
+
 def _binary_tree_batches(batches):
     """mapInPandas worker: real image FILE bytes → decode → pixel facts."""
     import numpy as np
@@ -207,37 +248,9 @@ def source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning happen in the driver's file index, and decode runs in
     Arrow-batched Python exactly as here.
     """
-    import shutil
+    from piper_spark.sources.multimodal import spread_for_decode
 
-    import numpy as np
-
-    from piper_spark.sources.multimodal import encode_png, spread_for_decode
-
-    docs = (
-        table(spark, sf_dir, "documents")
-        .filter(
-            (F.col("doc_id") < 200)
-            & (F.octet_length(F.encode("text", "utf-8")) > 0)
-        )
-        .select("doc_id", "lang", "text")
-        .collect()  # bounded fixture materialization (≤200 rows), not a data path
-    )
-    path = f"{WAREHOUSE_DIR}/binary_tree_{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(path, ignore_errors=True)
-    for row in docs:
-        payload = row.text.encode("utf-8")
-        n = len(payload)
-        w, h = 1 + n % 64, 1 + n % 48
-        gray = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))
-        d = f"{path}/lang={row.lang}"
-        os.makedirs(d, exist_ok=True)
-        with open(f"{d}/doc_{row.doc_id}.png", "wb") as fh:
-            fh.write(encode_png(gray))
-    # A non-image decoy proves the glob filter actually filters.
-    os.makedirs(f"{path}/lang=en", exist_ok=True)
-    with open(f"{path}/lang=en/notes.txt", "w") as fh:
-        fh.write("not an image")
-
+    path = ensure_binary_tree(spark, sf_dir)
     binf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.png")

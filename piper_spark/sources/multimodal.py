@@ -163,15 +163,13 @@ def _unfilter_scanlines(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     return recon
 
 
-def _decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG → HWC uint8 RGB, stdlib zlib + numpy.
-
-    Covers color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA); alpha is dropped and gray replicated to 3 channels, the
-    same channel policy as cv2.imdecode's default IMREAD_COLOR
-    (reference data_augment.py:53). Interlaced (Adam7) or 16-bit images
-    raise.
-    """
+def _decode_png_raw(payload: bytes) -> tuple[np.ndarray, int]:
+    """Non-interlaced 8-bit PNG → (HWC uint8 array in the container's
+    NATIVE channel layout, IHDR color type). Color type 3 (palette) is
+    resolved to RGB; 0/4 stay gray(+alpha), 2 RGB, 6 RGBA. The RGB
+    policy lives in `_decode_png`; the native layout feeds the
+    ImageSchema struct source, whose nChannels/mode follow the
+    container, not a display policy."""
     import struct
     import zlib
 
@@ -204,17 +202,28 @@ def _decode_png(payload: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
     img = _unfilter_scanlines(raw, w, h, ch).reshape(h, w, ch)
-    if color == 0:
-        return np.repeat(img, 3, axis=2)
-    if color == 2:
-        return img
     if color == 3:
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")
-        return plte[img[:, :, 0]]
+        return plte[img[:, :, 0]], color
+    return img, color
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → HWC uint8 RGB, stdlib zlib + numpy.
+
+    Covers color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA); alpha is dropped and gray replicated to 3 channels, the
+    same channel policy as cv2.imdecode's default IMREAD_COLOR
+    (reference data_augment.py:53). Interlaced (Adam7) or 16-bit images
+    raise.
+    """
+    img, color = _decode_png_raw(payload)
+    if color == 0:
+        return np.repeat(img, 3, axis=2)
     if color == 4:
         return np.repeat(img[:, :, :1], 3, axis=2)
-    return img[:, :, :3]  # RGBA → RGB
+    return img[:, :, :3]  # 2/3 already RGB; RGBA → RGB
 
 
 def _gif_lzw_decode(data: bytes, min_size: int) -> list[int]:
@@ -2190,4 +2199,151 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("id1", "id2", F.col("hd").cast("long").alias("hamming"))
         .filter(F.col("hamming") <= 6)
         .orderBy("id1", "id2")
+    )
+
+
+# --- Spark ImageSchema struct source -------------------------------------
+#
+# The reference ingests with the built-in image data source
+# (`spark.read.format("image")` + dropInvalid/recursiveFileLookup,
+# data_augment.py:115-120) and consumes the ImageSchema row type
+# (`row.image.{data,nChannels,height,width,origin}`,
+# data_augment.py:42-62). The engine's primary ingest is binaryFile +
+# pure decoders (operators/scans.source_binary) — a superset — but a
+# user porting reference code 1:1 expects the LITERAL struct column, so
+# this source materializes it: the exact field names/types/order of
+# org.apache.spark.ml.image.ImageSchema, the OpenCV mode codes, the
+# BGR(A) byte layout, and the same invalid-image sentinel row.
+
+#: OpenCV type codes as published by ImageSchema.ocvTypes.
+OCV_UNDEFINED, OCV_8UC1, OCV_8UC3, OCV_8UC4 = -1, 0, 16, 24
+
+#: Field-for-field Spark ImageSchema: columnSchema wrapped in the
+#: single `image` column, as `spark.read.format("image")` yields it.
+IMAGE_STRUCT_DDL = (
+    "image struct<origin:string,height:int,width:int,"
+    "nChannels:int,mode:int,data:binary>"
+)
+
+
+def decode_image_native(payload: bytes) -> np.ndarray:
+    """Decode to the CONTAINER's channel count: (h, w, {1, 3, 4}) uint8.
+
+    Mirrors the channel policy of Spark's built-in image source, which
+    follows the file's color model (gray → 1, alpha → 4, else 3 — with
+    gray winning over gray+alpha), not a display policy. `decode_image`
+    keeps the cv2-style always-RGB policy for the ETL operators."""
+    if payload[:8] == _PNG_SIG:
+        img, color = _decode_png_raw(payload)
+        if color in (0, 4):  # gray / gray+alpha → gray samples
+            return img[:, :, :1]
+        if color == 6:
+            return img  # RGBA
+        return img  # 2 (RGB) / 3 (palette→RGB)
+    if payload[:2] == b"P5":
+        return _decode_ppm(payload)[:, :, :1]  # PGM: replicated gray → samples
+    return decode_image(payload)  # P6 / BMP / GIF / JPEG → 3-channel
+
+
+def image_struct_value(origin: str, payload: bytes) -> dict:
+    """One ImageSchema struct value from an encoded payload.
+
+    Valid images follow OpenCV layout: row-major interleaved BGR(A) for
+    color, raw samples for gray. Undecodable payloads yield the SAME
+    sentinel row the built-in source emits (all -1, mode undefined,
+    empty data) so `dropInvalid` semantics carry over."""
+    try:
+        native = decode_image_native(bytes(payload))
+    except Exception:  # noqa: BLE001 — any decode failure → invalid row
+        return {
+            "origin": origin,
+            "height": -1,
+            "width": -1,
+            "nChannels": -1,
+            "mode": OCV_UNDEFINED,
+            "data": b"",
+        }
+    h, w, ch = native.shape
+    if ch == 1:
+        mode, data = OCV_8UC1, native.tobytes()
+    elif ch == 3:
+        mode, data = OCV_8UC3, np.ascontiguousarray(native[:, :, ::-1]).tobytes()
+    else:
+        mode = OCV_8UC4
+        data = np.ascontiguousarray(native[:, :, [2, 1, 0, 3]]).tobytes()
+    return {
+        "origin": origin,
+        "height": int(h),
+        "width": int(w),
+        "nChannels": int(ch),
+        "mode": mode,
+        "data": data,
+    }
+
+
+def _origin_uri(path: str) -> str:
+    """binaryFile paths print as `file:/x`; the image source's origin
+    prints `file:///x`. Normalize to the latter for 1:1 parity."""
+    if path.startswith("file:/") and not path.startswith("file://"):
+        return "file://" + path[5:]
+    return path
+
+
+def _image_struct_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "image": [
+                    image_struct_value(_origin_uri(str(p)), bytes(c))
+                    for p, c in zip(pdf["path"], pdf["content"])
+                ]
+            }
+        )
+
+
+def read_image_struct(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    drop_invalid: bool = False,
+    recursive: bool = False,
+) -> DataFrame:
+    """`spark.read.format("image")`-equivalent reader: binaryFile scan →
+    Arrow-batched pure decoders → ImageSchema struct rows.
+
+    Supports the reference's two reader options (dropInvalid as a
+    post-decode filter on the sentinel mode; recursiveFileLookup passed
+    through to the file index). At scale the scan parallelizes per
+    file and the glob prunes in the driver's file index, exactly like
+    `source_binary`; decode cost rides the same `spread_for_decode`
+    guard."""
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    binf = reader.load(path).select("path", "content")
+    out = spread_for_decode(binf).mapInPandas(
+        _image_struct_batches, schema=IMAGE_STRUCT_DDL
+    )
+    if drop_invalid:
+        out = out.filter(F.col("image.mode") != OCV_UNDEFINED)
+    return out
+
+
+@register("source_image_struct")  # decoded-pixel bytes → rows-only
+def source_image_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal ingest row type: ImageSchema structs from
+    a class-per-folder image tree (data_augment.py:115-120, consumed at
+    :42-62), through the engine's binaryFile + pure-decoder path.
+
+    Rows-only by design (the struct carries decoded pixel bytes and a
+    filesystem origin — not SQL-reproducible); pinned instead by a
+    field-for-field parity test against Spark's OWN
+    `spark.read.format("image")` reader on the same files
+    (tests/test_multimodal.py), which is a stronger check than a DuckDB
+    oracle: same schema, same mode codes, same bytes."""
+    from piper_spark.operators.scans import ensure_binary_tree
+
+    tree = ensure_binary_tree(spark, sf_dir)
+    return read_image_struct(
+        spark, tree, glob="*.png", drop_invalid=True, recursive=True
     )

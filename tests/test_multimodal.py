@@ -600,3 +600,73 @@ def test_img_phash_recovers_planted_near_dups(spark):
     }
     recall = len(found & planted) / len(planted)
     assert recall >= 0.9, (recall, len(planted))
+
+
+def test_image_struct_parity_with_builtin_image_source(spark, tmp_path):
+    """`read_image_struct` must match Spark's own
+    `spark.read.format("image")` FIELD-FOR-FIELD — origin, dims,
+    nChannels, OpenCV mode code, BGR(A)/gray byte layout, and the
+    invalid-image sentinel row — on gray, RGB, RGBA, and broken files."""
+    import os
+
+    import numpy as np
+
+    from piper_spark.sources.multimodal import encode_png, read_image_struct
+
+    d = tmp_path / "tree" / "cls"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(7)
+    (d / "gray.png").write_bytes(
+        encode_png(rng.randint(0, 256, (5, 7), dtype=np.uint8))
+    )
+    (d / "rgb.png").write_bytes(
+        encode_png(rng.randint(0, 256, (4, 6, 3), dtype=np.uint8))
+    )
+    (d / "rgba.png").write_bytes(
+        encode_png(rng.randint(0, 256, (3, 5, 4), dtype=np.uint8))
+    )
+    (d / "broken.png").write_bytes(b"not a png at all")
+
+    ours = read_image_struct(
+        spark, str(tmp_path / "tree"), glob="*.png", recursive=True
+    )
+    theirs = (
+        spark.read.format("image")
+        .option("dropInvalid", "false")
+        .option("recursiveFileLookup", "true")
+        .load(str(tmp_path / "tree"))
+    )
+    assert ours.schema == theirs.schema
+    om = {os.path.basename(r.image.origin): r.image for r in ours.collect()}
+    tm = {os.path.basename(r.image.origin): r.image for r in theirs.collect()}
+    assert set(om) == set(tm) == {"gray.png", "rgb.png", "rgba.png", "broken.png"}
+    for k, t in tm.items():
+        o = om[k]
+        assert (o.origin, o.height, o.width, o.nChannels, o.mode) == (
+            t.origin,
+            t.height,
+            t.width,
+            t.nChannels,
+            t.mode,
+        ), k
+        assert bytes(o.data) == bytes(t.data), k
+    # mode codes are the published OpenCV constants
+    assert tm["gray.png"].mode == 0 and om["gray.png"].mode == 0
+    assert tm["rgb.png"].mode == 16 and tm["rgba.png"].mode == 24
+    assert om["broken.png"].mode == -1  # invalid sentinel
+
+
+def test_source_image_struct_registered_query(spark):
+    """The registered key yields valid ImageSchema rows (dropInvalid
+    semantics: the decoy .txt is globbed out, all rows decode)."""
+    from piper_spark.sources.multimodal import source_image_struct
+    from tests.conftest import SF_SMOKE
+
+    rows = source_image_struct(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        img = r.image
+        assert img.mode in (0, 16, 24)
+        assert img.height > 0 and img.width > 0
+        assert len(img.data) == img.height * img.width * img.nChannels
+        assert img.origin.startswith("file://")
