@@ -336,6 +336,66 @@ def _fitted_codebook(
     return spark.createDataFrame(rows, "cid long, cd array<double>")
 
 
+def _eval_oracle() -> str:
+    base = _score_oracle().strip()
+    return f"""
+WITH scored AS ({base}),
+conf AS (
+  SELECT e.label AS label, scored.pred AS pred,
+         CAST(count(*) AS BIGINT) AS n
+  FROM scored JOIN embeddings e ON scored.vec_id = e.vec_id
+  GROUP BY 1, 2
+)
+SELECT label, pred, n,
+       round(CAST((SELECT sum(CASE WHEN label = pred THEN n ELSE 0 END)
+                   FROM conf) AS DOUBLE) * 100.0
+             / (SELECT sum(n) FROM conf), 4) AS accuracy_pct
+FROM conf
+"""
+
+
+@register("score_eval", oracle=_eval_oracle())
+def score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIPELINE form of model evaluation: score ONCE, derive every
+    metric from that one prediction relation — here the full confusion
+    matrix (label × pred counts) plus overall accuracy in the same
+    result. This is the shape `score_accuracy`'s docstring mandates for
+    production (that registered key re-derives predictions because
+    registry entries are self-contained; this key is the corrected
+    form, plan-pinned to exactly ONE scoring pass).
+
+    The scoring pass is the single Arrow `mapInPandas` matmul of
+    `score_linear`; the confusion relation is one hash aggregate on
+    (label, pred) — ≤ classes² rows, a bounded model artifact — so the
+    accuracy window over it is driver-trivial at any corpus size."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    scored = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(_score_batches, schema="vec_id long, pred int, best_logit long")
+    )
+    conf = (
+        scored.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Global window over the bounded (≤ classes²-row) confusion relation.
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hits = F.sum(F.when(F.col("label") == F.col("pred"), F.col("n")).otherwise(F.lit(0))).over(w)
+    return conf.select(
+        "label",
+        "pred",
+        "n",
+        F.round(hits.cast("double") * 100.0 / F.sum("n").over(w), 4).alias(
+            "accuracy_pct"
+        ),
+    )
+
+
 @register("sim_ann_ivf")  # approximate path → rows-only check
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for the vec_id=0 query, probing 2 of 8 cells.

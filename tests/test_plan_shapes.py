@@ -324,3 +324,12 @@ def test_img_phash_candidates_come_from_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bit_count" in plan
     assert "regexp" not in plan.lower()
+
+
+def test_score_eval_scores_exactly_once(spark):
+    """The pipeline evaluation form must contain exactly ONE scoring
+    pass (one MapInPandas matmul) feeding both the confusion counts and
+    the accuracy — never the registry-contract score-twice shape of
+    `score_accuracy`."""
+    plan = plan_of(spark, "score_eval")
+    assert plan.count("MapInPandas") == 1, plan
