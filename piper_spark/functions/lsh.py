@@ -7,10 +7,12 @@ band/row trade-off.
 Two registered queries:
 
 - ``dedup_lsh_cosine`` — embedding-cosine NEAR-DUP pairs at 100 TB
-  shape: 64 sign bits from fixed integer hyperplanes, banded 4×16, a
-  band-value EQUI-JOIN proposes candidates (never all-pairs), and an
-  exact-cosine verify pass keeps pairs with cos ≥ 0.95. The scale path
-  for `dedup_embed` (functions/dedup.py), whose bounded O(n²) form is
+  shape: sign bits from fixed integer hyperplanes, banded 4 ×
+  bits_per_band where the width is CORPUS-SIZE-DERIVED
+  (max(16, ceil(log2(n)) + 3), `derived_band_bits`); a band-value
+  EQUI-JOIN proposes candidates (never all-pairs), and an exact-cosine
+  verify pass keeps pairs with cos ≥ 0.95. The scale path for
+  `dedup_embed` (functions/dedup.py), whose bounded O(n²) form is
   the ground truth the recall property test checks against.
 - ``sim_ann_lsh`` — LSH-bucketed approximate nearest neighbors: the
   query vector's 4×8-bit band values select candidate buckets; exact
@@ -39,11 +41,12 @@ Determinism recipe (what makes a hash-bucket algorithm oracle-exact):
 
 Scale: the signature pass is one narrow Arrow `pandas_udf` matmul per
 batch (same kernel shape as `score_linear`); candidates come from an
-equi-join on (band_id, band_val) — 16-bit bands keep random collisions
-at ~n²/65536 per band, and the exact-cosine verify is proportional to
-candidates, not pairs. At 100 TB band_val is the natural bucket key for
-the signature table. No reference parallel (the reference has no dedup
-surface); mandated by the LLM-pipeline north star.
+equi-join on (band_id, band_val) — band width grows with log2(n) so
+random collisions (~n²·E[p^bits] per band) stay LINEAR in n, and the
+exact-cosine verify is proportional to candidates, not pairs (measured
+slopes in SCALING.md). At 100 TB band_val is the natural bucket key
+for the signature table. No reference parallel (the reference has no
+dedup surface); mandated by the LLM-pipeline north star.
 """
 
 from __future__ import annotations
@@ -72,7 +75,7 @@ PLANT_MOD, PLANT_OFFSET = 50, 1 << 40
 #: Band GEOMETRY: the band COUNT is fixed (recall = P[any band agrees]
 #: depends on the count), while the band WIDTH grows with corpus size —
 #: random band collisions scale ~n²/2^bits, so production derives
-#: bits_per_band = max(16, ceil(log2(n))) from a cheap count. SCALING.md
+#: bits_per_band via `derived_band_bits` from a cheap count. SCALING.md
 #: measures the fixed-16-bit form super-linear at 500k vectors and the
 #: widened form near-linear; the registered `dedup_lsh_cosine` applies
 #: the rule automatically (at the driver's test SFs n ≤ 2000, so the
@@ -82,17 +85,31 @@ _DEDUP_PLANES, _DEDUP_BITS = 64, 16  # the n ≤ 65536 geometry (defaults)
 _ANN_PLANES, _ANN_BITS = 32, 8  # 4 bands × 8 bits
 
 
-def derived_band_bits(n_rows: int) -> int:
-    """bits_per_band for an n-row corpus: max(16, ceil(log2(n))).
+#: Width margin over log2(n): with bits = log2(n) the candidate count
+#: is ~bands · n · C where C is the angle-spread inflation of random
+#: collisions (measured ~17× over the uniform-hash estimate on the
+#: 500k synthetic corpus — E[p^bits] ≫ 0.5^bits because pair angles
+#: spread around 90°). Three extra bits absorb an 8× slice of C, keeping
+#: the verify join's shuffled bytes per input row flat in practice.
+_DERIVED_BITS_MARGIN = 3
 
-    Keeps expected random band collisions (~n²/2^bits per band) at most
-    ~n per band as the corpus grows, which is what keeps the candidate
-    equi-join linear in n. Matches the DuckDB-side derivation
-    ``GREATEST(16, CAST(ceil(log2(n)) AS INTEGER))`` exactly: log2 is
-    correctly rounded in both engines, and the only inputs where
+
+def derived_band_bits(n_rows: int) -> int:
+    """bits_per_band for an n-row corpus: max(16, ceil(log2(n)) + 3).
+
+    With bits growing as log2(n), expected random band collisions
+    (~n²·E[p^bits] per band) grow LINEARLY in n — that is what keeps
+    the candidate equi-join and its exact-cosine verify linear; the +3
+    margin pays down the constant factor (see _DERIVED_BITS_MARGIN).
+    Matches the DuckDB-side derivation
+    ``GREATEST(16, CAST(ceil(log2(n)) AS INTEGER) + 3)`` exactly: log2
+    is correctly rounded in both engines, and the only inputs where
     ceil(log2(n)) is boundary-sensitive are exact powers of two, where
     both are exact."""
-    return max(_DEDUP_MIN_BITS, math.ceil(math.log2(max(int(n_rows), 2))))
+    return max(
+        _DEDUP_MIN_BITS,
+        math.ceil(math.log2(max(int(n_rows), 2))) + _DERIVED_BITS_MARGIN,
+    )
 
 
 def _planes(n_planes: int) -> np.ndarray:
@@ -206,7 +223,7 @@ _COS_SQL = """list_sum(list_transform({a}.ed, (x, i) -> x * {b}.ed[i]))
 #: with it (n_planes = 4 × bits_per_band — band count fixed at 4).
 _DEDUP_ORACLE = """
 WITH nb AS (
-  SELECT GREATEST(16, CAST(ceil(log2(count(*))) AS INTEGER)) AS bpb
+  SELECT GREATEST(16, CAST(ceil(log2(count(*))) AS INTEGER) + 3) AS bpb
   FROM embeddings
 ),
 h AS (
@@ -295,6 +312,8 @@ def lsh_near_dup_pairs(
 ) -> DataFrame:
     """Parameterized core of `dedup_lsh_cosine`: banded candidates +
     exact-cosine verify over any (vec_id, ed array<double>) frame."""
+    from piper_spark.functions.similarity import dot, l2_norm
+
     bands = band_signatures(un, n_planes, bits_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -307,12 +326,27 @@ def lsh_near_dup_pairs(
         .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
         .distinct()
     )
-    e1 = un.select(F.col("vec_id").alias("id1"), F.col("ed").alias("ed1"))
-    e2 = un.select(F.col("vec_id").alias("id2"), F.col("ed").alias("ed2"))
+    # Verify-pass norms are computed ONCE PER VECTOR here, not once per
+    # candidate pair: with bits = log2(n) the candidate count grows ~n·C
+    # (C = bands × collision inflation), so per-pair work is the scale
+    # cost — the pair fold is the dot alone, a 3× cut of the HOF work.
+    # Same expression, same doubles: cos = dot/(‖a‖·‖b‖) bit-identically.
+    e1 = un.select(
+        F.col("vec_id").alias("id1"),
+        F.col("ed").alias("ed1"),
+        l2_norm(F.col("ed")).alias("n1"),
+    )
+    e2 = un.select(
+        F.col("vec_id").alias("id2"),
+        F.col("ed").alias("ed2"),
+        l2_norm(F.col("ed")).alias("n2"),
+    )
     return (
         cand.join(e1, "id1")
         .join(e2, "id2")
-        .withColumn("cos", cosine(F.col("ed1"), F.col("ed2")))
+        .withColumn(
+            "cos", dot(F.col("ed1"), F.col("ed2")) / (F.col("n1") * F.col("n2"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
     )

@@ -6,6 +6,11 @@ order-insensitive values EXACTLY (floats must match bit-for-bit, like
 the driver's value-hash).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       SPARK_GRAFT_CHECK_JSON=out.json python scripts/check_oracle.py sf_dir
+
+With SPARK_GRAFT_CHECK_JSON set, also writes a driver-CORRECTNESS-style
+JSON artifact ({key: {status, rows, secs, errs}}) — the committed
+per-round full-sweep record (round-4 VERDICT item 4).
 """
 
 from __future__ import annotations
@@ -89,6 +94,7 @@ def main() -> int:
     qs = registry.all_queries()
     oracles = registry.all_oracles()
     failed = []
+    record: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -97,26 +103,55 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
+            record[name] = {"status": "spark_error", "errs": [str(e)[:300]]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        secs = round(time.time() - t0, 1)
         if name not in oracles:
-            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "rows_only", "rows": len(sdf), "secs": secs}
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{secs}s]")
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
+            record[name] = {"status": "duckdb_error", "errs": [str(e)[:300]]}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         errs = compare(name, sdf, ddf)
+        secs = round(time.time() - t0, 1)
         if errs:
             failed.append(name)
-            print(f"FAIL  {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            record[name] = {
+                "status": "fail", "rows": len(sdf), "secs": secs,
+                "errs": [e[:300] for e in errs],
+            }
+            print(f"FAIL  {name} ({len(sdf)} rows) [{secs}s]")
             for e in errs:
                 print(f"      {e}")
         else:
-            print(f"ok    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "ok", "rows": len(sdf), "secs": secs}
+            print(f"ok    {name}: {len(sdf)} rows [{secs}s]")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    out = os.environ.get("SPARK_GRAFT_CHECK_JSON")
+    if out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_keys": len(record),
+            "n_ok": sum(1 for r in record.values() if r["status"] == "ok"),
+            "n_rows_only": sum(
+                1 for r in record.values() if r["status"] == "rows_only"
+            ),
+            "n_failed": len(failed),
+            "failed": failed,
+            "keys": record,
+        }
+        with open(out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+            fh.write("\n")
+        print(f"wrote {out}")
     return 1 if failed else 0
 
 

@@ -154,10 +154,11 @@ def test_ann_ivf_recall_vs_exact_topk(spark):
 
 def test_lsh_cosine_finds_every_planted_pair(spark):
     """Sign-LSH near-dup must recover ALL planted ×1.1 twins (cos 1.0):
-    64 sign bits of a scaled vector match the original's except where
-    the quantized dot sits within quantization noise of zero — with
-    4×16-bit bands at least one full band survives for every pair here,
-    and the exact-cosine verify reports 1.0 by scale invariance."""
+    the sign bits of a scaled vector match the original's except where
+    the quantized dot sits within quantization noise of zero — with 4
+    bands (width derived from the corpus size; 16 bits at this SF) at
+    least one full band survives for every pair here, and the
+    exact-cosine verify reports 1.0 by scale invariance."""
     from piper_spark.functions.lsh import PLANT_MOD, PLANT_OFFSET, dedup_lsh_cosine
 
     rows = dedup_lsh_cosine(spark, SF_SMOKE).collect()
