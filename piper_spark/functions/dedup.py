@@ -530,7 +530,18 @@ aggregate(
 @register("dedup_simhash")  # engine-hash based → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, 4 bands of 16 bits,
-    Hamming ≤ 3 cut (every such pair is guaranteed a band collision)."""
+    Hamming ≤ 3 cut (every such pair is guaranteed a band collision).
+
+    Banding here is FIXED on purpose, unlike `dedup_lsh_cosine`'s
+    corpus-derived width: 4×16 over a 64-bit signature is what makes
+    the Hamming ≤ 3 guarantee a pigeonhole FACT (4 bands, ≤ 3 flipped
+    bits → one band untouched), and text SimHash collisions are driven
+    by signature clustering, not table size — measured 5.7×/10× at
+    500k docs (SCALING.md), still sub-linear. Past ~10⁹ docs the
+    random-collision term n²/2^16 does eventually dominate; the scale
+    move there is a WIDER SIGNATURE (128-bit SimHash, 4×32 bands —
+    same pigeonhole, same plan shape), not wider bands over 64 bits,
+    which would break the recall guarantee."""
     # Materialized once — see dedup_minhash note (caller owns the cache
     # lifetime; clearCache()/unpersist after the consuming action).
     d = simhash_signatures(table(spark, sf_dir, "documents")).persist(
