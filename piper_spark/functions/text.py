@@ -544,3 +544,136 @@ def text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             gopher_pass.cast("long").alias("gopher_pass"),
         )
     )
+
+
+#: Chunking geometry: CHUNK_WORDS-word windows advancing CHUNK_STRIDE
+#: words (16-word overlap) — the sliding-window document chunking every
+#: context-window pipeline (RAG indexing, long-doc pretraining) runs.
+CHUNK_WORDS, CHUNK_STRIDE = 64, 48
+
+
+@register(
+    "text_chunks",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(len(w), 1), {CHUNK_STRIDE})) AS start
+  FROM d
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(w[start + 1 : start + {CHUNK_WORDS}]) AS BIGINT)
+         AS n_chunk_words,
+       array_to_string(w[start + 1 : start + {CHUNK_WORDS}], ' ')
+         AS chunk_text
+FROM s
+""",
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document CHUNKING — split every document into
+    {CHUNK_WORDS}-word windows advancing {CHUNK_STRIDE} words (16-word
+    overlap), the context-window preparation step of RAG indexing and
+    long-document pretraining pipelines (each chunk must fit the
+    model's window; the overlap preserves cross-boundary context).
+
+    One narrow pass: split → `sequence` of chunk starts → posexplode →
+    `slice`/`array_join` — no shuffle at all (chunking is per-row), so
+    it scales with the scan. The final chunk is the tail (possibly
+    short); a short document yields exactly one chunk. Deterministic
+    chunk_id = start // stride.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    n = F.size(w)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("w"), F.col("start") + 1, CHUNK_WORDS)
+    return (
+        d.select("doc_id", w.alias("w"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_chunk_words"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+#: Context-window budget for sequence packing (whitespace+BPE-ish
+#: tokens, matching `text_tokens`' ceil(len/4) rule).
+PACK_BUDGET = 512
+
+
+@register(
+    "text_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, start_offset,
+       CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST((start_offset + n_tokens - 1) // {PACK_BUDGET}
+            - start_offset // {PACK_BUDGET} + 1 AS BIGINT) AS spans
+FROM o
+""",
+)
+def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING bookkeeping — concatenate each language's
+    documents in doc_id order into one token stream and cut it every
+    {PACK_BUDGET} tokens: per document, its start offset in the
+    stream, its first context window (`pack_id`), and how many windows
+    it straddles (`spans`). This is the concat-and-cut packing LLM
+    pretraining uses to waste no context (documents may straddle
+    window boundaries); the output is the shuffle-side plan for
+    writing packed examples.
+
+    One running-sum window per language partition (the same
+    exclusive-frame cumsum shape as `win_running`) — packing is
+    inherently sequential WITHIN a stream, so the stream is the
+    partition: per-lang here, per (lang, shard) at 100 TB, where each
+    shard packs independently and the window never sees more than a
+    shard. Token counts follow `text_tokens`' ceil(len/4) BPE-ish
+    rule, exact integers end-to-end.
+    """
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    tok = F.transform(w, lambda x: F.ceil(F.length(x) / 4.0).cast("long"))
+    n_tokens = F.aggregate(tok, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    t = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    t = t.withColumn("start_offset", start)
+    first_pack = F.floor(F.col("start_offset") / PACK_BUDGET)
+    last_pack = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / PACK_BUDGET
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_offset",
+        first_pack.cast("long").alias("pack_id"),
+        (last_pack - first_pack + 1).cast("long").alias("spans"),
+    )

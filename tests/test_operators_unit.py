@@ -348,3 +348,52 @@ def test_event_attribution_partitions_all_purchases(spark):
     )
     assert total == want
     assert {r.channel for r in rows} <= {"click", "view", "none"}
+
+
+def test_text_chunks_sliding_window_semantics(spark):
+    """Chunks are CHUNK_WORDS-word windows advancing CHUNK_STRIDE words:
+    overlap = CHUNK_WORDS - CHUNK_STRIDE, tail chunk short, short doc →
+    exactly one chunk, and the windows reconstruct the document."""
+    from piper_spark.functions.text import CHUNK_STRIDE, CHUNK_WORDS, text_chunks
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    out = text_chunks(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        words = docs[doc_id]
+        rows = sorted(rows, key=lambda r: r.chunk_id)
+        expected_starts = list(range(0, max(len(words), 1), CHUNK_STRIDE))
+        assert [r.chunk_id for r in rows] == list(range(len(expected_starts)))
+        for r, start in zip(rows, expected_starts):
+            expect = words[start : start + CHUNK_WORDS]
+            assert r.chunk_text == " ".join(expect)
+            assert r.n_chunk_words == len(expect) <= CHUNK_WORDS
+
+
+def test_text_pack_offsets_are_contiguous_per_lang(spark):
+    """Packing bookkeeping: per-lang doc_id-ordered start offsets are
+    exactly the running token sum; pack_id/spans follow the budget."""
+    from piper_spark.functions.text import PACK_BUDGET, text_pack
+    from tests.conftest import SF_SMOKE
+
+    rows = text_pack(spark, SF_SMOKE).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs = sorted(rs, key=lambda r: r.doc_id)
+        offset = 0
+        for r in rs:
+            assert r.start_offset == offset, (lang, r.doc_id)
+            assert r.pack_id == offset // PACK_BUDGET
+            last = (offset + r.n_tokens - 1) // PACK_BUDGET
+            assert r.spans == last - r.pack_id + 1 >= 1
+            offset += r.n_tokens
