@@ -433,3 +433,76 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "embed_quantize",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+),
+m AS (
+  SELECT vec_id, ed, list_min(ed) AS mn, list_max(ed) AS mx FROM e
+),
+q AS (
+  SELECT vec_id, ed, mn, mx,
+         list_transform(ed, x -> CASE WHEN mx = mn THEN 0
+           ELSE CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)
+           END) AS codes
+  FROM m
+)
+SELECT vec_id, mn, mx,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       codes[1] AS code_first,
+       codes[len(codes)] AS code_last,
+       round(list_sum(list_transform(list_zip(ed, codes), p ->
+               abs(p[1] - (mn + p[2] * ((mx - mn) / 255.0)))))
+             / len(ed), 6) AS mae
+FROM q
+""",
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector INT8 QUANTIZATION audit — the storage step a 100 TB
+    embedding store runs before ANN indexing (4× smaller than float32,
+    8× smaller than the float64 compute form): min/max-scale each
+    vector to 0..255 codes, report the code checksum/endpoints and the
+    dequantization mean-absolute-error (bounded by scale/2).
+
+    Fully narrow (per-row HOFs, zero shuffle, scales with the scan)
+    and value-exact across engines: codes use floor(t + 0.5) — never
+    round(), whose half-even/half-up tie rule differs between engines —
+    over the SAME IEEE expression order ((x−mn)·255)/(mx−mn), and the
+    MAE fold is the same left-to-right list_sum both sides. Constant
+    vectors (mx = mn) quantize to all-zero codes instead of dividing
+    by zero. At scale the codes column (binary/array<tinyint>) is what
+    lands in the vector store; this registered audit form reports the
+    checkable facts of that transform."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    mn, mx = F.array_min("ed"), F.array_max("ed")
+    m = e.select("vec_id", "ed", mn.alias("mn"), mx.alias("mx"))
+    code = lambda x: F.when(  # noqa: E731
+        F.col("mx") == F.col("mn"), F.lit(0).cast("long")
+    ).otherwise(
+        F.floor((x - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn")) + 0.5)
+    )
+    q = m.withColumn("codes", F.transform("ed", code))
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    err = F.zip_with(
+        "ed", "codes", lambda x, c: F.abs(x - (F.col("mn") + c * scale))
+    )
+    mae = (
+        F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.size("ed")
+    )
+    return q.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.element_at("codes", 1).alias("code_first"),
+        F.element_at("codes", -1).alias("code_last"),
+        F.round(mae, 6).alias("mae"),
+    )

@@ -397,3 +397,30 @@ def test_text_pack_offsets_are_contiguous_per_lang(spark):
             last = (offset + r.n_tokens - 1) // PACK_BUDGET
             assert r.spans == last - r.pack_id + 1 >= 1
             offset += r.n_tokens
+
+
+def test_embed_quantize_constant_vector_and_bounds(spark):
+    """Constant vectors quantize to all-zero codes (no div-by-zero);
+    codes stay in 0..255; dequantization MAE is bounded by scale/2."""
+    from piper_spark.functions.similarity import embed_quantize
+    from tests.conftest import SF_SMOKE
+
+    rows = embed_quantize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.code_first <= 255 and 0 <= r.code_last <= 255
+        scale = (r.mx - r.mn) / 255.0
+        assert r.mae <= scale / 2 + 1e-9, r.vec_id
+    # synthetic edge: a constant vector through the same expression
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, [0.5] * 4)], "vec_id long, ed array<double>")
+    mn, mx = F.array_min("ed"), F.array_max("ed")
+    code = F.transform(
+        "ed",
+        lambda x: F.when(mx == mn, F.lit(0).cast("long")).otherwise(
+            F.floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+        ),
+    )
+    out = df.select(code.alias("codes")).collect()[0]
+    assert out.codes == [0, 0, 0, 0]
