@@ -333,3 +333,21 @@ def test_score_eval_scores_exactly_once(spark):
     `score_accuracy`."""
     plan = plan_of(spark, "score_eval")
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_text_chunks_and_embed_quantize_are_shuffle_free(spark):
+    """Chunking and quantization are per-row transforms — their plans
+    must contain NO Exchange at all (they scale with the scan)."""
+    for name in ("text_chunks", "embed_quantize"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_text_pack_shuffles_once_on_the_stream_key(spark):
+    """Sequence packing is one running-sum window per language stream:
+    exactly one hashpartitioning Exchange, keyed on lang."""
+    import re
+
+    plan = plan_of(spark, "text_pack")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert len(keys) == 1 and keys[0].startswith("lang"), keys
