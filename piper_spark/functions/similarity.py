@@ -367,7 +367,10 @@ def score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scoring pass is the single Arrow `mapInPandas` matmul of
     `score_linear`; the confusion relation is one hash aggregate on
     (label, pred) — ≤ classes² rows, a bounded model artifact — so the
-    accuracy window over it is driver-trivial at any corpus size."""
+    global accuracy window over it is a single tiny-partition stage by
+    CONTRACT (a broadcast scalar-aggregate join would read the scoring
+    subtree twice; the window keeps the plan structurally one-pass,
+    which the plan test pins)."""
     from pyspark.sql.window import Window
 
     e = table(spark, sf_dir, "embeddings")
@@ -385,7 +388,9 @@ def score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    hits = F.sum(F.when(F.col("label") == F.col("pred"), F.col("n")).otherwise(F.lit(0))).over(w)
+    hits = F.sum(
+        F.when(F.col("label") == F.col("pred"), F.col("n")).otherwise(F.lit(0))
+    ).over(w)
     return conf.select(
         "label",
         "pred",

@@ -604,29 +604,34 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Context-window budget for sequence packing (whitespace+BPE-ish
-#: tokens, matching `text_tokens`' ceil(len/4) rule).
-PACK_BUDGET = 512
+#: tokens, matching `text_tokens`' ceil(len/4) rule), and the shard
+#: width: each CONTIGUOUS doc_id range of PACK_SHARD_DOCS documents is
+#: its own token stream, so the cumsum window's partition key
+#: (lang, shard) has unbounded cardinality — no single-task stream at
+#: any corpus size (every test SF fits in shard 0, so small-scale
+#: results are the unsharded ones).
+PACK_BUDGET, PACK_SHARD_DOCS = 512, 1_000_000
 
 
 @register(
     "text_pack",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, doc_id // {PACK_SHARD_DOCS} AS shard,
          CAST(list_sum(list_transform(string_split(text, ' '),
                                       w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
               AS BIGINT) AS n_tokens
   FROM documents
 ),
 o AS (
-  SELECT doc_id, lang, n_tokens,
+  SELECT doc_id, lang, shard, n_tokens,
          CAST(COALESCE(sum(n_tokens) OVER (
-           PARTITION BY lang ORDER BY doc_id
+           PARTITION BY lang, shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS start_offset
   FROM t
 )
-SELECT doc_id, lang, n_tokens, start_offset,
+SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens, start_offset,
        CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS pack_id,
        CAST((start_offset + n_tokens - 1) // {PACK_BUDGET}
             - start_offset // {PACK_BUDGET} + 1 AS BIGINT) AS spans
@@ -643,13 +648,18 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     window boundaries); the output is the shuffle-side plan for
     writing packed examples.
 
-    One running-sum window per language partition (the same
-    exclusive-frame cumsum shape as `win_running`) — packing is
-    inherently sequential WITHIN a stream, so the stream is the
-    partition: per-lang here, per (lang, shard) at 100 TB, where each
-    shard packs independently and the window never sees more than a
-    shard. Token counts follow `text_tokens`' ceil(len/4) BPE-ish
-    rule, exact integers end-to-end.
+    Packing is inherently sequential WITHIN a stream, so the stream is
+    the window partition — and the stream key is (lang, shard), where
+    a shard is a CONTIGUOUS PACK_SHARD_DOCS-wide doc_id range packing
+    independently (how distributed packing actually writes: one stream
+    per writer). That keeps the cumsum window's partition cardinality
+    growing with the corpus — a lang-only key would collapse 100 TB
+    into a handful of single-task streams, the low-cardinality-window
+    trap `win_dist` already eliminates. The same exclusive-frame
+    cumsum shape as `win_running`; token counts follow `text_tokens`'
+    ceil(len/4) BPE-ish rule, exact integers end-to-end. Every test SF
+    fits inside shard 0, so small-scale results are the unsharded
+    stream's.
     """
     from pyspark.sql.window import Window
 
@@ -657,9 +667,14 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = words_col()
     tok = F.transform(w, lambda x: F.ceil(F.length(x) / 4.0).cast("long"))
     n_tokens = F.aggregate(tok, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    t = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") / PACK_SHARD_DOCS).cast("long").alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
     win = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -672,6 +687,7 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id",
         "lang",
+        "shard",
         "n_tokens",
         "start_offset",
         first_pack.cast("long").alias("pack_id"),

@@ -378,16 +378,17 @@ def test_text_chunks_sliding_window_semantics(spark):
             assert r.n_chunk_words == len(expect) <= CHUNK_WORDS
 
 
-def test_text_pack_offsets_are_contiguous_per_lang(spark):
-    """Packing bookkeeping: per-lang doc_id-ordered start offsets are
-    exactly the running token sum; pack_id/spans follow the budget."""
+def test_text_pack_offsets_are_contiguous_per_stream(spark):
+    """Packing bookkeeping: per-(lang, shard) doc_id-ordered start
+    offsets are exactly the running token sum; pack_id/spans follow
+    the budget."""
     from piper_spark.functions.text import PACK_BUDGET, text_pack
     from tests.conftest import SF_SMOKE
 
     rows = text_pack(spark, SF_SMOKE).collect()
-    by_lang: dict[str, list] = {}
+    by_lang: dict[tuple, list] = {}
     for r in rows:
-        by_lang.setdefault(r.lang, []).append(r)
+        by_lang.setdefault((r.lang, r.shard), []).append(r)
     for lang, rs in by_lang.items():
         rs = sorted(rs, key=lambda r: r.doc_id)
         offset = 0
