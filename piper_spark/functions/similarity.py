@@ -125,6 +125,10 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     import numpy as np
 
     cb_rows = centroids.orderBy("cid").collect()  # bounded: k × dims
+    if not cb_rows:  # empty codebook (empty corpus) → no cells
+        return vectors.select(
+            "vec_id", "ed", F.lit(None).cast("long").alias("cid")
+        )
     cids = np.array([int(r["cid"]) for r in cb_rows], dtype=np.int64)
     cmat = np.array([r["cd"] for r in cb_rows], dtype=np.float64)
     c_sq = (cmat * cmat).sum(axis=1)
@@ -181,6 +185,12 @@ def train_codebook(
         .collect()
     )
     X = np.array([r["ed"] for r in rows], dtype=np.float64)  # vec_id-sorted
+    # Degenerate training sets: an empty corpus yields an empty
+    # codebook (downstream probe/search are then empty relations, not
+    # crashes); fewer rows than k yields len(X) centroids.
+    k = min(k, len(X))
+    if k == 0:
+        return spark.createDataFrame([], "cid long, cd array<double>")
     cmat = X[:k].copy()
     for _ in range(iters):
         d2 = (

@@ -60,7 +60,10 @@ def labeled_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piper_spark.sources.sinks import write_partitioned
 
     write_partitioned(docs, path, ["split", "lang"])
-    back = spark.read.parquet(path).filter(
+    # Explicit schema: an empty corpus writes a tree with no partition
+    # directories, where schema/partition inference has nothing to read
+    # — the writer's schema makes the empty read well-defined.
+    back = spark.read.schema(docs.schema).parquet(path).filter(
         (F.col("split") == "train") & F.col("lang").isin("en", "de")
     )
     return back.groupBy("lang", "split").agg(

@@ -1,0 +1,74 @@
+"""Empty-corpus robustness — every operator must be well-defined on a
+zero-row corpus (empty relation out, never a crash).
+
+This is the failure class behind the round-4 dq_quarantine advice item
+(schema inference on an empty sink) and the round-5 labeled_scan /
+sim_ann_ivf fixes (missing partition dirs; numpy axis errors on empty
+model fits). The full 156-key sweep runs out-of-band
+(scripts/check_oracle.py-style); the suite pins the RISKY classes:
+fixture-writing queries, bounded driver-side collects, numpy model
+fits, windows, LSH banding, and the multimodal decode paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from piper_spark import registry
+from piper_spark.session import TABLE_NAMES
+from tests.conftest import SF_SMOKE
+
+#: Queries that write fixtures, collect bounded model inputs, run
+#: numpy fits, or band/explode — the shapes that break on empty input.
+RISKY = [
+    "labeled_scan",
+    "source_binary",
+    "source_image_struct",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_topk",
+    "dedup_lsh_cosine",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_clusters",
+    "img_phash",
+    "img_resize",
+    "score_eval",
+    "embed_quantize",
+    "text_chunks",
+    "text_pack",
+    "text_decontam",
+    "pipeline_curate",
+    "dq_quarantine",
+    "event_funnel",
+    "win_dist",
+    "sample_mixture",
+    "ts_interp",
+    "join_bucket",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("piper_empty"))
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SMOKE}/{t}.parquet' LIMIT 0) "
+            f"TO '{os.path.join(base, t)}.parquet' (FORMAT PARQUET)"
+        )
+    return base
+
+
+#: Queries whose output is a FIXED report grid (rows exist even with
+#: zero input): event_funnel always reports its 3 steps (0 users each).
+GRID_ROWS = {"event_funnel": 3}
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_query_is_well_defined_on_empty_corpus(spark, empty_dir, name):
+    out = registry.all_queries()[name](spark, empty_dir)
+    assert out.count() == GRID_ROWS.get(name, 0)
