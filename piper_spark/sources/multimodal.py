@@ -2146,12 +2146,15 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; band_val is the bucket key at scale.
 
     Band width follows the same corpus-size rule as `dedup_lsh_cosine`
-    (functions/lsh.py `derived_band_bits`: max(16, ceil(log2(n))) from
-    one cheap count) — a FIXED 16-bit slice goes super-linear once
-    random collisions (~n²/2^bits per band) dominate, measured in
-    SCALING.md. The hash is a fixed 64 bits, so wider bands mean fewer
-    of them (64 // bits, tail bits unused); Hamming verify is a single
-    codegen'd `bit_count(xor)` — no string round-trips.
+    (functions/lsh.py `derived_band_bits`) — a FIXED 16-bit slice goes
+    super-linear once random collisions (~n²·E[p^bits] per band)
+    dominate, measured in SCALING.md. The hash is a fixed 64 bits, so
+    wider bands become four OVERLAPPING windows spread evenly across
+    it (offsets i·(64−bits)/3): band COUNT stays 4 at any width —
+    recall = P[any band clean] depends on the count — and at the
+    16-bit clamp the offsets degenerate to the disjoint (0,16,32,48)
+    geometry. Hamming verify is a single codegen'd `bit_count(xor)` —
+    no string round-trips.
 
     Rows-only by design (the DCT/median floats are not reproducible in
     SQL) — pinned instead by property tests: exact-duplicate payloads
@@ -2163,9 +2166,11 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piper_spark.functions.lsh import derived_band_bits
 
     docs = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
-    bpb = derived_band_bits(docs.count())
-    n_bands = 64 // bpb
+    bpb = min(derived_band_bits(docs.count()), 63)
     mask = (1 << bpb) - 1
+    # Four windows spread evenly over the 64 bits — disjoint at the
+    # 16-bit clamp, overlapping when the derived width is larger.
+    offsets = sorted({round(i * (64 - bpb) / 3) for i in range(4)})
     d = spread_for_decode(docs)
     hashes = d.mapInPandas(_phash_batches, schema="doc_id long, phash long").persist()
     bands = hashes.select(
@@ -2174,8 +2179,8 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("phash", b * bpb).bitwiseAND(F.lit(mask))
-                    for b in range(n_bands)
+                    F.shiftrightunsigned("phash", off).bitwiseAND(F.lit(mask))
+                    for off in offsets
                 ]
             )
         ).alias("band_id", "band_val"),
