@@ -633,3 +633,58 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.35)
         .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+#: Incremental-dedup batch boundary: docs below are the "accumulated
+#: corpus" (its hash index), docs at/above are the incoming batch.
+INCR_BOUNDARY = 250
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH existing AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < {INCR_BOUNDARY}
+),
+batch AS (
+  SELECT doc_id, md5(text) AS h, n_chars
+  FROM documents WHERE doc_id >= {INCR_BOUNDARY}
+),
+keeper AS (
+  SELECT h, min(doc_id) AS doc_id FROM batch GROUP BY h
+)
+SELECT b.doc_id, b.h, CAST(b.n_chars AS BIGINT) AS n_chars
+FROM batch b
+JOIN keeper k ON b.h = k.h AND b.doc_id = k.doc_id
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = b.h)
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the shape production pipelines run per
+    crawl batch: dedup the incoming batch against itself (keep the min
+    doc_id per content hash) AND against the accumulated corpus's hash
+    index (anti-join), emitting only genuinely-new documents. Batch =
+    doc_id ≥ {INCR_BOUNDARY}; accumulated corpus = the rest (in
+    production the index is the persisted output of prior batches,
+    bucketed by hash so this anti-join is exchange-free).
+
+    Content hash is md5 (identical string in Spark and DuckDB, so the
+    oracle is value-exact; xxhash64 differs across engines) — 16-byte
+    keys shuffle, never document bodies. Two hash shuffles (batch
+    group-by + anti-join) of hash-width rows: the same linear profile
+    as `dedup_exact_hash` in SCALING.md."""
+    d = table(spark, sf_dir, "documents")
+    existing = (
+        d.filter(F.col("doc_id") < INCR_BOUNDARY)
+        .select(F.md5(F.encode("text", "utf-8")).alias("h"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") >= INCR_BOUNDARY).select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("h"), "n_chars"
+    )
+    keeper = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        batch.join(keeper, ["h", "doc_id"])
+        .join(existing, "h", "left_anti")
+        .select("doc_id", "h", F.col("n_chars").cast("long").alias("n_chars"))
+    )

@@ -34,6 +34,7 @@ RISKY = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_incremental",
     "img_phash",
     "img_resize",
     "score_eval",
