@@ -102,7 +102,9 @@ def derived_band_bits(n_rows: int) -> int:
     the candidate equi-join and its exact-cosine verify linear; the +3
     margin pays down the constant factor (see _DERIVED_BITS_MARGIN).
     Matches the DuckDB-side derivation
-    ``GREATEST(16, CAST(ceil(log2(n)) AS INTEGER) + 3)`` exactly: log2
+    ``GREATEST(16, CAST(ceil(log2(GREATEST(n, 2))) AS INTEGER) + 3)``
+    exactly (both clamp n to ≥ 2, so an empty corpus derives the
+    16-bit floor instead of log2(0)): log2
     is correctly rounded in both engines, and the only inputs where
     ceil(log2(n)) is boundary-sensitive are exact powers of two, where
     both are exact."""
@@ -223,7 +225,7 @@ _COS_SQL = """list_sum(list_transform({a}.ed, (x, i) -> x * {b}.ed[i]))
 #: with it (n_planes = 4 × bits_per_band — band count fixed at 4).
 _DEDUP_ORACLE = """
 WITH nb AS (
-  SELECT GREATEST(16, CAST(ceil(log2(count(*))) AS INTEGER) + 3) AS bpb
+  SELECT GREATEST(16, CAST(ceil(log2(GREATEST(count(*), 2))) AS INTEGER) + 3) AS bpb
   FROM embeddings
 ),
 h AS (

@@ -95,7 +95,13 @@ GROUP BY ROLLUP(r_name, n_name)
 """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP(region, nation) customer counts — null-marker subtotal rows."""
+    """ROLLUP(region, nation) customer counts — null-marker subtotal rows.
+
+    Known engine divergence on DEGENERATE input only: Spark's rollup
+    (like its cube/grouping-sets) emits zero rows for an empty input
+    relation where ANSI/DuckDB emit the grand-total grouping-set row —
+    recorded in scripts/check_degenerate.py; both engines agree on any
+    non-empty input (oracle-pinned at sf0.001/sf0.01)."""
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")

@@ -1,0 +1,93 @@
+"""Degenerate-corpus robustness sweep: run EVERY registered query
+against an empty (0-row) and a 1-row copy of all ten tables.
+
+A zero/one-row corpus must yield well-defined (usually empty)
+relations — never schema-inference errors, numpy axis errors on empty
+model fits, or divisions by zero. This is the failure class behind
+the round-4 dq_quarantine advice item and the round-5 labeled_scan /
+train_codebook / assign_cells fixes; tests/test_empty_corpus.py pins
+the 25 riskiest shapes in the suite, this script audits all of them.
+
+Usage: python scripts/check_degenerate.py
+Exit 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from piper_spark import registry
+from piper_spark.session import TABLE_NAMES, get_spark
+
+SRC = "/root/testdata/sf0.001"
+
+#: Known engine divergence, NOT an operator bug: on an EMPTY input
+#: relation Spark's rollup()/cube() emit zero rows, while ANSI (and
+#: DuckDB) emit the grand-total grouping-set row (count=0). The
+#: one-row corpus hits the same divergence through an empty join
+#: (LIMIT-1 tables break referential integrity). Both engines agree on
+#: every non-degenerate input — the sf0.001/sf0.01 oracle gates pin
+#: that — so the divergence is recorded here instead of papered over
+#: with an artificial union-a-row branch in the operators.
+KNOWN_DIVERGENCES = {"agg_rollup", "agg_cube", "agg_gsets"}
+
+
+def materialize(base: str, limit: int) -> duckdb.DuckDBPyConnection:
+    os.makedirs(base, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet' LIMIT {limit}) "
+            f"TO '{base}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{base}/{t}.parquet'")
+    return con
+
+
+def main() -> int:
+    spark = get_spark("check-degenerate")
+    spark.sparkContext.setLogLevel("ERROR")
+    oracles = registry.all_oracles()
+    failures: list[tuple[str, str, str]] = []
+    for label, limit in (("empty", 0), ("one-row", 1)):
+        base = f"/tmp/piper_degenerate_{limit}"
+        con = materialize(base, limit)
+        for name, fn in sorted(registry.all_queries().items()):
+            try:
+                n = fn(spark, base).count()
+            except Exception as e:  # noqa: BLE001 — every crash is a finding
+                failures.append((label, name, repr(e)[:160]))
+                print(f"FAIL  [{label}] {name}: {repr(e)[:160]}")
+                continue
+            # For oracle-carrying keys, the ground truth for the
+            # degenerate row count is the ORACLE on the same tables:
+            # a global aggregate legitimately yields 1 row (count=0,
+            # NULL sums) on empty input — both engines must agree.
+            if name in oracles:
+                try:
+                    want = len(con.execute(oracles[name]).fetchall())
+                except Exception as e:  # noqa: BLE001 — oracle crash = finding
+                    failures.append((label, name, f"oracle: {repr(e)[:140]}"))
+                    print(f"FAIL  [{label}] {name}: oracle: {repr(e)[:140]}")
+                    continue
+                if n != want:
+                    if name in KNOWN_DIVERGENCES:
+                        print(
+                            f"known [{label}] {name}: spark {n} vs oracle "
+                            f"{want} rows (ANSI empty-input grouping-sets row)"
+                        )
+                        continue
+                    failures.append((label, name, f"spark {n} vs oracle {want}"))
+                    print(f"FAIL  [{label}] {name}: spark {n} vs oracle {want} rows")
+        print(f"[{label}] swept {len(registry.all_queries())} queries")
+    print(f"\n{len(failures)} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
