@@ -69,8 +69,16 @@ def main() -> None:
     run_to_noop(calib_df)
     calib_sec = round(time.perf_counter() - t0, 3)
 
+    # SPARK_GRAFT_BENCH_ORDER=reverse runs the timed loop in reverse key
+    # order — two committed runs (one per order) separate session-order
+    # effects (cache/GC inheritance, JIT warmth) from real per-query
+    # regressions (round-5 VERDICT item 1: a per-key delta that appears
+    # in only one order is session noise, not a plan change).
+    ordered = sorted(queries.items())
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
+        ordered.reverse()
     timings: dict[str, float] = {}
-    for name, fn in sorted(queries.items()):
+    for name, fn in ordered:
         t0 = time.perf_counter()
         run_to_noop(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

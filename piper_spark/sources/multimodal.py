@@ -2150,11 +2150,22 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     super-linear once random collisions (~n²·E[p^bits] per band)
     dominate, measured in SCALING.md. The hash is a fixed 64 bits, so
     wider bands become four OVERLAPPING windows spread evenly across
-    it (offsets i·(64−bits)/3): band COUNT stays 4 at any width —
-    recall = P[any band clean] depends on the count — and at the
-    16-bit clamp the offsets degenerate to the disjoint (0,16,32,48)
-    geometry. Hamming verify is a single codegen'd `bit_count(xor)` —
-    no string round-trips.
+    it (offsets i·(64−bits)/3, width clamped to ≤ 61 so the four
+    offsets are guaranteed distinct — asserted): band COUNT stays 4 at
+    any width — recall = P[any band clean] depends on the count — and
+    at the 16-bit clamp the offsets degenerate to the disjoint
+    (0,16,32,48) geometry. Hamming verify is a single codegen'd
+    `bit_count(xor)` — no string round-trips.
+
+    MULTI-PROBE candidates: one join side emits, per window, the exact
+    value PLUS its `bits` Hamming-1 neighbors, so a pair is proposed
+    when ANY window differs by ≤ 1 bit (not only by 0). At the 16-bit
+    clamp the windows are disjoint, so every pair at Hamming ≤ 6 is
+    GUARANTEED a probe hit (4 windows all ≥ 2 flips would need ≥ 8);
+    at derived widths the windows overlap and the guarantee becomes
+    the ≥ 0.97 planted-recall floor SCALING.md measures. Cost is a
+    (bits+1)× fan-out of ONE side of the candidate equi-join — rows,
+    not comparisons, so the plan stays bucketed and linear in n.
 
     Rows-only by design (the DCT/median floats are not reproducible in
     SQL) — pinned instead by property tests: exact-duplicate payloads
@@ -2164,28 +2175,57 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical images is `dedup_exact_hash`.
     """
     from piper_spark.functions.lsh import derived_band_bits
+    from piper_spark.session import row_count
 
-    docs = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
-    bpb = min(derived_band_bits(docs.count()), 63)
+    # Corpus magnitude from parquet footers — no Spark job, and the RAW
+    # documents table rather than the post-`with_payload` projection (a
+    # full text scan; empty-payload drops can't move ceil(log2 n)).
+    # Clamp ≤ 61 (tighter than derived_band_bits' own 63): 64−bpb ≥ 3
+    # guarantees the four rounded offsets below stay distinct.
+    bpb = min(derived_band_bits(row_count(spark, sf_dir, "documents")), 61)
     mask = (1 << bpb) - 1
     # Four windows spread evenly over the 64 bits — disjoint at the
     # 16-bit clamp, overlapping when the derived width is larger.
+    # Consecutive offsets differ by (64−bpb)/3 ≥ 1, and round(x+k) ==
+    # round(x)+k for integer spacing ≥ 1, so all four survive the set.
     offsets = sorted({round(i * (64 - bpb) / 3) for i in range(4)})
+    assert len(offsets) == 4, f"window geometry broke: bpb={bpb} → {offsets}"
+    docs = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
     d = spread_for_decode(docs)
     hashes = d.mapInPandas(_phash_batches, schema="doc_id long, phash long").persist()
+
+    def window(off: int):
+        return F.shiftrightunsigned("phash", off).bitwiseAND(F.lit(mask))
+
     bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.posexplode(F.array(*[window(off) for off in offsets])).alias(
+            "band_id", "band_val"
+        ),
+    )
+    # Probe side: per window, the exact value plus all bpb one-bit
+    # flips. Emitted on ONE side only — Hamming is symmetric, so probes
+    # from the a-side alone cover every (id1 < id2) pair.
+    probes = hashes.select(
         "doc_id",
         "phash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("phash", off).bitwiseAND(F.lit(mask))
+                    F.array(
+                        window(off),
+                        *[
+                            window(off).bitwiseXOR(F.lit(1 << j))
+                            for j in range(bpb)
+                        ],
+                    )
                     for off in offsets
                 ]
             )
-        ).alias("band_id", "band_val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
+        ).alias("band_id", "vals"),
+    ).select("doc_id", "phash", "band_id", F.explode("vals").alias("band_val"))
+    a, b = probes.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,

@@ -137,10 +137,17 @@ def _hwm_update(key, pdfs, state):  # pragma: no cover — runs in worker
 def transform_with_state_available() -> bool:
     """True when Spark 4's `transformWithStateInPandas` can actually run
     here: its Python driver worker imports `google.protobuf` (absent in
-    some containers, including this build's). The three custom stateful
-    ops dispatch on this — TWS when possible, applyInPandasWithState
-    otherwise — so the engine upgrades itself the moment the
-    environment gains protobuf (round-4 VERDICT item 7)."""
+    some containers, including this build's).
+
+    This is a PRECONDITION check, not the dispatch default: the three
+    custom stateful ops take `use_tws=True` as an explicit OPT-IN and
+    default to the universally-available `applyInPandasWithState`.
+    Availability-based auto-dispatch was reverted (round-5 ADVICE item
+    1): an environment gaining protobuf would silently switch
+    production ops onto a path whose parity tests have never executed
+    in CI (they skip without protobuf). Flip the defaults only after
+    tests/test_streaming.py's TWS parity tests have run green in a
+    protobuf-enabled job."""
     try:
         import google.protobuf  # noqa: F401
         from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
@@ -233,25 +240,25 @@ def _make_topk_processor():
 
 
 def stream_high_water_marks(
-    events: DataFrame, use_tws: bool | None = None
+    events: DataFrame, use_tws: bool = False
 ) -> DataFrame:
     """CUSTOM stateful operator: per-user record-setting event counts —
     state a native windowed agg can't hold (an order-dependent running
     max + counter). Batch twin: `event_hwm` (functions/sessions.py),
     oracle-checked; parity tested with the availableNow trigger.
 
-    Runs on `transformWithStateInPandas` (ValueState) when the
-    environment supports it, else `applyInPandasWithState` — same fold
-    (`_fold_hwm`), same output, dispatch via
-    `transform_with_state_available`.
+    Runs on `applyInPandasWithState` by default; `use_tws=True` opts
+    into `transformWithStateInPandas` (ValueState — same fold
+    `_fold_hwm`, same output) where the environment supports it
+    (`transform_with_state_available`). Opt-in, not auto: the TWS
+    parity tests skip without protobuf, so availability alone must not
+    select a never-verified path (round-5 ADVICE item 1).
 
     Scale notes: state is two scalars per user key, sharded across
     shuffle partitions like any keyed state; within a micro-batch the
     group's rows arrive as Arrow batches, sorted here by (ts, event_id)
     for deterministic tie-breaks.
     """
-    if use_tws is None:
-        use_tws = transform_with_state_available()
     if use_tws:
         return events.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=_make_hwm_processor(),
@@ -311,14 +318,15 @@ def _anomaly_update(key, pdfs, state):  # pragma: no cover — runs in worker
 
 
 def stream_anomaly_counts(
-    events: DataFrame, use_tws: bool | None = None
+    events: DataFrame, use_tws: bool = False
 ) -> DataFrame:
     """CUSTOM stateful operator #2: online per-user anomaly counts with
     prequential (never-look-ahead) semantics — exactly the fold the
     oracle-checked batch twin `event_anomaly_run`
     (functions/sessions.py) expresses with an exclusive-frame running
-    window; parity tested with availableNow. Dispatches to
-    `transformWithStateInPandas` when available (same `_fold_anomaly`).
+    window; parity tested with availableNow. `use_tws=True` opts into
+    `transformWithStateInPandas` (same `_fold_anomaly`); default stays
+    on the verified applyInPandasWithState path (round-5 ADVICE 1).
 
     Scale notes: state is four integers per user key (the mergeable
     moments of `agg_stats`), sharded across shuffle partitions; the
@@ -326,8 +334,6 @@ def stream_anomaly_counts(
     evaluates, so the counts agree exactly.
     """
     purchases = events.filter(F.col("event_type") == "purchase")
-    if use_tws is None:
-        use_tws = transform_with_state_available()
     if use_tws:
         return purchases.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=_make_anomaly_processor(),
@@ -381,7 +387,7 @@ def _topk_update(key, pdfs, state):  # pragma: no cover — runs in worker
 
 
 def stream_running_topk(
-    events: DataFrame, use_tws: bool | None = None
+    events: DataFrame, use_tws: bool = False
 ) -> DataFrame:
     """CUSTOM stateful operator #3: each user's running top-3 purchase
     values (scaled cents) as three longs of keyed state. Unlike the
@@ -390,15 +396,14 @@ def stream_running_topk(
     an UNORDERED fixture on purpose and still matches the
     oracle-checked batch twin `event_topk_run` exactly.
 
-    Dispatches to Spark 4's successor API (`transformWithStateInPandas`
-    ValueState — same init/fold/emit split, same `_fold_topk`) when the
-    environment has `google.protobuf`, else stays on the universally
-    available `applyInPandasWithState` (mandate: gate anything extra
-    behind availability, never hard-depend on it).
+    `use_tws=True` opts into Spark 4's successor API
+    (`transformWithStateInPandas` ValueState — same init/fold/emit
+    split, same `_fold_topk`) where the environment has
+    `google.protobuf`; the default stays on the universally available,
+    CI-verified `applyInPandasWithState` (round-5 ADVICE item 1: never
+    auto-select a path whose parity tests have not executed).
     """
     purchases = events.filter(F.col("event_type") == "purchase")
-    if use_tws is None:
-        use_tws = transform_with_state_available()
     if use_tws:
         return purchases.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=_make_topk_processor(),

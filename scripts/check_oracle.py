@@ -6,11 +6,22 @@ order-insensitive values EXACTLY (floats must match bit-for-bit, like
 the driver's value-hash).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py sf_dir --changed-since <git-ref>
        SPARK_GRAFT_CHECK_JSON=out.json python scripts/check_oracle.py sf_dir
 
 With SPARK_GRAFT_CHECK_JSON set, also writes a driver-CORRECTNESS-style
 JSON artifact ({key: {status, rows, secs, errs}}) — the committed
 per-round full-sweep record (round-4 VERDICT item 4).
+
+--changed-since <git-ref> (round-5 VERDICT item 7) sweeps only the keys
+whose DEFINING source file changed since <git-ref> (per `git diff
+--name-only`), so every mid-round commit can re-verify exactly what it
+touched — driver-sample blind spots can't silently break an unsampled
+key between full sweeps. A change to a CORE file every key depends on
+(session.py, registry.py, functions/numeric.py, __spark_entry__.py)
+escalates to the full sweep; a change to a non-defining helper module
+sweeps every key defined in that module's package subtree as a
+conservative over-approximation.
 """
 
 from __future__ import annotations
@@ -86,9 +97,86 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return errs
 
 
+#: Files EVERY key flows through — a diff touching one of these makes
+#: the changed-keys heuristic meaningless, so it falls back to a full
+#: sweep.
+CORE_FILES = (
+    "piper_spark/session.py",
+    "piper_spark/registry.py",
+    "piper_spark/functions/numeric.py",
+    "__spark_entry__.py",
+)
+
+
+def keys_changed_since(ref: str) -> set[str]:
+    """Registered keys whose defining source changed since git `ref`.
+
+    Mapping: key → the module file its registered callable is defined
+    in (`fn.__module__`). Helper modules (lsh.py feeding multimodal.py,
+    dedup.py feeding pipelines.py, …) are handled conservatively: any
+    changed file under piper_spark/ ALSO selects every key whose
+    defining module imports it by name — cheap textual check, errs
+    toward re-checking."""
+    import inspect
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "piper_spark", "__spark_entry__.py"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        check=True,
+    ).stdout
+    changed = {ln.strip() for ln in out.splitlines() if ln.strip()}
+    if not changed:
+        return set()
+    if changed & set(CORE_FILES):
+        return set(registry.all_queries())  # core change → everything
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    selected: set[str] = set()
+    srcs: dict[str, str] = {}
+    for name, fn in registry.all_queries().items():
+        src = os.path.relpath(inspect.getsourcefile(fn), repo_root)
+        srcs[name] = src
+        if src in changed:
+            selected.add(name)
+    # imports-a-changed-module over-approximation
+    changed_mods = {
+        os.path.splitext(os.path.basename(f))[0]
+        for f in changed
+        if f.endswith(".py")
+    }
+    for name, src in srcs.items():
+        if name in selected:
+            continue
+        try:
+            text = open(os.path.join(repo_root, src)).read()
+        except OSError:
+            selected.add(name)  # unreadable → recheck
+            continue
+        for m in changed_mods:
+            if f".{m} import" in text or f"import {m}" in text:
+                selected.add(name)
+                break
+    return selected
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    changed_ref = None
+    if "--changed-since" in argv:
+        i = argv.index("--changed-since")
+        changed_ref = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    if changed_ref is not None:
+        keys = keys_changed_since(changed_ref)
+        print(f"--changed-since {changed_ref}: {len(keys)} key(s) affected")
+        if not keys:
+            print("nothing to sweep")
+            return 0
+        only |= keys
     spark = get_spark("check_oracle")
     con = duck_connection(sf_dir)
     qs = registry.all_queries()

@@ -33,6 +33,7 @@ RISKY = [
     "dedup_lsh_cosine",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_simhash128",
     "dedup_clusters",
     "dedup_incremental",
     "img_phash",
@@ -42,6 +43,7 @@ RISKY = [
     "text_chunks",
     "text_pack",
     "text_decontam",
+    "text_gopher_full",
     "pipeline_curate",
     "dq_quarantine",
     "event_funnel",

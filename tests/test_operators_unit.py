@@ -425,3 +425,27 @@ def test_embed_quantize_constant_vector_and_bounds(spark):
     )
     out = df.select(code.alias("codes")).collect()[0]
     assert out.codes == [0, 0, 0, 0]
+
+
+def test_simhash128_low_half_is_the_64bit_signature(spark):
+    """simhash128's low half votes on xxhash64(w) — the SAME hash the
+    64-bit signature votes on — so sh_lo must equal sh bit-for-bit,
+    while the high half (xxhash64(w, 1)) must differ: 64 genuinely new
+    bits, not a copy."""
+    from piper_spark.functions.dedup import (
+        simhash128_signatures,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    sh64 = {r.doc_id: r.sh for r in simhash_signatures(df).collect()}
+    s128 = {r.doc_id: (r.sh_lo, r.sh_hi) for r in simhash128_signatures(df).collect()}
+    assert {k: v[0] for k, v in s128.items()} == sh64
+    assert any(v[1] != sh64[k] for k, v in s128.items())

@@ -288,3 +288,50 @@ def test_event_funnel_pathological_user_is_capped_and_exact(spark, tmp_path):
     }
     # Both users view; only user 1 clicks+purchases within the cap.
     assert out == {"step1_view": 2, "step2_click": 1, "step3_purchase": 1}
+
+
+def test_simhash_banding_is_exact_at_both_widths(spark):
+    """Pigeonhole exactness: with 4 bands and a Hamming ≤ 3 cut, EVERY
+    qualifying pair leaves ≥ 1 band untouched (4 bands all hit would
+    need ≥ 4 flips), so the banded plan's output must equal the
+    brute-force Hamming ≤ 3 pair set EXACTLY — recall by pigeonhole,
+    precision by the verify filter. Runs at BOTH signature widths, and
+    pins the containment: a 128-bit pair is necessarily a 64-bit pair
+    because the low half IS the 64-bit signature."""
+    from piper_spark.functions.dedup import (
+        dedup_simhash,
+        dedup_simhash128,
+        simhash128_signatures,
+        simhash_signatures,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+
+    sigs = {r.doc_id: r.sh for r in simhash_signatures(docs).collect()}
+    want64 = {
+        (i, j)
+        for i in sigs
+        for j in sigs
+        if i < j and ham(sigs[i], sigs[j]) <= 3
+    }
+    got64 = {(r.id1, r.id2) for r in dedup_simhash(spark, SF_SMOKE).collect()}
+    assert got64 == want64
+    assert want64, "fixture must contain at least one near-dup pair"
+
+    s128 = {
+        r.doc_id: (r.sh_lo, r.sh_hi)
+        for r in simhash128_signatures(docs).collect()
+    }
+    want128 = {
+        (i, j)
+        for i in s128
+        for j in s128
+        if i < j
+        and ham(s128[i][0], s128[j][0]) + ham(s128[i][1], s128[j][1]) <= 3
+    }
+    got128 = {
+        (r.id1, r.id2) for r in dedup_simhash128(spark, SF_SMOKE).collect()
+    }
+    assert got128 == want128
+    assert want128 <= want64  # low half == 64-bit signature ⇒ containment
