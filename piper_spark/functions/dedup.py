@@ -793,3 +793,92 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(existing, "h", "left_anti")
         .select("doc_id", "h", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+#: Winnowing candidate-pair knobs: drop fingerprints appearing in more
+#: than WINNOW_MAX_DF documents (boilerplate/stop-gram buckets — the
+#: standard df-cap that bounds the self-join's per-bucket fan-out),
+#: and require >= WINNOW_MIN_SHARED shared rare fingerprints per pair.
+WINNOW_MAX_DF, WINNOW_MIN_SHARED = 20, 3
+
+from piper_spark.functions.text import _WINNOW_FPS_SQL  # noqa: E402
+
+
+@register(
+    "dedup_winnow",
+    oracle=f"""
+WITH toks AS ({_WINNOW_FPS_SQL}),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+), f AS (
+  SELECT doc_id, fp FROM fps JOIN rare USING (fp)
+), cand AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(w) - 1, 2))]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT id1, id2, shared,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+FROM cand JOIN sh x ON x.doc_id = cand.id1
+          JOIN sh y ON y.doc_id = cand.id2
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+""",
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs by SHARED WINNOWING FINGERPRINTS
+    (Schleimer et al. 2003) — the guarantee-backed third member of the
+    near-dup text family: unlike MinHash (probabilistic) or SimHash
+    (Hamming ball), any pair sharing one >= 6-word run shares a
+    fingerprint BY CONSTRUCTION, so overlap-style duplication (quoted
+    passages, template reuse) cannot be missed by bad luck.
+
+    Shape: zero-shuffle fingerprinting (`winnow_fps`) → df-cap the fp
+    relation (one hash agg; kills boilerplate buckets) → self equi-join
+    ON fp (bucketed; per-bucket fan-out <= C(WINNOW_MAX_DF, 2) pairs)
+    → pair hash-agg with a shared-count threshold → exact shingle-
+    Jaccard VERIFY on the surviving candidates (two id-keyed joins back
+    to the shingle arrays; candidate volume is already bounded by the
+    df-cap, so the verify never sees all-pairs — same candidates-then-
+    verify discipline as `dedup_lsh_cosine`). At 100 TB every stage is
+    a keyed shuffle of 8-byte fingerprints or doc ids."""
+    from piper_spark.functions.text import winnow_fps
+
+    docs = table(spark, sf_dir, "documents")
+    fps = winnow_fps(docs)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("fp")
+    )
+    f = fps.join(rare, "fp")
+    a, b = f.alias("a"), f.alias("b")
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+    sh = docs.select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
+    union = F.size(F.array_union(F.col("x.sh"), F.col("y.sh")))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(x, F.col("x.doc_id") == F.col("id1"))
+        .join(y, F.col("y.doc_id") == F.col("id2"))
+        .filter(jac >= 0.5)
+        .select("id1", "id2", "shared", F.round(jac, 4).alias("jaccard"))
+    )

@@ -821,3 +821,183 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_pack.cast("long").alias("pack_id"),
         (last_pack - first_pack + 1).cast("long").alias("spans"),
     )
+
+
+#: Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): k-word grams,
+#: window of WINNOW_W consecutive gram hashes, keep each window's min.
+#: K matches dedup_jaccard_shingle's shingle width so the two views of
+#: "near duplicate" are comparable; W=4 gives the ~2/(W+1) fingerprint
+#: density the paper derives (guarantee threshold t = W + K - 1 = 6
+#: words: any shared run of >= 6 words shares >= 1 fingerprint).
+WINNOW_K, WINNOW_W = 3, 4
+
+
+def _winnow_word_hash(x: Column) -> Column:
+    """Per-word integer code from arithmetic both engines share
+    (length/ascii — the text_fingerprint recipe), so winnowing stays
+    oracle-checkable; the production variant would use xxhash64."""
+    return (
+        F.length(x).cast("long") * 131
+        + F.ascii(F.substring(x, 1, 1)).cast("long") * 31
+        + F.ascii(x.substr(F.length(x), F.lit(1))).cast("long")
+    )
+
+
+def winnow_fps(d: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints — ZERO-shuffle scan-bound
+    per-row HOFs: word-hash array → rolling k-gram hash array → per-
+    window array_min → array_distinct → explode. No Python, no window
+    exchange: the whole selection runs inside whole-stage codegen, so
+    at 100 TB this is embarrassingly parallel over parquet splits.
+
+    STRUCTURED so each intermediate array is computed ONCE per row:
+    `hw` and `grams` are separate multi-referenced projections and the
+    gram hash is built with `zip_with` over shifted slices, NOT via
+    `element_at(<expr>, i)` inside a lambda — Catalyst inlines single-
+    reference expressions into lambda bodies and re-evaluates them per
+    element, which turns a 50-word doc into ~10⁵ scalar ops (measured:
+    ~0.2 s/doc). The multi-reference form keeps the whole pipeline
+    O(words) per document."""
+    w = words_col()
+    t = d.select("doc_id", F.transform(w, _winnow_word_hash).alias("hw"))
+    hw = F.col("hw")
+    ng = F.greatest(F.size(hw) - (WINNOW_K - 1), F.lit(0))
+    g12 = F.zip_with(
+        F.slice(hw, 1, ng), F.slice(hw, 2, ng), lambda x, y: x * 8191 + y
+    )
+    grams = F.zip_with(g12, F.slice(hw, 3, ng), lambda x, y: x * 8191 + y)
+    t2 = t.select("doc_id", grams.alias("grams"))
+    g = F.col("grams")
+    n_wins = F.greatest(F.size(g) - (WINNOW_W - 1), F.lit(0))
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs.
+    sel = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    mins = F.transform(sel, lambda i: F.array_min(F.slice(g, i, WINNOW_W)))
+    return t2.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+_WINNOW_FPS_SQL = """
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+), wh AS (
+  SELECT doc_id, pos,
+         CAST(length(word) AS BIGINT) * 131
+         + CAST(ascii(substring(word, 1, 1)) AS BIGINT) * 31
+         + CAST(ascii(substring(word, length(word), 1)) AS BIGINT) AS h
+  FROM toks
+), grams AS (
+  SELECT doc_id, pos,
+         (h * 8191 + lead(h, 1) OVER w) * 8191 + lead(h, 2) OVER w AS g
+  FROM wh
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), valid AS (
+  SELECT doc_id, pos, g FROM grams WHERE g IS NOT NULL
+), wins AS (
+  SELECT doc_id,
+         min(g) OVER w4 AS fp,
+         count(g) OVER w4 AS n_in_win
+  FROM valid
+  WINDOW w4 AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE n_in_win = 4
+"""
+
+
+@register(
+    "text_winnow",
+    oracle=f"""
+WITH toks AS ({_WINNOW_FPS_SQL})
+SELECT doc_id, fp FROM fps
+""",
+)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm) — the locality-guaranteed fingerprint family the
+    rolling-hash `text_fingerprint` doesn't give: any two documents
+    sharing a run of WINNOW_W + WINNOW_K - 1 = 6 words are GUARANTEED
+    to share a fingerprint, while only ~2/(W+1) of grams are kept.
+
+    The Spark plan is one parquet scan + codegen HOFs + one explode —
+    no shuffle at all (the oracle's window-function formulation is the
+    SQL mirror of the same arithmetic; per-doc array_distinct already
+    makes (doc_id, fp) globally distinct). Feeds `dedup_winnow`."""
+    return winnow_fps(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+), bg AS (
+  SELECT doc_id, word AS w1,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+), bgv AS (
+  SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL
+), bc AS (
+  SELECT w1, w2, count(*) AS c12 FROM bgv GROUP BY w1, w2
+), uc AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((bc.c12 * 1000000) // uc.c1) // count(*) AS BIGINT)
+           AS lm_score
+FROM bgv JOIN bc USING (w1, w2) JOIN uc USING (w1)
+GROUP BY doc_id
+""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score — the engine's analogue of CCNet-style
+    perplexity filtering (Wenzek et al., LREC 2020): train bigram
+    conditional frequencies ON the corpus itself, then score each
+    document by the mean scaled conditional probability
+    mean_i floor(1e6 · C(w1,w2) / C(w1·)) of its bigrams. Improbable
+    word sequences → low score; gates compose with `text_gopher_full`.
+
+    Kept as EXACT integer arithmetic (`div`, not log-prob doubles) so
+    the oracle is value-exact — the ordering is the same monotone
+    ranking a mean-log form gives for a fixed model. Shape: one explode
+    → ONE hash agg building the MODEL (bigram counts; the left-context
+    total C(w1·) is a window sum over the model relation itself —
+    model-sized, not corpus-sized, so it costs one small exchange
+    instead of a second corpus join) → one bucketed equi-join back →
+    one per-doc agg. At 100 TB the model relation shards by (w1, w2)
+    keys — never broadcast blindly (web-corpus bigram vocab is huge),
+    and the scoring join stays shuffle-bucketed and skew-safe because
+    bigram keys are near-uniform."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    n = F.size(w)
+    bigrams = F.transform(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.struct(x.alias("w1"), F.element_at(w, i + 2).alias("w2")),
+    )
+    b = d.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", "bg.w1", "bg.w2"
+    )
+    model = (
+        b.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+    )
+    return (
+        b.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum((c12 * 1000000) div c1) div count(1)")
+            .cast("long")
+            .alias("lm_score"),
+        )
+    )

@@ -335,3 +335,88 @@ def test_simhash_banding_is_exact_at_both_widths(spark):
     }
     assert got128 == want128
     assert want128 <= want64  # low half == 64-bit signature ⇒ containment
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's core guarantee (Schleimer et al. 2003 §2): any match
+    of length >= t = W + K - 1 = 6 words yields a shared fingerprint.
+    Plant doc pairs sharing exactly a 6-word run inside otherwise-
+    disjoint text and require every pair to collide."""
+    from piper_spark.functions.text import winnow_fps
+
+    shared_run = "alpha beta gamma delta epsilon zeta"
+    rows = []
+    for i in range(20):
+        left = " ".join(f"l{i}w{j}" for j in range(12))
+        right = " ".join(f"r{i}w{j}" for j in range(12))
+        rows.append((2 * i, f"{left} {shared_run} x{i}end"))
+        rows.append((2 * i + 1, f"y{i}start {shared_run} {right}"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fps(d).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for i in range(20):
+        assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} missed"
+
+
+def test_winnow_density_and_determinism(spark):
+    """Fingerprint density ~ 2/(W+1) of grams (paper §3) — loosely
+    bounded here — and the selection is a pure function of text."""
+    from piper_spark.functions.text import winnow_fps
+    from piper_spark.session import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    fps1 = sorted((r.doc_id, r.fp) for r in winnow_fps(d).collect())
+    fps2 = sorted(
+        (r.doc_id, r.fp) for r in winnow_fps(d.repartition(7)).collect()
+    )
+    assert fps1 == fps2  # partitioning-invariant
+    n_docs = d.count()
+    per_doc = len(set(fps1)) / n_docs
+    # ~50-word docs -> ~48 grams -> ~19 expected selections, minus
+    # cross-window dedup; require a sane band.
+    assert 3 <= per_doc <= 40
+
+
+def test_dedup_winnow_recall_vs_shingle_ground_truth(spark):
+    """dedup_winnow must FIND every strong shingle-Jaccard pair the
+    exact O(n²) ground truth knows about (winnowing's run-sharing
+    guarantee makes high-overlap misses structurally impossible), and
+    its own verify stage pins precision: every emitted jaccard >= 0.5."""
+    from piper_spark.functions.dedup import (
+        dedup_jaccard_shingle,
+        dedup_winnow,
+    )
+
+    truth = {
+        (r.id1, r.id2)
+        for r in dedup_jaccard_shingle(spark, SF_SMOKE).collect()
+        if r.jaccard >= 0.9
+    }
+    assert truth, "smoke corpus should contain strong near-dup pairs"
+    got = dedup_winnow(spark, SF_SMOKE).collect()
+    pairs = {(r.id1, r.id2) for r in got}
+    missed = truth - pairs
+    assert not missed, f"winnow missed strong pairs: {sorted(missed)[:5]}"
+    assert all(r.jaccard >= 0.5 for r in got)
+
+
+def test_lm_score_ranks_formulaic_text_above_shuffled(spark):
+    """A corpus of one repeated formulaic sentence + one scrambled doc:
+    the formulaic docs hit max conditional probability (every bigram
+    deterministic -> score ~ 1e6), the scrambled doc scores lower."""
+    from piper_spark.functions.text import text_lm_score
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, base) for i in range(30)]
+    rows.append((99, "dog the over quick lazy jumps fox again brown the"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import piper_spark.functions.text as T
+    from unittest import mock
+
+    with mock.patch.object(T, "table", lambda s, sf, name: d):
+        out = {r.doc_id: r.lm_score for r in text_lm_score(spark, "_").collect()}
+    assert out[0] > out[99]
+    assert all(out[i] == out[0] for i in range(30))
