@@ -2392,3 +2392,213 @@ def source_image_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_image_struct(
         spark, tree, glob="*.png", drop_invalid=True, recursive=True
     )
+
+
+#: Audio fingerprint geometry: 4-sample micro-frames (vs the 64-sample
+#: analysis frames of `audio_energy`, too coarse for short clips), one
+#: bit per consecutive-frame energy delta (the Chromaprint/Shazam
+#: "energy increases?" primitive), capped at 32 bits.
+AUDIO_FP_FRAME, AUDIO_FP_MAX_BITS = 4, 32
+#: Candidate banding for `dedup_audio`: equi-join on the low 16 bits
+#: (the clip's opening ~128 samples), verify Hamming ≤ 2 over the
+#: common-length bit prefix, gate length skew at ≤ 8 frames.
+AUDIO_FP_BAND_BITS, AUDIO_FP_MAX_HAM, AUDIO_FP_MAX_DLEN = 16, 2, 8
+
+#: Shared fingerprint CTE for both audio-fp oracles (same byte
+#: arithmetic as `audio_energy`'s proven-exact oracle, at micro-frame
+#: granularity; bit b = 1 iff frame b+1's energy exceeds frame b's).
+_AUDIO_FP_SQL = f"""
+  SELECT doc_id, text,
+         (octet_length(encode(text)) // 2) // {AUDIO_FP_FRAME} AS n_frames
+  FROM documents
+), fr AS (
+  SELECT doc_id, n_frames, text, unnest(range(0, n_frames)) AS f
+  FROM d WHERE n_frames >= 2
+), e AS (
+  SELECT doc_id, n_frames, f,
+         list_sum(list_transform(
+           list_transform(range(0, {AUDIO_FP_FRAME}),
+             i -> ord(substring(text, 2 * ({AUDIO_FP_FRAME} * f + i) + 1, 1))
+                  + 256 * ord(substring(text,
+                              2 * ({AUDIO_FP_FRAME} * f + i) + 2, 1))),
+           x -> x * x)) AS energy
+  FROM fr
+), bits AS (
+  SELECT doc_id, n_frames, f - 1 AS b,
+         CASE WHEN energy > lag(energy) OVER (PARTITION BY doc_id ORDER BY f)
+              THEN 1 ELSE 0 END AS bit
+  FROM e
+  QUALIFY f >= 1 AND f <= {AUDIO_FP_MAX_BITS}
+), fps AS (
+  SELECT doc_id,
+         CAST(least(n_frames - 1, {AUDIO_FP_MAX_BITS}) AS BIGINT) AS n_bits,
+         CAST(sum(CAST(bit AS BIGINT) * (1::BIGINT << b)) AS BIGINT) AS fp
+  FROM bits GROUP BY doc_id, n_frames
+"""
+
+
+def _audio_fp_rel(
+    spark: SparkSession, sf_dir: str, min_frames: int = 2
+) -> DataFrame:
+    """(doc_id, n_bits, fp) — shared by both registered audio-fp keys.
+
+    Pure codegen over the PCM byte arithmetic `audio_energy`'s oracle
+    already proved cross-engine-exact (sample = b0 + 256·b1 on this
+    ASCII corpus): per-micro-frame energies → sign-of-delta bit array →
+    Horner-packed int64. `en` is a MULTI-REFERENCED projection so
+    Catalyst cannot inline it into the downstream lambdas and
+    re-evaluate it per element (the text_winnow lesson); `text` is a
+    plain attribute inside the energy lambdas, so those stay O(1) per
+    sample.
+
+    `min_frames` pre-filters on the CHEAP byte-length-derived frame
+    count (n_bits ≡ n_frames − 1 ≤ {AUDIO_FP_MAX_BITS} by
+    construction): callers must never filter on the OUTPUT n_bits —
+    Catalyst pushes such a predicate below the projection and
+    substitutes the whole energy expression into it, re-evaluating the
+    HOF chain per row inside the filter (measured: turns a ~4 s pass
+    into minutes at sf0.1)."""
+    d = table(spark, sf_dir, "documents")
+    # The HOF energy fold costs ~1 ms/row interpreted — like the codec
+    # ops, it must not be hostage to a one-split input file layout.
+    t = spread_for_decode(
+        d.select(
+            "doc_id",
+            "text",
+            F.expr(
+                f"(octet_length(encode(text, 'utf-8')) div 2) div {AUDIO_FP_FRAME}"
+            ).alias("n_frames"),
+        ).filter(F.col("n_frames") >= max(min_frames, 2))
+    )
+    txt = F.col("text")
+
+    def sample_sq(f: Column, i: Column) -> Column:
+        j = (f * AUDIO_FP_FRAME + i) * 2
+        s = (
+            F.ascii(txt.substr(j + 1, F.lit(1))).cast("long")
+            + F.lit(256) * F.ascii(txt.substr(j + 2, F.lit(1))).cast("long")
+        )
+        return s * s
+
+    en = F.transform(
+        F.sequence(F.lit(0), F.col("n_frames") - 1),
+        lambda f: F.aggregate(
+            F.sequence(F.lit(0), F.lit(AUDIO_FP_FRAME - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + sample_sq(f, i),
+        ),
+    )
+    t2 = t.select("doc_id", "n_frames", en.alias("en"))
+    # n_bits from the CHEAP frame count (≡ size(en) − 1), never size(en):
+    # downstream predicates on it must stay pushable without dragging
+    # the energy expression into the filter.
+    nb = F.least(F.col("n_frames") - 1, F.lit(AUDIO_FP_MAX_BITS))
+    bits = F.zip_with(
+        F.slice(F.col("en"), 2, nb),
+        F.slice(F.col("en"), 1, nb),
+        lambda a, b: F.when(a > b, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    fp = F.aggregate(
+        F.reverse(bits), F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+    )
+    return t2.select("doc_id", nb.cast("long").alias("n_bits"), fp.alias("fp"))
+
+
+@register(
+    "audio_fingerprint",
+    oracle=f"""
+WITH d AS ({_AUDIO_FP_SQL})
+SELECT doc_id, n_bits, fp FROM fps
+""",
+)
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chromaprint-style acoustic fingerprint of the PCM audio column:
+    one bit per consecutive micro-frame energy delta ("did energy
+    rise?"), packed little-endian into an int64 — the robust-to-gain
+    primitive audio search/dedup systems hash on (AcoustID's
+    Chromaprint and Shazam's landmark hashing both reduce to local
+    spectral-energy comparisons). Completes the fingerprint × modality
+    grid: text → `text_winnow`/`text_fingerprint`, image →
+    `img_phash`, audio → here.
+
+    Exact integer arithmetic end-to-end (energies are Σ sample² of
+    b0 + 256·b1 bytes), so unlike `img_phash` (DCT floats → rows-only)
+    this carries a VALUE-EXACT DuckDB oracle. Zero shuffle: scan →
+    codegen HOF arrays → project."""
+    return _audio_fp_rel(spark, sf_dir)
+
+
+@register(
+    "dedup_audio",
+    oracle=f"""
+WITH d AS ({_AUDIO_FP_SQL})
+, f AS (
+  SELECT * FROM fps WHERE n_bits > {AUDIO_FP_BAND_BITS}
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.fp, b.fp)
+                      & ((1::BIGINT << least(a.n_bits, b.n_bits)) - 1))
+            AS BIGINT) AS hamming
+FROM f a JOIN f b
+  ON (a.fp & {(1 << AUDIO_FP_BAND_BITS) - 1})
+     = (b.fp & {(1 << AUDIO_FP_BAND_BITS) - 1})
+ AND a.doc_id < b.doc_id
+WHERE abs(a.n_bits - b.n_bits) <= {AUDIO_FP_MAX_DLEN}
+  AND bit_count(xor(a.fp, b.fp)
+                & ((1::BIGINT << least(a.n_bits, b.n_bits)) - 1))
+      <= {AUDIO_FP_MAX_HAM}
+""",
+)
+def dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate pairs by banded acoustic fingerprints —
+    the dedup × audio cell of the modality grid (text: minhash/simhash/
+    winnow; embeddings: sign-LSH; images: pHash; audio: here). Same
+    candidates-then-verify shape as every near-dup op: equi-join on the
+    low-{AUDIO_FP_BAND_BITS}-bit band (the clip's opening samples) →
+    codegen `bit_count(xor)` Hamming ≤ {AUDIO_FP_MAX_HAM} over the
+    common-length bit prefix + length-skew gate. Never all-pairs.
+
+    Documented ceiling (cf. `dedup_simhash`'s 64-bit note): a 32-bit
+    fingerprint of 4-sample micro-frames suits these short synthetic
+    clips; production audio would fingerprint longer windows (more
+    bits) and derive band width from corpus size exactly as
+    `dedup_lsh_cosine`'s `derived_band_bits` does. On sf0.01 every
+    emitted pair is a true text-payload near-dup (shingle-Jaccard
+    ≥ 0.97, pinned in tests)."""
+    # n_bits > BAND_BITS ⟺ n_frames ≥ BAND_BITS + 2, applied INSIDE the
+    # relation on the byte-length-derived frame count (see _audio_fp_rel
+    # on why filtering the output n_bits is a performance trap).
+    # persist: the self-join reads the fingerprint relation from BOTH
+    # aliases, and each downstream reference (band key + fp output)
+    # would otherwise re-evaluate the energy fold — one (doc_id,
+    # n_bits, fp) row is 24 bytes, the same signature-table persist
+    # dedup_simhash uses (caller owns the cache lifetime).
+    f = _audio_fp_rel(spark, sf_dir, min_frames=AUDIO_FP_BAND_BITS + 2).persist()
+    band = F.col("fp").bitwiseAND(F.lit((1 << AUDIO_FP_BAND_BITS) - 1))
+    a = f.select(
+        F.col("doc_id").alias("id1"),
+        F.col("n_bits").alias("nb1"),
+        F.col("fp").alias("fp1"),
+        band.alias("band"),
+    )
+    b = f.select(
+        F.col("doc_id").alias("id2"),
+        F.col("n_bits").alias("nb2"),
+        F.col("fp").alias("fp2"),
+        band.alias("band"),
+    )
+    ham = F.expr(
+        "bit_count((fp1 ^ fp2) & "
+        "(shiftleft(cast(1 as bigint), cast(least(nb1, nb2) as int)) - 1))"
+    ).cast("long")
+    return (
+        a.join(b, "band")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.col("nb1") - F.col("nb2")) <= AUDIO_FP_MAX_DLEN)
+        )
+        .select("id1", "id2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= AUDIO_FP_MAX_HAM)
+    )

@@ -351,3 +351,53 @@ def test_text_pack_shuffles_once_on_the_stream_key(spark):
     plan = plan_of(spark, "text_pack")
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert len(keys) == 1 and keys[0].startswith("lang"), keys
+
+
+def test_winnow_fingerprints_are_shuffle_free(spark):
+    """Winnowing fingerprint selection is pure per-row HOFs — the plan
+    up to the explode must contain NO Exchange (the selection scales
+    with the scan, like text_chunks)."""
+    plan = plan_of(spark, "text_winnow")
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_winnow_candidates_come_from_equi_join(spark):
+    """All three joins (df-cap, pair self-join, verify) must be hash
+    equi-joins — no cartesian/NLJ anywhere, and no Python in the
+    path."""
+    plan = plan_of(spark, "dedup_winnow")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_audio_fingerprint_spreads_then_stays_jvm_side(spark):
+    """The acoustic fingerprint is JVM-side codegen with exactly ONE
+    round-robin spread exchange (decode-cost parallelism must not be
+    hostage to the input file layout — the spread_for_decode contract);
+    no key shuffle, no Python crossing."""
+    import re
+
+    plan = plan_of(spark, "audio_fingerprint")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert len(re.findall(r"(?i)Exchange roundrobinpartitioning", plan)) == 1, plan
+
+
+def test_dedup_audio_band_join_is_equi_join(spark):
+    """Audio near-dup candidates come from the band equi-join — never
+    a cartesian — and the Hamming verify stays JVM-side."""
+    plan = plan_of(spark, "dedup_audio")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_text_lm_score_joins_model_once(spark):
+    """The LM scoring join must touch the corpus ONCE: one join of the
+    bigram stream against the model relation (whose left-context total
+    is a window over the model, not a second corpus join)."""
+    import re
+
+    plan = plan_of(spark, "text_lm_score")
+    assert "Cartesian" not in plan
+    n_joins = len(re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan))
+    assert n_joins == 1, plan

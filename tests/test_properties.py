@@ -420,3 +420,64 @@ def test_lm_score_ranks_formulaic_text_above_shuffled(spark):
         out = {r.doc_id: r.lm_score for r in text_lm_score(spark, "_").collect()}
     assert out[0] > out[99]
     assert all(out[i] == out[0] for i in range(30))
+
+
+def test_audio_fingerprint_matches_python_reference(spark):
+    """fp bits are exactly 'energy rose between consecutive 4-sample
+    micro-frames', little-endian packed — checked against an
+    independent pure-Python PCM decode on synthetic docs."""
+    import piper_spark.sources.multimodal as M
+
+    rows = [(1, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"),
+            (2, "zzzzaaaazzzzaaaazzzzaaaazzzzaaaazzzzaaaazzzz")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    from unittest import mock
+
+    with mock.patch.object(M, "table", lambda s, sf, name: d):
+        got = {r.doc_id: (r.n_bits, r.fp)
+               for r in M._audio_fp_rel(spark, "_").collect()}
+    for doc_id, text in rows:
+        raw = text.encode()
+        samples = [raw[2 * i] + 256 * raw[2 * i + 1]
+                   for i in range(len(raw) // 2)]
+        frames = [sum(s * s for s in samples[4 * f : 4 * f + 4])
+                  for f in range(len(samples) // 4)]
+        bits = [1 if frames[i + 1] > frames[i] else 0
+                for i in range(min(len(frames) - 1, 32))]
+        fp = sum(b << i for i, b in enumerate(bits))
+        assert got[doc_id] == (len(bits), fp), doc_id
+
+
+def test_dedup_audio_pairs_are_true_payload_near_dups(spark):
+    """Every emitted audio near-dup pair is a genuine text-payload
+    near-dup (word-shingle Jaccard >= 0.5), and every exact text dup
+    long enough to carry a full band appears with hamming 0."""
+    from piper_spark.session import table
+    from piper_spark.sources.multimodal import dedup_audio
+
+    got = dedup_audio(spark, SF_SMOKE).collect()
+    assert got, "smoke corpus should contain audio near-dup pairs"
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+
+    def sh(t):
+        w = t.split(" ")
+        return {tuple(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    for r in got:
+        a, b = sh(docs[r.id1]), sh(docs[r.id2])
+        j = len(a & b) / len(a | b)
+        assert j >= 0.5, (r.id1, r.id2, j)
+
+    # exact dups: same text => same fp; require the pair when long enough
+    ham0 = {(r.id1, r.id2) for r in got if r.hamming == 0}
+    by_text: dict[str, list[int]] = {}
+    for i, t in docs.items():
+        by_text.setdefault(t, []).append(i)
+    n_bits_ok = lambda t: (len(t.encode()) // 2) // 4 - 1 > 16  # noqa: E731
+    for t, ids in by_text.items():
+        if len(ids) >= 2 and n_bits_ok(t):
+            ids = sorted(ids)
+            assert (ids[0], ids[1]) in ham0, ids
