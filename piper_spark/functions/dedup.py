@@ -882,3 +882,94 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("id1", "id2", "shared", F.round(jac, 4).alias("jaccard"))
     )
+
+
+#: Substring-dedup knobs: drop grams in more than SUBSTR_MAX_DF docs
+#: (stop-gram buckets), require a diagonal run of >= SUBSTR_MIN_RUN
+#: consecutive 3-grams — i.e. a shared VERBATIM substring of
+#: SUBSTR_MIN_RUN + 2 = 10 words.
+SUBSTR_MAX_DF, SUBSTR_MIN_RUN = 20, 8
+
+from piper_spark.functions.text import _GRAM_SQL  # noqa: E402
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+WITH toks AS ({_GRAM_SQL}),
+rare AS (
+  SELECT g
+  FROM (SELECT g, count(DISTINCT doc_id) AS df FROM valid GROUP BY g)
+  WHERE df <= {SUBSTR_MAX_DF}
+), v AS (
+  SELECT doc_id, pos, g FROM valid JOIN rare USING (g)
+), m AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS p1,
+         a.pos - b.pos AS diag
+  FROM v a JOIN v b ON a.g = b.g AND a.doc_id < b.doc_id
+), runs AS (
+  SELECT id1, id2, diag,
+         p1 - row_number() OVER (PARTITION BY id1, id2, diag ORDER BY p1)
+             AS island
+  FROM m
+)
+SELECT id1, id2, CAST(max(run_len) + 2 AS BIGINT) AS max_shared_words
+FROM (SELECT id1, id2, diag, island, count(*) AS run_len
+      FROM runs GROUP BY id1, id2, diag, island)
+GROUP BY id1, id2
+HAVING max(run_len) >= {SUBSTR_MIN_RUN}
+""",
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs sharing a LONG VERBATIM SUBSTRING — the document-level
+    analogue of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): set-
+    similarity ops (Jaccard/MinHash) miss a 10-word quote inside two
+    otherwise-different documents, and winnowing only GUARANTEES one
+    shared fingerprint for it; this op measures the run itself.
+
+    Shape: positioned gram hashes (`gram_rel`, zero-shuffle) → df-cap →
+    gram equi-join (bucketed, fan-out ≤ df per gram) → the classic
+    diagonal trick: a shared run of consecutive grams lands on one
+    (id1, id2, p1 − p2) diagonal, where islands of consecutive p1
+    (p1 − row_number per diagonal) have length = run length. One
+    window over (pair, diagonal) — state bounded by matches per pair —
+    then a pair-level max. Emits max_shared_words = longest shared
+    word run. At 100 TB every stage is a keyed shuffle; no all-pairs,
+    no suffix array materialization (the trade: only runs whose grams
+    survive the df-cap are seen — exact-dup text shared by > df docs
+    is the EXACT-dedup family's job)."""
+    from pyspark.sql.window import Window
+
+    from piper_spark.functions.text import gram_rel
+
+    v = gram_rel(table(spark, sf_dir, "documents"))
+    rare = (
+        v.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= SUBSTR_MAX_DF)
+        .select("g")
+    )
+    vr = v.join(rare, "g")
+    a, b = vr.alias("a"), vr.alias("b")
+    m = (
+        a.join(b, "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.pos").alias("p1"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    win = Window.partitionBy("id1", "id2", "diag").orderBy("p1")
+    runs = m.select(
+        "id1", "id2", "diag", (F.col("p1") - F.row_number().over(win)).alias("island")
+    )
+    return (
+        runs.groupBy("id1", "id2", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("id1", "id2")
+        .agg((F.max("run_len") + 2).cast("long").alias("max_shared_words"))
+        .filter(F.col("max_shared_words") >= SUBSTR_MIN_RUN + 2)
+    )

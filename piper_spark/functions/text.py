@@ -877,7 +877,9 @@ def winnow_fps(d: DataFrame) -> DataFrame:
     return t2.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
 
 
-_WINNOW_FPS_SQL = """
+#: toks → wh → grams → valid: the positioned 3-word-gram-hash relation
+#: (doc_id, pos, g) both `text_winnow` and `dedup_substring` build on.
+_GRAM_SQL = """
   SELECT doc_id,
          generate_subscripts(string_split(text, ' '), 1) AS pos,
          unnest(string_split(text, ' ')) AS word
@@ -895,6 +897,11 @@ _WINNOW_FPS_SQL = """
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ), valid AS (
   SELECT doc_id, pos, g FROM grams WHERE g IS NOT NULL
+"""
+
+_WINNOW_FPS_SQL = (
+    _GRAM_SQL
+    + """
 ), wins AS (
   SELECT doc_id,
          min(g) OVER w4 AS fp,
@@ -905,6 +912,7 @@ _WINNOW_FPS_SQL = """
 ), fps AS (
   SELECT DISTINCT doc_id, fp FROM wins WHERE n_in_win = 4
 """
+)
 
 
 @register(
@@ -979,9 +987,13 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     w = words_col()
     n = F.size(w)
-    bigrams = F.transform(
+    # zip the array with its own shift — never element_at(w, i) inside
+    # the lambda (re-evaluates the split per element, the text_bigrams
+    # lesson).
+    bigrams = F.zip_with(
         F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
-        lambda x, i: F.struct(x.alias("w1"), F.element_at(w, i + 2).alias("w2")),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     b = d.select("doc_id", F.explode(bigrams).alias("bg")).select(
         "doc_id", "bg.w1", "bg.w2"
@@ -1000,4 +1012,147 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("lm_score"),
         )
+    )
+
+
+def gram_rel(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, g) positioned 3-word-gram hashes — the relation
+    `dedup_substring` joins on. Same zero-shuffle array pipeline as
+    `winnow_fps` (hw/grams as multi-referenced projections), finished
+    with a posexplode; pos is 1-based to mirror the SQL oracle."""
+    w = words_col()
+    t = d.select("doc_id", F.transform(w, _winnow_word_hash).alias("hw"))
+    hw = F.col("hw")
+    ng = F.greatest(F.size(hw) - (WINNOW_K - 1), F.lit(0))
+    g12 = F.zip_with(
+        F.slice(hw, 1, ng), F.slice(hw, 2, ng), lambda x, y: x * 8191 + y
+    )
+    grams = F.zip_with(g12, F.slice(hw, 3, ng), lambda x, y: x * 8191 + y)
+    return t.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+
+
+#: Cross-document boilerplate rule: a 5-word gram appearing VERBATIM in
+#: >= BOILER_DF distinct documents is boilerplate; every word position
+#: it covers is removed. (Real web corpora run this at line/paragraph
+#: granularity with higher df — Raffel et al. 2020's C4 three-sentence
+#: rule, Wenzek et al. 2020's per-shard line dedup; this corpus has no
+#: line structure, so the 5-gram window is the unit.)
+BOILER_N, BOILER_DF = 5, 3
+
+
+@register(
+    "text_boilerplate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+), g5 AS (
+  SELECT doc_id, pos,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+              || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w
+             AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), valid AS (
+  SELECT doc_id, pos, gram FROM g5 WHERE gram IS NOT NULL
+), boiler AS (
+  SELECT gram
+  FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM valid GROUP BY gram)
+  WHERE df >= {BOILER_DF}
+), hits AS (
+  SELECT DISTINCT valid.doc_id, covered.cpos
+  FROM valid JOIN boiler USING (gram),
+       LATERAL (SELECT unnest(range(valid.pos, valid.pos + {BOILER_N}))
+                AS cpos) covered
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(h.cpos) AS BIGINT) AS n_boiler_words,
+       round(CAST(count(h.cpos) AS DOUBLE) / count(*), 4) AS boiler_ratio,
+       COALESCE(array_to_string(
+         list(t.word ORDER BY t.pos) FILTER (WHERE h.cpos IS NULL), ' '),
+         '') AS cleaned
+FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.cpos = t.pos
+GROUP BY t.doc_id
+""",
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document BOILERPLATE REMOVAL — the C4/CCNet curation step
+    the per-doc quality gates can't do: find 5-word grams repeated
+    verbatim across >= {BOILER_DF} distinct documents and strip every
+    word position they cover, emitting the cleaned text plus audit
+    counts. This is a corpus TRANSFORM (rewrites documents), not a
+    pair-finder — the other half of the dedup story: near-dup ops drop
+    whole documents, this removes repeated fragments inside kept ones.
+
+    Shape: zero-shuffle gram explode → gram-keyed df agg (the boiler
+    relation) → gram equi-join back → covered-position explode +
+    distinct → (doc_id, pos)-keyed left join onto the token stream →
+    one per-doc agg that rebuilds the cleaned text ORDER-DETERMINISTIC
+    via array_sort over (pos, word, keep) structs (collect_list alone
+    has no order guarantee). Every stage is a keyed shuffle; the boiler
+    relation is corpus-derived state sharded by gram — never broadcast
+    blindly at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    toks = d.select(
+        "doc_id", F.posexplode(w).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    n5 = F.greatest(F.size(w) - (BOILER_N - 1), F.lit(0))
+    gram5 = F.transform(
+        F.sequence(F.lit(1), n5),
+        lambda i: F.concat_ws(" ", F.slice(w, i, BOILER_N)),
+    )
+    valid = d.select(
+        "doc_id",
+        F.posexplode(
+            F.when(n5 >= 1, gram5).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    boiler = (
+        valid.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_DF)
+        .select("gram")
+    )
+    hits = (
+        valid.join(boiler, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (BOILER_N - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    marked = toks.join(
+        hits,
+        (toks.doc_id == hits.doc_id) & (toks.pos == hits.cpos),
+        "left",
+    ).select(
+        toks.doc_id, toks.pos, "word", F.col("cpos").isNull().alias("keep")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("pos", "word", "keep"))
+    )
+    cleaned = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(ordered, lambda x: x.keep), lambda x: x.word
+        ),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boiler_words"),
+        F.round(
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("boiler_ratio"),
+        cleaned.alias("cleaned"),
     )

@@ -401,3 +401,21 @@ def test_text_lm_score_joins_model_once(spark):
     assert "Cartesian" not in plan
     n_joins = len(re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan))
     assert n_joins == 1, plan
+
+
+def test_dedup_substring_diagonals_are_keyed_windows(spark):
+    """The diagonal-run detection must be keyed equi-joins + a window
+    partitioned by (pair, diagonal) — no cartesian, no Python, and no
+    global (unpartitioned) window."""
+    plan = plan_of(spark, "dedup_substring")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_text_boilerplate_rebuild_is_keyed_and_jvm_side(spark):
+    """Boilerplate removal is keyed shuffles end-to-end (gram df agg,
+    gram join, position join, per-doc rebuild) — no cartesian, no
+    Python crossing."""
+    plan = plan_of(spark, "text_boilerplate")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -481,3 +481,59 @@ def test_dedup_audio_pairs_are_true_payload_near_dups(spark):
         if len(ids) >= 2 and n_bits_ok(t):
             ids = sorted(ids)
             assert (ids[0], ids[1]) in ham0, ids
+
+
+def test_dedup_substring_finds_exact_run_length(spark):
+    """Plant pairs sharing EXACTLY a 10-word verbatim run inside
+    otherwise-disjoint text: dedup_substring must report
+    max_shared_words == 10 for each, and a 9-word-run pair (below the
+    SUBSTR_MIN_RUN + 2 threshold) must be absent."""
+    import piper_spark.functions.dedup as D
+    from unittest import mock
+
+    run10 = " ".join(f"shared{j}" for j in range(10))
+    run9 = " ".join(f"nine{j}" for j in range(9))
+    rows = []
+    for i in range(5):
+        left = " ".join(f"l{i}w{j}" for j in range(15))
+        right = " ".join(f"r{i}w{j}" for j in range(15))
+        rows.append((2 * i, f"{left} {run10} l{i}tail"))
+        rows.append((2 * i + 1, f"r{i}head {run10} {right}"))
+    rows.append((100, f"{'x '.join(f'a{j}' for j in range(12))} {run9} atail"))
+    rows.append((101, f"bhead {run9} {' '.join(f'b{j}' for j in range(12))}"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(D, "table", lambda s, sf, name: d):
+        got = {(r.id1, r.id2): r.max_shared_words
+               for r in D.dedup_substring(spark, "_").collect()}
+    for i in range(5):
+        assert got.get((2 * i, 2 * i + 1)) == 10, got
+    assert (100, 101) not in got
+
+
+def test_text_boilerplate_removes_exactly_the_repeated_gram(spark):
+    """A 5-gram planted verbatim in BOILER_DF docs is removed from all
+    of them (those 5 word positions only); a 5-gram in BOILER_DF - 1
+    docs survives untouched."""
+    import piper_spark.functions.text as T
+    from unittest import mock
+
+    boiler = "alpha beta gamma delta epsilon"
+    rare = "one two three four five"
+    rows = []
+    for i in range(3):  # BOILER_DF = 3
+        uniq = " ".join(f"u{i}w{j}" for j in range(8))
+        rows.append((i, f"{uniq} {boiler} t{i}end"))
+    for i in range(2):  # below threshold
+        uniq = " ".join(f"v{i}w{j}" for j in range(8))
+        rows.append((10 + i, f"{uniq} {rare} s{i}end"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(T, "table", lambda s, sf, name: d):
+        out = {r.doc_id: r for r in T.text_boilerplate(spark, "_").collect()}
+    for i in range(3):
+        r = out[i]
+        assert r.n_boiler_words == 5, r
+        uniq = " ".join(f"u{i}w{j}" for j in range(8))
+        assert r.cleaned == f"{uniq} t{i}end", r.cleaned
+    for i in range(2):
+        r = out[10 + i]
+        assert r.n_boiler_words == 0 and rare in r.cleaned, r
