@@ -852,7 +852,12 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     a keyed shuffle of 8-byte fingerprints or doc ids."""
     from piper_spark.functions.text import winnow_fps
 
-    docs = table(spark, sf_dir, "documents")
+    # Spread before the per-row fingerprint fold (pipeline_curate
+    # pattern): a one-split test input would serialize it; at scale the
+    # input's own splits make this a cheap round-robin of ~300 B rows.
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     fps = winnow_fps(docs)
     rare = (
         fps.groupBy("fp")
@@ -943,7 +948,12 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from piper_spark.functions.text import gram_rel
 
-    v = gram_rel(table(spark, sf_dir, "documents"))
+    # Spread before the positioned-gram fold (see dedup_winnow).
+    v = gram_rel(
+        table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
     rare = (
         v.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -1096,7 +1096,13 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no order guarantee). Every stage is a keyed shuffle; the boiler
     relation is corpus-derived state sharded by gram — never broadcast
     blindly at 100 TB."""
-    d = table(spark, sf_dir, "documents")
+    # Round-robin spread before the explode-heavy map side (the
+    # pipeline_curate pattern): a one-split test input would otherwise
+    # run the gram explosion on a single core; at real scale the
+    # input's own splits make this shuffle noise next to the work.
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     w = words_col()
     toks = d.select(
         "doc_id", F.posexplode(w).alias("pos0", "word")
