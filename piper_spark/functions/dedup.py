@@ -804,10 +804,9 @@ WINNOW_MAX_DF, WINNOW_MIN_SHARED = 20, 3
 from piper_spark.functions.text import _WINNOW_FPS_SQL  # noqa: E402
 
 
-@register(
-    "dedup_winnow",
-    oracle=f"""
-WITH toks AS ({_WINNOW_FPS_SQL}),
+#: Full winnow-pair CTE chain (ends in `verified` = the value-exact
+#: near-dup pairs) — shared by `dedup_winnow` and `pipeline_near_dedup`.
+_WINNOW_PAIRS_CTES = f"""toks AS ({_WINNOW_FPS_SQL}),
 rare AS (
   SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
 ), f AS (
@@ -823,14 +822,22 @@ rare AS (
          list_distinct([array_to_string(w[i:i+2], ' ')
                         FOR i IN range(1, greatest(len(w) - 1, 2))]) AS sh
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-)
-SELECT id1, id2, shared,
-       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
-FROM cand JOIN sh x ON x.doc_id = cand.id1
-          JOIN sh y ON y.doc_id = cand.id2
-WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+), verified AS (
+  SELECT id1, id2, shared,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+  FROM cand JOIN sh x ON x.doc_id = cand.id1
+            JOIN sh y ON y.doc_id = cand.id2
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+)"""
+
+
+@register(
+    "dedup_winnow",
+    oracle=f"""
+WITH {_WINNOW_PAIRS_CTES}
+SELECT id1, id2, shared, jaccard FROM verified
 """,
 )
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,4 +989,62 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id1", "id2")
         .agg((F.max("run_len") + 2).cast("long").alias("max_shared_words"))
         .filter(F.col("max_shared_words") >= SUBSTR_MIN_RUN + 2)
+    )
+
+
+@register(
+    "pipeline_near_dedup",
+    oracle=f"""
+WITH RECURSIVE {_WINNOW_PAIRS_CTES},
+e AS (
+  SELECT id1 AS u, id2 AS v FROM verified
+  UNION ALL
+  SELECT id2 AS u, id1 AS v FROM verified
+),
+walk AS (
+  SELECT doc_id AS start, doc_id AS node FROM documents
+  UNION
+  SELECT w.start, e.v FROM walk w JOIN e ON w.node = e.u
+)
+SELECT start AS doc_id,
+       CAST(min(node) AS BIGINT) AS component,
+       CAST(CASE WHEN min(node) = start THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM walk GROUP BY start
+""",
+)
+def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END NEAR-DUPLICATE CURATION — the full production dedup
+    decision, not just candidate pairs: winnowing near-dup pairs
+    (guaranteed-recall candidates + exact Jaccard verify) → connected
+    components over the pair graph (a transitive near-dup CHAIN is one
+    cluster even when its endpoints aren't pairwise similar) → keep the
+    min-doc_id canonical per cluster. Emits every document with its
+    cluster label and the keep/drop decision — the relation a corpus
+    rebuild or an audit joins against.
+
+    This is the near-dup analogue of `pipeline_curate`'s exact-hash
+    dedup stage, composed from the same verified pieces:
+    `dedup_winnow` (df-capped fp equi-join, never all-pairs) and
+    `connected_components` (iterative min-label propagation, one keyed
+    shuffle per round, bounded driver state). The oracle walks the
+    identical graph with a recursive CTE, so the whole decision —
+    clusters AND keeps — is value-exact. At 100 TB: iterations = near-
+    dup chain diameter (short in practice), per-round cost one edge
+    join; singletons never enter the propagation loop's join (left
+    join keeps them labeled with their own id)."""
+    pairs = dedup_winnow(spark, sf_dir).select("id1", "id2")
+    edges = pairs.select(
+        F.col("id1").alias("u"), F.col("id2").alias("v")
+    ).union(pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v")))
+    verts = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    comp = connected_components(edges, verts)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.when(F.col("component") == F.col("id"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("kept"),
     )

@@ -936,9 +936,9 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fps(table(spark, sf_dir, "documents"))
 
 
-@register(
-    "text_lm_score",
-    oracle="""
+#: Per-doc bigram-LM score SQL — shared by `text_lm_score` and the
+#: CCNet-style bucket key below.
+_LM_SCORE_SQL = """
 WITH toks AS (
   SELECT doc_id,
          generate_subscripts(string_split(text, ' '), 1) AS pos,
@@ -961,7 +961,12 @@ SELECT doc_id,
            AS lm_score
 FROM bgv JOIN bc USING (w1, w2) JOIN uc USING (w1)
 GROUP BY doc_id
-""",
+"""
+
+
+@register(
+    "text_lm_score",
+    oracle=_LM_SCORE_SQL,
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score — the engine's analogue of CCNet-style
@@ -1161,4 +1166,54 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("boiler_ratio"),
         cleaned.alias("cleaned"),
+    )
+
+
+@register(
+    "text_ccnet_buckets",
+    oracle=f"""
+WITH scored AS ({_LM_SCORE_SQL}),
+cuts AS (
+  SELECT quantile_cont(CAST(lm_score AS DOUBLE), CAST(1 AS DOUBLE)/3) AS c1,
+         quantile_cont(CAST(lm_score AS DOUBLE), CAST(2 AS DOUBLE)/3) AS c2
+  FROM scored
+)
+SELECT doc_id, lm_score,
+       CASE WHEN CAST(lm_score AS DOUBLE) <= cuts.c1 THEN 'tail'
+            WHEN CAST(lm_score AS DOUBLE) <= cuts.c2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM scored, cuts
+""",
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style QUALITY TERCILES (Wenzek et al. 2020 §4.4): rank
+    every document by its LM score and label head / middle / tail by
+    the global tercile cuts — the partition CCNet publishes per shard
+    so downstream consumers can choose their quality/volume trade
+    (head-only for small high-quality runs, head+middle for the usual
+    mix). Composes on `text_lm_score`'s exact integer scores.
+
+    NOT an ntile() window: a global rank window would funnel the whole
+    corpus through one partition. The cuts are ONE tiny two-value
+    aggregate (Spark exact `percentile` and DuckDB `quantile_cont`
+    interpolate identically on the same doubles — the agg_median
+    recipe) broadcast back over a narrow map, so the corpus is never
+    globally sorted and never leaves its scan partitioning. At 100 TB
+    swap the exact percentile for `approx_percentile` (mergeable
+    sketch) — kept exact here for the oracle."""
+    scored = text_lm_score(spark, sf_dir)
+    cuts = scored.agg(
+        F.expr(
+            "percentile(cast(lm_score as double),"
+            " array(cast(1 as double)/3, cast(2 as double)/3)) AS qs"
+        )
+    ).select(F.col("qs")[0].alias("c1"), F.col("qs")[1].alias("c2"))
+    s = F.col("lm_score").cast("double")
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "lm_score",
+        F.when(s <= F.col("c1"), F.lit("tail"))
+        .when(s <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
     )

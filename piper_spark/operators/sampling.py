@@ -231,3 +231,77 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("w").alias("weight"),
         )
     )
+
+
+#: Temperature resampling knobs: α = 0.5 (square-root temperature — the
+#: sqrt is IEEE-correctly-rounded in BOTH engines, unlike pow(x, 0.7),
+#: so the oracle stays bit-exact), target volume = half the corpus,
+#: deterministic keep rule on a doc_id Knuth-hash residue.
+TEMP_TARGET_FRAC, TEMP_MOD = 0.5, 1_000_003
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z, sum(n_docs) AS n FROM counts
+), rates AS (
+  SELECT lang, n_docs,
+         least(1.0, (sqrt(CAST(n_docs AS DOUBLE)) / tot.z)
+                     * (tot.n * {TEMP_TARGET_FRAC}) / n_docs) AS rate
+  FROM counts, tot
+)
+SELECT d.lang, r.n_docs, round(r.rate, 4) AS rate,
+       CAST(sum(CASE WHEN (d.doc_id * 2654435761) % {TEMP_MOD}
+                          < CAST(floor(r.rate * {TEMP_MOD}) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r USING (lang)
+GROUP BY d.lang, r.n_docs, r.rate
+""",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED language rebalancing — the multilingual
+    training-mix sampler (mT5 / UNIMAX family): sampling mass ∝ n_l^α
+    with α = 0.5 flattens the language distribution so high-resource
+    languages stop drowning the tail, then a DETERMINISTIC per-doc keep
+    rule (Knuth multiplicative hash residue vs the language's rate)
+    realizes the mix reproducibly — rerunning selects the SAME docs, so
+    the sample is auditable and incremental batches stay consistent.
+
+    α is 0.5 (not the common 0.3/0.7) deliberately: sqrt is correctly
+    rounded in IEEE 754 in both engines while pow(x, 0.3) is libm-
+    dependent in its last ulp — the oracle stays value-exact without
+    weakening the operator's semantics. Shape: one tiny per-lang count
+    agg (≤ langs rows, broadcast back) + one narrow map — the corpus is
+    never shuffled. At 100 TB the rate table is still ≤ langs rows."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+        F.sum("n_docs").alias("n"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt(F.col("n_docs").cast("double")) / F.col("z"))
+            * (F.col("n") * TEMP_TARGET_FRAC)
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    keep = (F.col("doc_id") * 2654435761) % TEMP_MOD < F.floor(
+        F.col("rate") * TEMP_MOD
+    ).cast("long")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "rate")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept")
+        )
+        .select(
+            "lang", "n_docs", F.round("rate", 4).alias("rate"), "n_kept"
+        )
+    )

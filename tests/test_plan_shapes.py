@@ -419,3 +419,28 @@ def test_text_boilerplate_rebuild_is_keyed_and_jvm_side(spark):
     plan = plan_of(spark, "text_boilerplate")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sample_temperature_broadcasts_rates_not_corpus(spark):
+    """The per-lang rate relation (<= langs rows) must come back as a
+    broadcast join — the corpus itself is never shuffled for the
+    sampling decision — and there is no global window."""
+    plan = plan_of(spark, "sample_temperature")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_buckets_have_no_global_sort_window(spark):
+    """Tercile cuts are ONE tiny aggregate broadcast back — never an
+    ntile()/rank() window funneling the corpus through one partition.
+    (The only Window allowed is the inherited lm-score model window,
+    keyed on w1.)"""
+    import re
+
+    plan = plan_of(spark, "text_ccnet_buckets")
+    assert not re.search(r"\bntile\(", plan) and "percent_rank" not in plan
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "w1#" in line, line  # every window is model-keyed

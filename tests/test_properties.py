@@ -537,3 +537,60 @@ def test_text_boilerplate_removes_exactly_the_repeated_gram(spark):
     for i in range(2):
         r = out[10 + i]
         assert r.n_boiler_words == 0 and rare in r.cleaned, r
+
+
+def test_sample_temperature_flattens_language_mix(spark):
+    """Temperature resampling must DOWN-weight the dominant language
+    and keep rates within (0, 1]; the realized sample must land near
+    the target volume and be a deterministic function of doc_id."""
+    from piper_spark.operators.sampling import sample_temperature
+
+    rows = {r.lang: r for r in sample_temperature(spark, SF_SMOKE).collect()}
+    big = max(rows.values(), key=lambda r: r.n_docs)
+    small = min(rows.values(), key=lambda r: r.n_docs)
+    assert big.rate < small.rate  # flattening
+    assert all(0 < r.rate <= 1 for r in rows.values())
+    total = sum(r.n_docs for r in rows.values())
+    kept = sum(r.n_kept for r in rows.values())
+    assert abs(kept - 0.5 * total) / total < 0.1  # near the target frac
+    again = {r.lang: r.n_kept for r in sample_temperature(spark, SF_SMOKE).collect()}
+    assert again == {k: r.n_kept for k, r in rows.items()}  # deterministic
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark):
+    """Bucket sizes are within one tie-group of n/3 each, and bucket
+    ordering respects the score ordering (every head score >= every
+    middle score >= every tail score)."""
+    from piper_spark.functions.text import text_ccnet_buckets
+
+    rows = text_ccnet_buckets(spark, SF_SMOKE).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.bucket, []).append(r.lm_score)
+    n = len(rows)
+    assert set(by) == {"head", "middle", "tail"}
+    for b in by.values():
+        assert abs(len(b) - n / 3) <= n * 0.1  # ties can skew slightly
+    assert min(by["head"]) >= max(by["middle"]) >= min(by["middle"])
+    assert min(by["middle"]) >= max(by["tail"])
+
+
+def test_pipeline_near_dedup_keeps_one_doc_per_cluster(spark):
+    """Every cluster keeps EXACTLY its min doc_id; every dedup_winnow
+    pair ends up in one cluster; total kept + dropped = corpus size."""
+    from piper_spark.functions.dedup import dedup_winnow, pipeline_near_dedup
+    from piper_spark.session import table
+
+    rows = pipeline_near_dedup(spark, SF_SMOKE).collect()
+    n_docs = table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    comp = {r.doc_id: r.component for r in rows}
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for c, members in by_comp.items():
+        assert c == min(m.doc_id for m in members)
+        kept = [m for m in members if m.kept == 1]
+        assert len(kept) == 1 and kept[0].doc_id == c
+    for p in dedup_winnow(spark, SF_SMOKE).collect():
+        assert comp[p.id1] == comp[p.id2], (p.id1, p.id2)
