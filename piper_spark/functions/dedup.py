@@ -865,7 +865,10 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    fps = winnow_fps(docs)
+    # persist: the df-cap aggregate AND the self-join's two aliases all
+    # read the fingerprint relation — one fingerprint pass, not three
+    # (the dedup_audio signature-table lesson; caller owns the cache).
+    fps = winnow_fps(docs).persist()
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -955,12 +958,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from piper_spark.functions.text import gram_rel
 
-    # Spread before the positioned-gram fold (see dedup_winnow).
+    # Spread before the positioned-gram fold (see dedup_winnow), and
+    # persist: the df-cap aggregate + both self-join aliases read it.
     v = gram_rel(
         table(spark, sf_dir, "documents").repartition(
             spark.sparkContext.defaultParallelism
         )
-    )
+    ).persist()
     rare = (
         v.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))
