@@ -51,6 +51,18 @@ RISKY = [
     "sample_mixture",
     "ts_interp",
     "join_bucket",
+    # round-6 additions: banded/exploding fingerprint paths, persisted
+    # self-joins, an iterative CC loop, and a percentile-broadcast map.
+    "text_winnow",
+    "dedup_winnow",
+    "dedup_substring",
+    "text_lm_score",
+    "text_boilerplate",
+    "audio_fingerprint",
+    "dedup_audio",
+    "sample_temperature",
+    "text_ccnet_buckets",
+    "pipeline_near_dedup",
 ]
 
 
