@@ -841,12 +841,17 @@ SELECT id1, id2, shared, jaccard FROM verified
 """,
 )
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs by SHARED WINNOWING FINGERPRINTS
+    """NEAR-DUPLICATE DOCUMENT pairs by SHARED WINNOWING FINGERPRINTS
     (Schleimer et al. 2003) — the guarantee-backed third member of the
     near-dup text family: unlike MinHash (probabilistic) or SimHash
     (Hamming ball), any pair sharing one >= 6-word run shares a
-    fingerprint BY CONSTRUCTION, so overlap-style duplication (quoted
-    passages, template reuse) cannot be missed by bad luck.
+    fingerprint BY CONSTRUCTION, so the CANDIDATE stage cannot miss
+    overlap by bad luck. The verify stage then scopes the OUTPUT to
+    near-duplicate documents (whole-doc shingle-Jaccard >= 0.5): a
+    short quoted passage inside two otherwise-different documents
+    generates a candidate here but is deliberately NOT emitted — that
+    localized-overlap class is `dedup_substring`'s output (it reports
+    the shared run itself, with no doc-level similarity gate).
 
     Shape: zero-shuffle fingerprinting (`winnow_fps`) → df-cap the fp
     relation (one hash agg; kills boilerplate buckets) → self equi-join
@@ -940,8 +945,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue of suffix-array substring dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): set-
     similarity ops (Jaccard/MinHash) miss a 10-word quote inside two
-    otherwise-different documents, and winnowing only GUARANTEES one
-    shared fingerprint for it; this op measures the run itself.
+    otherwise-different documents, and `dedup_winnow`'s doc-level
+    Jaccard verify deliberately drops it; this op measures the run
+    itself. "Verbatim" is up to the full-char polynomial word hash
+    (WORD_HASH_MOD): a fabricated run needs SUBSTR_MIN_RUN consecutive
+    aligned word collisions at ~1e-9 each — negligible, and the reason
+    the hash folds every character (the earlier len/first/last sample
+    collided on real word pairs and could inflate run lengths).
 
     Shape: positioned gram hashes (`gram_rel`, zero-shuffle) → df-cap →
     gram equi-join (bucketed, fan-out ≤ df per gram) → the classic
@@ -1036,7 +1046,10 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup chain diameter (short in practice), per-round cost one edge
     join; singletons never enter the propagation loop's join (left
     join keeps them labeled with their own id)."""
-    pairs = dedup_winnow(spark, sf_dir).select("id1", "id2")
+    # persist: the union embeds the pair relation twice (forward +
+    # reversed edges) — without this the whole winnow candidate+verify
+    # subtree would evaluate once per branch.
+    pairs = dedup_winnow(spark, sf_dir).select("id1", "id2").persist()
     edges = pairs.select(
         F.col("id1").alias("u"), F.col("id2").alias("v")
     ).union(pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v")))

@@ -832,23 +832,32 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K, WINNOW_W = 3, 4
 
 
+#: Word-hash modulus (prime): full-character polynomial fold
+#: (acc·31 + char) mod P — every character participates, so distinct
+#: words collide with probability ~1/P (the previous len/first/last
+#: sample collided on real word pairs like 'and'/'add' and the scale
+#: corpora's 'alpha12'/'alpha32', which could inflate dedup_substring
+#: run lengths with no verify stage to catch it). 31 and P are shared
+#: constants across engines; Spark aggregate ≡ DuckDB list_reduce.
+WORD_HASH_MOD = 1_000_000_007
+
+
 def _winnow_word_hash(x: Column) -> Column:
-    """Per-word integer code from arithmetic both engines share
-    (length/ascii — the text_fingerprint recipe), so winnowing stays
-    oracle-checkable; the production variant would use xxhash64."""
-    return (
-        F.length(x).cast("long") * 131
-        + F.ascii(F.substring(x, 1, 1)).cast("long") * 31
-        + F.ascii(x.substr(F.length(x), F.lit(1))).cast("long")
+    """Full-char polynomial word hash from arithmetic both engines
+    share (ascii/substring fold), so winnowing stays oracle-checkable;
+    the production variant would use xxhash64. acc stays < P·31 + 255
+    — no int64 overflow at any word length."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(x)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 31 + F.ascii(x.substr(i, F.lit(1))).cast("long"))
+        % WORD_HASH_MOD,
     )
 
 
-def winnow_fps(d: DataFrame) -> DataFrame:
-    """(doc_id, fp) winnowing fingerprints — ZERO-shuffle scan-bound
-    per-row HOFs: word-hash array → rolling k-gram hash array → per-
-    window array_min → array_distinct → explode. No Python, no window
-    exchange: the whole selection runs inside whole-stage codegen, so
-    at 100 TB this is embarrassingly parallel over parquet splits.
+def _gram_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, grams) — the rolling 3-word-gram hash array both
+    `winnow_fps` and `gram_rel` build on.
 
     STRUCTURED so each intermediate array is computed ONCE per row:
     `hw` and `grams` are separate multi-referenced projections and the
@@ -857,7 +866,7 @@ def winnow_fps(d: DataFrame) -> DataFrame:
     reference expressions into lambda bodies and re-evaluates them per
     element, which turns a 50-word doc into ~10⁵ scalar ops (measured:
     ~0.2 s/doc). The multi-reference form keeps the whole pipeline
-    O(words) per document."""
+    O(chars) per document."""
     w = words_col()
     t = d.select("doc_id", F.transform(w, _winnow_word_hash).alias("hw"))
     hw = F.col("hw")
@@ -866,7 +875,17 @@ def winnow_fps(d: DataFrame) -> DataFrame:
         F.slice(hw, 1, ng), F.slice(hw, 2, ng), lambda x, y: x * 8191 + y
     )
     grams = F.zip_with(g12, F.slice(hw, 3, ng), lambda x, y: x * 8191 + y)
-    t2 = t.select("doc_id", grams.alias("grams"))
+    return t.select("doc_id", grams.alias("grams"))
+
+
+def winnow_fps(d: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints — ZERO-shuffle scan-bound
+    per-row HOFs: word-hash array → rolling k-gram hash array → per-
+    window array_min → array_distinct → explode. No Python, no window
+    exchange: the whole selection runs inside whole-stage codegen, so
+    at 100 TB this is embarrassingly parallel over parquet splits.
+    See `_gram_arrays` for the expression-structure constraints."""
+    t2 = _gram_arrays(d)
     g = F.col("grams")
     n_wins = F.greatest(F.size(g) - (WINNOW_W - 1), F.lit(0))
     # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs.
@@ -879,16 +898,20 @@ def winnow_fps(d: DataFrame) -> DataFrame:
 
 #: toks → wh → grams → valid: the positioned 3-word-gram-hash relation
 #: (doc_id, pos, g) both `text_winnow` and `dedup_substring` build on.
-_GRAM_SQL = """
+#: The word hash is the full-char polynomial fold (see WORD_HASH_MOD);
+#: DuckDB's list_reduce mirrors Spark's aggregate exactly.
+_GRAM_SQL = f"""
   SELECT doc_id,
          generate_subscripts(string_split(text, ' '), 1) AS pos,
          unnest(string_split(text, ' ')) AS word
   FROM documents
 ), wh AS (
   SELECT doc_id, pos,
-         CAST(length(word) AS BIGINT) * 131
-         + CAST(ascii(substring(word, 1, 1)) AS BIGINT) * 31
-         + CAST(ascii(substring(word, length(word), 1)) AS BIGINT) AS h
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(range(1, length(word) + 1),
+               i -> CAST(ord(substring(word, CAST(i AS INT), 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % {WORD_HASH_MOD}) AS h
   FROM toks
 ), grams AS (
   SELECT doc_id, pos,
@@ -1022,20 +1045,14 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def gram_rel(d: DataFrame) -> DataFrame:
     """(doc_id, pos, g) positioned 3-word-gram hashes — the relation
-    `dedup_substring` joins on. Same zero-shuffle array pipeline as
-    `winnow_fps` (hw/grams as multi-referenced projections), finished
-    with a posexplode; pos is 1-based to mirror the SQL oracle."""
-    w = words_col()
-    t = d.select("doc_id", F.transform(w, _winnow_word_hash).alias("hw"))
-    hw = F.col("hw")
-    ng = F.greatest(F.size(hw) - (WINNOW_K - 1), F.lit(0))
-    g12 = F.zip_with(
-        F.slice(hw, 1, ng), F.slice(hw, 2, ng), lambda x, y: x * 8191 + y
+    `dedup_substring` joins on. The shared `_gram_arrays` pipeline
+    finished with a posexplode; pos is 1-based to mirror the SQL
+    oracle."""
+    return (
+        _gram_arrays(d)
+        .select("doc_id", F.posexplode("grams").alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
     )
-    grams = F.zip_with(g12, F.slice(hw, 3, ng), lambda x, y: x * 8191 + y)
-    return t.select(
-        "doc_id", F.posexplode(grams).alias("pos0", "g")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
 
 
 #: Cross-document boilerplate rule: a 5-word gram appearing VERBATIM in
@@ -1201,7 +1218,10 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally sorted and never leaves its scan partitioning. At 100 TB
     swap the exact percentile for `approx_percentile` (mergeable
     sketch) — kept exact here for the oracle."""
-    scored = text_lm_score(spark, sf_dir)
+    # persist: the tercile-cut aggregate AND the output map both read
+    # the scored relation — one scoring pass by construction, not by
+    # hoping Catalyst's exchange reuse fires (caller owns the cache).
+    scored = text_lm_score(spark, sf_dir).persist()
     cuts = scored.agg(
         F.expr(
             "percentile(cast(lm_score as double),"

@@ -254,7 +254,7 @@ WITH counts AS (
   FROM counts, tot
 )
 SELECT d.lang, r.n_docs, round(r.rate, 4) AS rate,
-       CAST(sum(CASE WHEN (d.doc_id * 2654435761) % {TEMP_MOD}
+       CAST(sum(CASE WHEN ((d.doc_id % 1000000007) * 2654435761) % {TEMP_MOD}
                           < CAST(floor(r.rate * {TEMP_MOD}) AS BIGINT)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents d JOIN rates r USING (lang)
@@ -292,7 +292,12 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs"),
         ).alias("rate"),
     )
-    keep = (F.col("doc_id") * 2654435761) % TEMP_MOD < F.floor(
+    # Reduce doc_id mod p BEFORE multiplying (the sample_stratified /
+    # sample_capped overflow rule): the raw product wraps int64 past
+    # doc_id ~3.5e9 — silently in Spark, an error in DuckDB — exactly
+    # at corpus scale. (x % p) * m stays < 2.66e18 and the residue
+    # stream it feeds the keep rule is unchanged for all tested ids.
+    keep = ((F.col("doc_id") % 1000000007) * 2654435761) % TEMP_MOD < F.floor(
         F.col("rate") * TEMP_MOD
     ).cast("long")
     return (

@@ -2225,7 +2225,15 @@ def img_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "vals"),
     ).select("doc_id", "phash", "band_id", F.explode("vals").alias("band_val"))
-    a, b = probes.alias("a"), bands.alias("b")
+    # shuffle_hash hint: BOTH sides are corpus-scaled (probes is a
+    # (bpb+1)×4 explode of every document), so broadcast is never the
+    # right strategy here — but Catalyst's size estimate THROUGH the
+    # explode can undershoot and pick BroadcastHashJoin, which at the
+    # 700k-doc scale corpus tried to build a ~1.3 GB driver-side table
+    # and died with notEnoughMemoryToBuildAndBroadcastTable. The hint
+    # pins the keyed shuffle join (build side = the un-probed bands,
+    # the smaller relation) at every scale.
+    a, b = probes.alias("a"), bands.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,

@@ -16,6 +16,11 @@ from tests.conftest import SF_SMOKE
 
 
 def plan_of(spark, name: str) -> str:
+    # Plans must be judged on the operator's OWN shape: a relation some
+    # earlier test persisted (e.g. text_ccnet_buckets caching its
+    # lm-score input) would otherwise splice an InMemoryRelation into
+    # this query's plan and hide the joins under test.
+    spark.catalog.clearCache()
     df = registry.all_queries()[name](spark, SF_SMOKE)
     return df._jdf.queryExecution().executedPlan().toString()
 
