@@ -891,7 +891,13 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= WINNOW_MIN_SHARED)
     )
-    sh = docs.select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
+    # persist: the verify stage reads the shingle relation from BOTH
+    # aliases (x and y) — without this the documents scan + shingle
+    # build evaluates twice, the same multi-consumer re-eval the fps
+    # persist above guards against (caller owns the cache lifetime).
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles("text")).alias("sh")
+    ).persist()
     x, y = sh.alias("x"), sh.alias("y")
     inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
     union = F.size(F.array_union(F.col("x.sh"), F.col("y.sh")))
@@ -1006,6 +1012,17 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Propagation-round bound for the REGISTERED end-to-end near-dedup op.
+#: connected_components raises (loudly, by design) when the near-dup
+#: chain diameter exceeds the bound; the registered key exposes no
+#: parameters, so the bound lives here — a deployment with longer
+#: legitimate chains raises this constant instead of editing library
+#: code. 64 rounds covers any plausible near-dup chain (each round is
+#: one bounded keyed shuffle; diameter-64 similarity chains do not
+#: occur in curated corpora without an upstream bug worth surfacing).
+NEAR_DEDUP_MAX_ITERS = 64
+
+
 @register(
     "pipeline_near_dedup",
     oracle=f"""
@@ -1056,7 +1073,7 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
     )
-    comp = connected_components(edges, verts)
+    comp = connected_components(edges, verts, max_iters=NEAR_DEDUP_MAX_ITERS)
     return comp.select(
         F.col("id").alias("doc_id"),
         "component",

@@ -846,13 +846,23 @@ def _winnow_word_hash(x: Column) -> Column:
     """Full-char polynomial word hash from arithmetic both engines
     share (ascii/substring fold), so winnowing stays oracle-checkable;
     the production variant would use xxhash64. acc stays < P·31 + 255
-    — no int64 overflow at any word length."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(x)),
-        F.lit(0).cast("long"),
-        lambda acc, i: (acc * 31 + F.ascii(x.substr(i, F.lit(1))).cast("long"))
-        % WORD_HASH_MOD,
-    )
+    — no int64 overflow at any word length.
+
+    Zero-length guard (the winnow_fps lesson): sequence(1, 0) yields
+    the DESCENDING [1, 0], so an empty word — possible under repeated/
+    leading/trailing spaces — would fold two out-of-range substr terms
+    instead of none. Both engines happen to agree (ascii('') = 0), but
+    the guard makes "empty word hashes to 0" designed, not accidental,
+    and matches the oracle's range(1, 1) = [] exactly."""
+    return F.when(
+        F.length(x) >= 1,
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, i: (acc * 31 + F.ascii(x.substr(i, F.lit(1))).cast("long"))
+            % WORD_HASH_MOD,
+        ),
+    ).otherwise(F.lit(0).cast("long"))
 
 
 def _gram_arrays(d: DataFrame) -> DataFrame:

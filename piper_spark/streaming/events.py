@@ -158,6 +158,34 @@ def transform_with_state_available() -> bool:
     return True
 
 
+class ExperimentalUnverifiedError(RuntimeError):
+    """Raised when an EXPERIMENTAL code path is requested in an
+    environment where its verification tests cannot run."""
+
+
+def _require_tws() -> None:
+    """EXPERIMENTAL-PATH FENCE for the `use_tws=True` branches.
+
+    The transformWithStateInPandas processors below have never executed
+    in this build environment (their Python worker needs
+    `google.protobuf`, absent here), so the branch is explicitly
+    quarantined (round-6 VERDICT item 2): requesting it where the
+    parity tests cannot run raises loudly instead of launching a
+    never-verified stateful job. In a protobuf-enabled deployment the
+    fence passes and tests/test_streaming.py's forced-on parity test
+    runs the path green first — keep it EXPERIMENTAL until that has
+    happened in your CI."""
+    if not transform_with_state_available():
+        raise ExperimentalUnverifiedError(
+            "use_tws=True requests the EXPERIMENTAL transformWithState "
+            "path, whose parity tests cannot run in this environment "
+            "(google.protobuf is not importable). Use the default "
+            "applyInPandasWithState path, or run in a protobuf-enabled "
+            "environment where tests/test_streaming.py's TWS parity "
+            "test passes first."
+        )
+
+
 def _make_hwm_processor():
     """StatefulProcessor (transformWithState ValueState) sharing
     `_fold_hwm` with the applyInPandasWithState path — same
@@ -260,6 +288,7 @@ def stream_high_water_marks(
     for deterministic tie-breaks.
     """
     if use_tws:
+        _require_tws()  # EXPERIMENTAL: see the fence docstring
         return events.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=_make_hwm_processor(),
             outputStructType="user_id long, n_records long",
@@ -335,6 +364,7 @@ def stream_anomaly_counts(
     """
     purchases = events.filter(F.col("event_type") == "purchase")
     if use_tws:
+        _require_tws()  # EXPERIMENTAL: see the fence docstring
         return purchases.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=_make_anomaly_processor(),
             outputStructType="user_id long, n_events long, n_flagged long",
@@ -405,6 +435,7 @@ def stream_running_topk(
     """
     purchases = events.filter(F.col("event_type") == "purchase")
     if use_tws:
+        _require_tws()  # EXPERIMENTAL: see the fence docstring
         return purchases.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=_make_topk_processor(),
             outputStructType="user_id long, top1 long, top2 long, top3 long",

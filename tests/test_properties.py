@@ -571,7 +571,7 @@ def test_ccnet_buckets_are_balanced_terciles(spark):
     assert set(by) == {"head", "middle", "tail"}
     for b in by.values():
         assert abs(len(b) - n / 3) <= n * 0.1  # ties can skew slightly
-    assert min(by["head"]) >= max(by["middle"]) >= min(by["middle"])
+    assert min(by["head"]) >= max(by["middle"])
     assert min(by["middle"]) >= max(by["tail"])
 
 
