@@ -398,6 +398,37 @@ def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_facts(table(spark, sf_dir, "documents"))
 
 
+#: Broadcast gate for the decontamination semi-join (round-6 VERDICT
+#: item 4 — the img_phash lesson applied BEFORE it bites): the eval
+#: side is usually benchmark-sized, but THIS fixture derives it as
+#: doc_id % 97 — ~1% of the corpus — which at 100 TB would be a ~1 TB
+#: driver-side build. Broadcast only when a metadata-derived bound says
+#: the hashed eval gram relation fits comfortably; otherwise pin a
+#: shuffled hash join (keyed, build = the smaller eval side). The bound
+#: is corpus row count ÷ 97 (parquet-footer read, no job) × a per-doc
+#: gram ceiling × bytes per hashed-gram build row.
+DECONTAM_EVAL_MOD = 97
+DECONTAM_GRAMS_PER_DOC_BOUND = 256
+DECONTAM_GRAM_BYTES = 32  # 8B hash + hashed-relation build overhead
+DECONTAM_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def decontam_semi_join(
+    train: DataFrame, eval_grams: DataFrame, n_corpus_docs: int, how: str
+) -> DataFrame:
+    """Join exploded train grams against the eval gram set, picking the
+    physical strategy from a SIZE BOUND instead of trusting Catalyst's
+    estimate through the explode (estimates through explodes undershoot
+    — the img_phash OOM — and here they can also OVERSHOOT into a
+    missed broadcast; the bound is derived from footer metadata, so the
+    choice is deterministic at plan time and testable)."""
+    est_eval_docs = n_corpus_docs // DECONTAM_EVAL_MOD + 1
+    est_bytes = est_eval_docs * DECONTAM_GRAMS_PER_DOC_BOUND * DECONTAM_GRAM_BYTES
+    if est_bytes <= DECONTAM_BROADCAST_MAX_BYTES:
+        return train.join(F.broadcast(eval_grams), "h", how)
+    return train.join(eval_grams.hint("shuffle_hash"), "h", how)
+
+
 @register(
     "text_decontam",
     oracle="""
@@ -425,12 +456,15 @@ def text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     a held-out benchmark). Different from near-dup dedup: asymmetric
     (corpus vs a SMALL eval set) and any-overlap, not a similarity
     threshold. Shape: explode both sides to (doc, gram), hash the
-    grams, equi-join on the hash — the eval side is benchmark-sized,
-    so at 100 TB it broadcasts and the scan-side explode is the only
-    cost; the semi-join dedups flags before the distinct. The train
-    side is round-robin repartitioned first so the explode+probe work
-    spreads across cores even when the corpus arrives as one small
-    parquet split (at real scale the input's own splits do this).
+    grams, equi-join on the hash — strategy picked by the size-gated
+    `decontam_semi_join` (broadcast when the footer-derived eval bound
+    fits, shuffled hash join otherwise — this fixture's % 97 eval set
+    scales WITH the corpus, so an unconditional broadcast would be a
+    ~1 TB build at 100 TB); the semi-join dedups flags before the
+    distinct. The train side is round-robin repartitioned first so the
+    explode+probe work spreads across cores even when the corpus
+    arrives as one small parquet split (at real scale the input's own
+    splits do this).
     """
     from piper_spark.functions.dedup import shingles
 
@@ -460,15 +494,19 @@ def text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     eval_grams = (
-        sh.filter(F.col("doc_id") % 97 == 0)
+        sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
         .select(F.explode("hs").alias("h"))
         .distinct()
     )
-    train = sh.filter(F.col("doc_id") % 97 != 0).select(
+    train = sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0).select(
         "doc_id", F.explode("hs").alias("h")
     )
+    from piper_spark.session import row_count
+
     return (
-        train.join(F.broadcast(eval_grams), "h", "left_semi")
+        decontam_semi_join(
+            train, eval_grams, row_count(spark, sf_dir, "documents"), "left_semi"
+        )
         .select("doc_id")
         .distinct()
         .orderBy("doc_id")

@@ -310,3 +310,148 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "n_docs", F.round("rate", 4).alias("rate"), "n_kept"
         )
     )
+
+
+#: UNIMAX knobs: epoch cap (max fraction of a language's data the mix
+#: may take — 1 keeps the realization a subset-keep rule; higher caps
+#: mean repetition factors, a writer concern, not a relational one) and
+#: the total budget as a corpus fraction (4/5, integer-exact).
+UNIMAX_EPOCHS, UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 1, 4, 5
+
+
+@register(
+    "sample_unimax",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), b AS (
+  SELECT (sum(n_docs) * {UNIMAX_BUDGET_NUM}) // {UNIMAX_BUDGET_DEN} AS budget
+  FROM c
+), o AS (
+  SELECT lang, n_docs,
+         {UNIMAX_EPOCHS} * n_docs AS cap,
+         row_number() OVER (ORDER BY {UNIMAX_EPOCHS} * n_docs, lang) AS r,
+         coalesce(sum({UNIMAX_EPOCHS} * n_docs) OVER (
+           ORDER BY {UNIMAX_EPOCHS} * n_docs, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+         count(*) OVER () AS k
+  FROM c
+), u AS (
+  SELECT o.*, (b.budget - cum_prev) // (k - r + 1) AS u_r FROM o, b
+), star AS (
+  SELECT min(r) AS rstar FROM u WHERE cap > u_r
+), ust AS (
+  SELECT star.rstar, u.u_r AS ustar FROM star LEFT JOIN u ON u.r = star.rstar
+), t AS (
+  SELECT lang, n_docs,
+         CASE WHEN ust.rstar IS NULL OR u.r < ust.rstar
+              THEN cap ELSE ust.ustar END AS target_kept,
+         CAST(CASE WHEN ust.rstar IS NULL OR u.r < ust.rstar
+                   THEN 1 ELSE 0 END AS BIGINT) AS capped
+  FROM u, ust
+), rn AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT rn.lang, t.n_docs, CAST(t.target_kept AS BIGINT) AS target_kept,
+       t.capped, CAST(count(*) AS BIGINT) AS n_kept
+FROM rn JOIN t USING (lang)
+WHERE rn.rn <= t.target_kept
+GROUP BY rn.lang, t.n_docs, t.target_kept, t.capped
+""",
+)
+def sample_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIMAX language sampling (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining") — `sample_temperature`'s epoch-capped sibling: instead
+    of a power-law rate, distribute a total budget UNIFORMLY across
+    languages, capping each language at UNIMAX_EPOCHS passes over its
+    data. The classic waterfill: ascending by capacity, a language whose
+    cap fits under the current uniform share takes its whole cap (the
+    tail languages — fully used, never over-repeated), and the first
+    language whose cap exceeds the share fixes the uniform level u* for
+    itself and everything larger (the head languages — truncated to u*).
+
+    Everything is integer arithmetic: budget = ⌊total·4/5⌋, shares are
+    floor divisions (the ≤ k-row remainder is deliberately dropped —
+    documented underspend, never overspend), and the realization is the
+    same deterministic Knuth-scramble rank rule as `sample_mixture`, so
+    reruns keep the SAME documents and both engines agree bit-for-bit
+    (residues reduced mod p before multiplying — the overflow rule).
+
+    Scale shape: the waterfill runs entirely on the per-language count
+    relation (≤ #languages rows — the unpartitioned windows over it are
+    broadcast-sized by construction), the target table broadcasts back,
+    and the per-row work is one source-partitioned rank window. The
+    corpus is never globally shuffled. EPOCHS > 1 changes cap to E·n
+    and the over-capacity targets into repetition factors — a writer-
+    side concern (emit ⌈t/n⌉ copies) with the same target table."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    b = c.agg(
+        F.expr(
+            f"(sum(n_docs) * {UNIMAX_BUDGET_NUM}) div {UNIMAX_BUDGET_DEN}"
+        ).alias("budget")
+    )
+    cap = (F.lit(UNIMAX_EPOCHS) * F.col("n_docs")).alias("cap")
+    # Windows over the ≤ #languages count relation: unpartitioned BY
+    # DESIGN (the relation is tiny at any corpus scale — languages, not
+    # documents).
+    wf = Window.orderBy("cap", "lang")
+    o = (
+        c.select("lang", "n_docs", cap)
+        .withColumn("r", F.row_number().over(wf))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("cap").over(
+                    wf.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("k", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    # persist: three consumers (the threshold scan, the level lookup,
+    # and the target projection) read the waterfill relation, and its
+    # LINEAGE is a corpus-sized groupBy — without this the per-language
+    # count aggregate would re-scan the corpus once per consumer. The
+    # relation itself is ≤ #languages rows (caller owns the cache).
+    u = (
+        o.crossJoin(F.broadcast(b))
+        .withColumn("u_r", F.expr("(budget - cum_prev) div (k - r + 1)"))
+        .persist()
+    )
+    star = u.filter(F.col("cap") > F.col("u_r")).agg(F.min("r").alias("rstar"))
+    ust = star.join(
+        u.select(F.col("r").alias("rstar"), F.col("u_r").alias("ustar")),
+        "rstar",
+        "left",
+    )
+    takes_cap = F.col("rstar").isNull() | (F.col("r") < F.col("rstar"))
+    t = u.crossJoin(F.broadcast(ust)).select(
+        "lang",
+        "n_docs",
+        F.when(takes_cap, F.col("cap")).otherwise(F.col("ustar")).alias(
+            "target_kept"
+        ),
+        F.when(takes_cap, 1).otherwise(0).cast("long").alias("capped"),
+    )
+    order = ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)) % F.lit(
+        1000000007
+    )
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy(order, "doc_id"))
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rn", rn)
+        .join(F.broadcast(t), "lang")
+        .filter(F.col("rn") <= F.col("target_kept"))
+        .groupBy("lang", "n_docs", "target_kept", "capped")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .select("lang", "n_docs", "target_kept", "capped", "n_kept")
+    )

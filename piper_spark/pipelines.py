@@ -325,10 +325,22 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     gated = g.filter(F.col("doc_id") % 97 != 0).persist()
+    # Size-gated strategy (decontam_semi_join): broadcast only while
+    # the footer-derived eval gram bound fits — this fixture's % 97
+    # eval set grows WITH the corpus, so an unconditional broadcast
+    # would be a ~1 TB driver-side build at 100 TB.
+    from piper_spark.functions.text import decontam_semi_join
+    from piper_spark.session import row_count
+
     contaminated = (
-        gated.select("doc_id", hs)
-        .select("doc_id", F.explode("hs").alias("h"))
-        .join(F.broadcast(eval_grams), "h", "left_semi")
+        decontam_semi_join(
+            gated.select("doc_id", hs).select(
+                "doc_id", F.explode("hs").alias("h")
+            ),
+            eval_grams,
+            row_count(spark, sf_dir, "documents"),
+            "left_semi",
+        )
         .select("doc_id")
         .distinct()
     )

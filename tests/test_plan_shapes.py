@@ -449,3 +449,42 @@ def test_ccnet_buckets_have_no_global_sort_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "w1#" in line, line  # every window is model-keyed
+
+
+def test_decontam_broadcast_is_size_gated(spark):
+    """The decontamination semi-join picks its strategy from the
+    footer-derived eval-side bound, not Catalyst's explode-blind
+    estimate: under the threshold the eval gram set broadcasts; over it
+    (forced here by zeroing the budget) the plan pins a SHUFFLED hash
+    join — no driver-side build of a corpus-scaled relation."""
+    from unittest import mock
+
+    from piper_spark.functions import text as T
+
+    spark.catalog.clearCache()
+    small = registry.all_queries()["text_decontam"](spark, SF_SMOKE)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+
+    spark.catalog.clearCache()
+    with mock.patch.object(T, "DECONTAM_BROADCAST_MAX_BYTES", 0):
+        big = registry.all_queries()["text_decontam"](spark, SF_SMOKE)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_big
+    assert "BroadcastHashJoin" not in plan_big
+
+
+def test_sample_unimax_waterfill_stays_on_the_count_relation(spark):
+    """The waterfill windows run over the per-language COUNT relation
+    (<= #languages rows), never the corpus: the only corpus-sized
+    window partitions on lang, and the target table returns by
+    broadcast."""
+    plan = plan_of(spark, "sample_unimax")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower() and "doc_id" in line:
+            # the corpus-sized rank window must shard on lang; the
+            # unpartitioned waterfill windows never see doc_id (they
+            # run over the ≤ #languages count relation).
+            assert "[lang#" in line, line

@@ -557,6 +557,60 @@ def test_sample_temperature_flattens_language_mix(spark):
     assert again == {k: r.n_kept for k, r in rows.items()}  # deterministic
 
 
+def test_sample_unimax_waterfills_the_budget(spark):
+    """UNIMAX invariants on the real corpus: every language keeps
+    min(its cap, the uniform level) — capped languages keep ALL their
+    docs, uncapped ones share one common level; total kept never
+    exceeds the ⌊4/5⌋ budget and undershoots it by less than one doc
+    per language (floor-division remainders); the realization keeps
+    exactly target_kept docs and is deterministic."""
+    from piper_spark.operators.sampling import sample_unimax
+
+    rows = {r.lang: r for r in sample_unimax(spark, SF_SMOKE).collect()}
+    total = sum(r.n_docs for r in rows.values())
+    budget = total * 4 // 5
+    kept = sum(r.n_kept for r in rows.values())
+    assert kept <= budget
+    assert budget - kept < len(rows)  # only floor remainders dropped
+    levels = set()
+    for r in rows.values():
+        assert r.n_kept == r.target_kept  # rank rule realizes exactly
+        if r.capped:
+            assert r.target_kept == r.n_docs  # full epoch of tail langs
+        else:
+            levels.add(r.target_kept)
+    assert len(levels) <= 1  # one uniform waterfill level
+    if levels:
+        (u,) = levels
+        assert all(r.n_docs >= u for r in rows.values() if not r.capped)
+        # every capped language's cap fits under the level it skipped
+        assert all(r.n_docs <= u for r in rows.values() if r.capped)
+    again = {r.lang: r.n_kept for r in sample_unimax(spark, SF_SMOKE).collect()}
+    assert again == {k: r.n_kept for k, r in rows.items()}
+
+
+def test_sample_unimax_underspent_budget_caps_everything(spark):
+    """When the budget exceeds the sum of caps, every language is
+    capped at one full epoch and the waterfill level never triggers
+    (the rstar-is-null branch)."""
+    from unittest import mock
+
+    from piper_spark.operators import sampling as S
+
+    # 3 langs, 12 docs; budget = 12*4//5 = 9 < 12 — waterfill binds.
+    # To exercise the null branch we need budget >= total caps, which
+    # the 4/5 fraction never gives at EPOCHS=1 — so shrink the corpus
+    # seen by the budget: patch UNIMAX_BUDGET_NUM/DEN to 3/2 (> 1).
+    rows = [(i, "aa" if i % 3 == 0 else ("bb" if i % 3 == 1 else "cc"))
+            for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    with mock.patch.object(S, "table", lambda s, sf, name: d), \
+         mock.patch.object(S, "UNIMAX_BUDGET_NUM", 3), \
+         mock.patch.object(S, "UNIMAX_BUDGET_DEN", 2):
+        out = {r.lang: r for r in S.sample_unimax(spark, "_").collect()}
+    assert all(r.capped == 1 and r.n_kept == r.n_docs for r in out.values())
+
+
 def test_ccnet_buckets_are_balanced_terciles(spark):
     """Bucket sizes are within one tie-group of n/3 each, and bucket
     ordering respects the score ordering (every head score >= every
