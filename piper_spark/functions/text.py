@@ -1285,3 +1285,242 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("head"))
         .alias("bucket"),
     )
+
+
+def substring_clean_rel(d: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_removed_words, cleaned) — cross-document
+    SUBSTRING REMOVAL over an arbitrary (doc_id, text) relation; the
+    reusable core of `text_substring_clean` (factored out so the
+    idempotence property test can run it on its own output).
+
+    Every stage is the keyed-shuffle machinery `dedup_substring`
+    already proved: positioned gram hashes → df-cap → gram equi-join →
+    diagonal islands; then, instead of reporting the pair, each
+    ≥ SUBSTR_MIN_RUN island is converted to the covered word span of
+    the HIGHER doc_id document and stripped with `text_boilerplate`'s
+    order-deterministic rebuild. The gram relation is persisted — the
+    df-cap aggregate and both self-join aliases read it (caller owns
+    the cache lifetime)."""
+    from pyspark.sql.window import Window
+
+    from piper_spark.functions.dedup import SUBSTR_MAX_DF, SUBSTR_MIN_RUN
+
+    spread = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    v = gram_rel(spread).persist()
+    rare = (
+        v.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= SUBSTR_MAX_DF)
+        .select("g")
+    )
+    vr = v.join(rare, "g")
+    a, b = vr.alias("a"), vr.alias("b")
+    m = (
+        a.join(b, "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.pos").alias("p1"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    win = Window.partitionBy("id1", "id2", "diag").orderBy("p1")
+    runs = m.select(
+        "id1", "id2", "diag",
+        "p1",
+        (F.col("p1") - F.row_number().over(win)).alias("island"),
+    )
+    # Island → covered word span of the HIGHER doc (p2 = p1 − diag; a
+    # 3-gram at p2 covers words p2 .. p2+2, hence the +2 on the end).
+    ext = (
+        runs.groupBy("id1", "id2", "diag", "island")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            (F.min("p1") - F.col("diag")).alias("s2"),
+            (F.max("p1") - F.col("diag") + 2).alias("e2"),
+        )
+        .filter(F.col("run_len") >= SUBSTR_MIN_RUN)
+    )
+    hits = (
+        ext.select(
+            F.col("id2").alias("doc_id"),
+            F.explode(F.sequence(F.col("s2"), F.col("e2"))).alias("cpos"),
+        )
+        .distinct()
+    )
+    w = words_col()
+    toks = spread.select(
+        "doc_id", F.posexplode(w).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    marked = toks.join(
+        hits,
+        (toks.doc_id == hits.doc_id) & (toks.pos == hits.cpos),
+        "left",
+    ).select(
+        toks.doc_id, toks.pos, "word", F.col("cpos").isNull().alias("keep")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "word", "keep")))
+    cleaned = F.concat_ws(
+        " ",
+        F.transform(F.filter(ordered, lambda x: x.keep), lambda x: x.word),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_words"),
+        cleaned.alias("cleaned"),
+    )
+
+
+def _substring_clean_oracle() -> str:
+    from piper_spark.functions.dedup import SUBSTR_MAX_DF, SUBSTR_MIN_RUN
+
+    return f"""
+WITH toks AS ({_GRAM_SQL}),
+rare AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM valid GROUP BY g)
+  WHERE df <= {SUBSTR_MAX_DF}
+), v AS (
+  SELECT doc_id, pos, g FROM valid JOIN rare USING (g)
+), m AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS p1, a.pos - b.pos AS diag
+  FROM v a JOIN v b ON a.g = b.g AND a.doc_id < b.doc_id
+), runs AS (
+  SELECT id1, id2, diag, p1,
+         p1 - row_number() OVER (PARTITION BY id1, id2, diag ORDER BY p1)
+             AS island
+  FROM m
+), ext AS (
+  SELECT id2, min(p1) - diag AS s2, max(p1) - diag + 2 AS e2
+  FROM runs GROUP BY id1, id2, diag, island
+  HAVING count(*) >= {SUBSTR_MIN_RUN}
+), hits AS (
+  SELECT DISTINCT id2 AS doc_id, cpos
+  FROM ext, LATERAL (SELECT unnest(range(s2, e2 + 1)) AS cpos) c
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(h.cpos) AS BIGINT) AS n_removed_words,
+       COALESCE(array_to_string(
+         list(t.word ORDER BY t.pos) FILTER (WHERE h.cpos IS NULL), ' '),
+         '') AS cleaned
+FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.cpos = t.pos
+GROUP BY t.doc_id
+"""
+
+
+@register("text_substring_clean", oracle=_substring_clean_oracle())
+def text_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SUBSTRING REMOVAL — the actual Lee et al. 2022
+    operation (`dedup_substring` finds the pairs; this TRANSFORMS the
+    corpus): every verbatim run of ≥ SUBSTR_MIN_RUN + 2 = 10 words
+    shared between two documents is stripped from the higher-doc_id
+    one, so exactly one copy (the lowest doc_id holder) survives —
+    the min-doc_id keeper convention every dedup op in this engine
+    uses. Emits ALL documents with audit counts and the cleaned text
+    (byte-exact vs the oracle, like `text_boilerplate`).
+
+    Complementary coverage, by df: `text_boilerplate` strips SHORT
+    (5-gram) fragments repeated across ≥ 3 docs; this op strips LONG
+    (≥ 10-word) runs whose grams appear in ≤ SUBSTR_MAX_DF docs — the
+    df-cap that keeps the gram join bucketed is exactly the boundary
+    where boilerplate removal takes over, so the two transforms
+    compose. Removal is one-sided (higher doc_id): a transitive set of
+    holders loses the run everywhere except the global minimum, since
+    every other holder is the id2 of its pair with that minimum —
+    re-running the transform on its own output is a fixed point
+    (property-tested)."""
+    return substring_clean_rel(table(spark, sf_dir, "documents"))
+
+
+#: Line-unit boilerplate: the corpus text is flat, so a deterministic
+#: "line" is synthesized IN BOTH ENGINES as consecutive LINE_WORDS-word
+#: chunks (the last line may be shorter). A line repeated verbatim in
+#: >= BOILER_DF distinct docs is removed whole — the published
+#: granularity of C4's repeated-line rule (Raffel et al. 2020) and
+#: CCNet's per-shard line dedup (Wenzek et al. 2020), which the 5-gram
+#: window of `text_boilerplate` approximates on flat text.
+LINE_WORDS = 8
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+l AS (
+  SELECT doc_id, i AS lno,
+         array_to_string(ws[{LINE_WORDS}*i+1 : {LINE_WORDS}*i+{LINE_WORDS}],
+                         ' ') AS line
+  FROM w, LATERAL (SELECT unnest(range(0, (len(ws) + {LINE_WORDS} - 1)
+                                           // {LINE_WORDS})) AS i) t
+),
+boiler AS (
+  SELECT line
+  FROM (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line)
+  WHERE df >= {BOILER_DF}
+)
+SELECT l.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(b.line) AS BIGINT) AS n_removed_lines,
+       COALESCE(array_to_string(
+         list(l.line ORDER BY l.lno) FILTER (WHERE b.line IS NULL), ' '),
+         '') AS cleaned
+FROM l LEFT JOIN boiler b ON b.line = l.line
+GROUP BY l.doc_id
+""",
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-granularity boilerplate removal — `text_boilerplate`'s
+    published-form sibling: C4 and CCNet dedup whole repeated LINES
+    (navigation bars, cookie banners), not word windows. The removal
+    unit here is the synthesized {LINE_WORDS}-word line (see
+    LINE_WORDS); a line is boilerplate when it appears verbatim, as a
+    complete aligned line, in >= BOILER_DF distinct documents, and is
+    then dropped WHOLE from every document — coarser and cheaper than
+    the word-window op (one row per LINE, not per word, in every
+    join).
+
+    Shape: zero-shuffle line chunking (HOF slice over the words array,
+    one posexplode) → line-keyed df agg → line-keyed left join → the
+    order-deterministic per-doc rebuild. At 100 TB the line relation
+    is ~n_words/{LINE_WORDS} rows sharded by line text — strictly
+    smaller than `text_boilerplate`'s per-word position relation, and
+    no covered-position explode is needed at all (lines don't
+    overlap). Real corpora with physical newlines swap the chunker for
+    split(text, '\\n') — every stage downstream is unchanged."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = d.select("doc_id", words_col().alias("ws"))
+    ws = F.col("ws")
+    nl = F.expr(f"(size(ws) + {LINE_WORDS - 1}) div {LINE_WORDS}")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * LINE_WORDS + 1, F.lit(LINE_WORDS))
+        ),
+    )
+    l = t.select("doc_id", F.posexplode(lines).alias("lno", "line"))
+    boiler = (
+        l.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_DF)
+        .select("line", F.lit(1).alias("hit"))
+    )
+    marked = l.join(boiler, "line", "left").select(
+        "doc_id", "lno", "line", F.col("hit").isNull().alias("keep")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("lno", "line", "keep")))
+    cleaned = F.concat_ws(
+        " ",
+        F.transform(F.filter(ordered, lambda x: x.keep), lambda x: x.line),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_lines"),
+        cleaned.alias("cleaned"),
+    )

@@ -63,6 +63,11 @@ RISKY = [
     "sample_temperature",
     "text_ccnet_buckets",
     "pipeline_near_dedup",
+    # round-7 additions: a waterfill over an empty count relation, a
+    # gram-join removal transform, and the size-gated decontam path.
+    "sample_unimax",
+    "text_substring_clean",
+    "text_boilerplate_lines",
 ]
 
 

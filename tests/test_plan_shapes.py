@@ -488,3 +488,16 @@ def test_sample_unimax_waterfill_stays_on_the_count_relation(spark):
             # unpartitioned waterfill windows never see doc_id (they
             # run over the ≤ #languages count relation).
             assert "[lang#" in line, line
+
+
+def test_text_substring_clean_is_keyed_end_to_end(spark):
+    """The removal transform inherits dedup_substring's shape: gram
+    candidates come from an equi-join (never cartesian), islands run
+    under (pair, diagonal)-keyed windows, and the rebuild joins on
+    (doc_id, pos) — no global sort, no corpus-wide window."""
+    plan = plan_of(spark, "text_substring_clean")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "id1#" in line or "id2#" in line, line

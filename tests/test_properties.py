@@ -648,3 +648,75 @@ def test_pipeline_near_dedup_keeps_one_doc_per_cluster(spark):
         assert len(kept) == 1 and kept[0].doc_id == c
     for p in dedup_winnow(spark, SF_SMOKE).collect():
         assert comp[p.id1] == comp[p.id2], (p.id1, p.id2)
+
+
+def test_substring_clean_removes_planted_runs_one_sided(spark):
+    """A 12-word run planted into three documents must survive ONLY in
+    the lowest doc_id holder; unrelated text is untouched; documents
+    without shared runs pass through byte-identical."""
+    from piper_spark.functions.text import substring_clean_rel
+
+    run = " ".join(f"r{j}" for j in range(12))
+    rows = []
+    for i in range(3):
+        uniq = " ".join(f"u{i}w{j}" for j in range(6))
+        rows.append((i * 10, f"{uniq} {run} t{i}end"))
+    rows.append((99, "plain doc with no shared material at all"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_clean_rel(d).collect()}
+    assert len(out) == 4
+    assert run in out[0].cleaned and out[0].n_removed_words == 0
+    for i in (10, 20):
+        assert run not in out[i].cleaned, out[i].cleaned
+        assert out[i].n_removed_words == 12
+        # the unique prefix and suffix survive the strip
+        assert out[i].cleaned.startswith(f"u{i // 10}w0")
+        assert out[i].cleaned.endswith(f"t{i // 10}end")
+    assert out[99].cleaned == "plain doc with no shared material at all"
+    assert out[99].n_removed_words == 0
+
+
+def test_substring_clean_is_idempotent_on_corpus(spark):
+    """Running the transform on its own output removes nothing more —
+    after the one-sided strip, each formerly-shared run has a single
+    holder, so the pair relation over the cleaned corpus is empty of
+    ≥ 10-word runs (fixed point on the real fixture)."""
+    from piper_spark.functions.text import substring_clean_rel
+    from piper_spark.session import table
+
+    d = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    once = substring_clean_rel(d).persist()
+    assert once.filter("n_removed_words > 0").count() > 0  # non-trivial
+    cleaned = once.select("doc_id", F.col("cleaned").alias("text"))
+    twice = substring_clean_rel(cleaned)
+    assert twice.filter("n_removed_words > 0").count() == 0
+
+
+def test_boilerplate_lines_removes_whole_repeated_lines(spark):
+    """A planted 8-word line shared by three docs is dropped WHOLE from
+    each; a line shared by only two docs survives; surrounding lines
+    are untouched (aligned-chunk line semantics)."""
+    from unittest import mock
+
+    from piper_spark.functions import text as T
+
+    boiler = " ".join(f"b{j}" for j in range(T.LINE_WORDS))
+    rare = " ".join(f"r{j}" for j in range(T.LINE_WORDS))
+    rows = []
+    for i in range(3):
+        head = " ".join(f"u{i}w{j}" for j in range(T.LINE_WORDS))
+        rows.append((i, f"{head} {boiler} tail{i}"))
+    for i in range(2):
+        head = " ".join(f"v{i}w{j}" for j in range(T.LINE_WORDS))
+        rows.append((10 + i, f"{head} {rare} s{i}"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(T, "table", lambda s, sf, name: d):
+        out = {r.doc_id: r for r in T.text_boilerplate_lines(spark, "_").collect()}
+    for i in range(3):
+        r = out[i]
+        assert r.n_lines == 3 and r.n_removed_lines == 1, r
+        head = " ".join(f"u{i}w{j}" for j in range(T.LINE_WORDS))
+        assert r.cleaned == f"{head} tail{i}", r.cleaned
+    for i in range(2):
+        r = out[10 + i]
+        assert r.n_removed_lines == 0 and rare in r.cleaned, r
