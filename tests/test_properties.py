@@ -720,3 +720,55 @@ def test_boilerplate_lines_removes_whole_repeated_lines(spark):
     for i in range(2):
         r = out[10 + i]
         assert r.n_removed_lines == 0 and rare in r.cleaned, r
+
+
+def test_dedup_video_pairs_are_true_near_dups(spark):
+    """Every emitted video near-dup pair must be a true text-payload
+    near-duplicate (shingle-Jaccard >= 0.9) — the banded frame-hash
+    path finds real dups, not 24-bit band coincidences — and the pair
+    set must be non-empty on the fixture."""
+    from piper_spark.functions.dedup import shingles
+    from piper_spark.sources.multimodal import dedup_video
+
+    pairs = [(r.id1, r.id2) for r in dedup_video(spark, SF_SMOKE).collect()]
+    assert pairs
+    d = table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.array_distinct(shingles("text")).alias("sh")
+    )
+    sh = {r.doc_id: set(r.sh) for r in d.collect()}
+    for i, j in pairs:
+        jac = len(sh[i] & sh[j]) / len(sh[i] | sh[j])
+        assert jac >= 0.9, (i, j, jac)
+
+
+def test_dedup_video_recovers_planted_perturbed_clips(spark):
+    """Planted near-dup clips — same opening frame, one luminance bump
+    in a later frame — must ALL be recovered: the band (opening-frame
+    hash) is untouched by the edit, and a single +1 byte bump moves
+    the aligned-frame Hamming by at most a few near-threshold bits,
+    far under the <= 4 gate. A clip rewritten from its first byte must
+    NOT pair with its original (different opening frame — the
+    documented miss class of opening-band geometry)."""
+    from unittest import mock
+
+    from piper_spark.sources import multimodal as M
+
+    base = "".join("abcdefgh"[(i * 7 + i // 9) % 8] for i in range(6 * 72))
+    rows = [(0, base)]
+    # 5 planted perturbed copies: bump one byte in sampled frame s >= 1
+    for k in range(1, 6):
+        pos = 144 * k // 2 + 10 + k  # inside a later frame
+        pert = base[:pos] + chr(ord(base[pos]) + 1) + base[pos + 1 :]
+        rows.append((k, pert))
+    # a fully different opening: replace the first frame's bytes
+    rows.append((50, "zzzz" * 18 + base[72:]))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(M, "table", lambda s, sf, name: d):
+        got = {
+            (r.id1, r.id2): r.hamming
+            for r in M.dedup_video(spark, "_").collect()
+        }
+    for k in range(1, 6):
+        assert (0, k) in got, (k, sorted(got))
+        assert got[(0, k)] <= M.VIDEO_FP_MAX_HAM
+    assert not any(50 in p for p in got), got
