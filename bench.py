@@ -69,23 +69,57 @@ def main() -> None:
     run_to_noop(calib_df)
     calib_sec = round(time.perf_counter() - t0, 3)
 
-    # SPARK_GRAFT_BENCH_ORDER=reverse runs the timed loop in reverse key
-    # order — two committed runs (one per order) separate session-order
-    # effects (cache/GC inheritance, JIT warmth) from real per-query
-    # regressions (round-5 VERDICT item 1: a per-key delta that appears
-    # in only one order is session noise, not a plan change).
-    ordered = sorted(queries.items())
-    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
-        ordered.reverse()
-    timings: dict[str, float] = {}
-    for name, fn in ordered:
-        t0 = time.perf_counter()
-        run_to_noop(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+    def timed_pass(reverse: bool) -> dict[str, float]:
+        ordered = sorted(queries.items())
+        if reverse:
+            ordered.reverse()
+        t: dict[str, float] = {}
+        for name, fn in ordered:
+            t0 = time.perf_counter()
+            run_to_noop(fn(spark, sf_dir))
+            t[name] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+        return t
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    def pin_payload(t: dict[str, float], order: str) -> dict:
+        return {
+            "metric": "total wall-clock for all registered queries, noop sink",
+            "value": round(sum(t.values()), 3),
+            "unit": "sec",
+            "queries": t,
+            "sf": sf_val,
+            "calib_sec": calib_sec,
+            "order": order,
+        }
+
+    # SPARK_GRAFT_BENCH_PINS=<tag> ships the round's noise-pinning
+    # artifacts by default (round-6 VERDICT item 6): TWO full timed
+    # passes, forward then reverse key order, written to
+    # BENCH_PIN_<tag>_run{1,2}.json — a per-key delta that appears in
+    # only one order is session noise (cache/GC inheritance, JIT
+    # warmth), not a plan change. The printed/BENCH_DETAIL numbers stay
+    # the forward pass, comparable with prior rounds. Without the tag,
+    # SPARK_GRAFT_BENCH_ORDER=reverse still flips the single pass (the
+    # old manual two-invocation dance).
+    pins_tag = os.environ.get("SPARK_GRAFT_BENCH_PINS")
+    here = os.path.dirname(os.path.abspath(__file__))
+    if pins_tag:
+        timings = timed_pass(reverse=False)
+        rev = timed_pass(reverse=True)
+        for run, t, order in ((1, timings, "forward"), (2, rev, "reverse")):
+            with open(
+                os.path.join(here, f"BENCH_PIN_{pins_tag}_run{run}.json"), "w"
+            ) as fh:
+                json.dump(pin_payload(t, order), fh, indent=1)
+                fh.write("\n")
+    else:
+        timings = timed_pass(
+            os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse"
+        )
 
     total = round(sum(timings.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "total wall-clock for all registered queries, noop sink",
         "value": total,
@@ -95,9 +129,7 @@ def main() -> None:
         "calib_sec": calib_sec,
     }
     # Durable copy of the per-query map, immune to stdout clipping.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)

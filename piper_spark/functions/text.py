@@ -1264,16 +1264,36 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolate identically on the same doubles — the agg_median
     recipe) broadcast back over a narrow map, so the corpus is never
     globally sorted and never leaves its scan partitioning. At 100 TB
-    swap the exact percentile for `approx_percentile` (mergeable
-    sketch) — kept exact here for the oracle."""
+    swap the exact percentile for `approx_percentile` — that path is
+    implemented (`ccnet_buckets_rel(approx=True)`), its relabeling
+    drift is banded in tests and measured at 10×/100× in SCALING.md;
+    the registered key stays exact for the oracle."""
     # persist: the tercile-cut aggregate AND the output map both read
     # the scored relation — one scoring pass by construction, not by
     # hoping Catalyst's exchange reuse fires (caller owns the cache).
     scored = text_lm_score(spark, sf_dir).persist()
+    return ccnet_buckets_rel(scored, approx=False)
+
+
+def ccnet_buckets_rel(
+    scored: DataFrame, approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """Bucket a scored relation by global tercile cuts. `approx=True`
+    is the 100 TB path the registered key's docstring promises:
+    `approx_percentile`'s mergeable KLL-style sketch replaces the exact
+    `percentile` (whose per-partition state is the value multiset) —
+    same single two-value aggregate broadcast back, no global sort
+    either way. The swap moves the CUTS by at most the sketch's rank
+    error (≤ n/accuracy ranks), relabeling only documents whose score
+    sits between the exact and sketched cut — a drift fraction bounded
+    in tests and measured at 10×/100× in SCALING.md, so the recipe is
+    evidence, not prose."""
+    fn = "approx_percentile" if approx else "percentile"
+    acc = f", {accuracy}" if approx else ""
     cuts = scored.agg(
         F.expr(
-            "percentile(cast(lm_score as double),"
-            " array(cast(1 as double)/3, cast(2 as double)/3)) AS qs"
+            f"{fn}(cast(lm_score as double),"
+            f" array(cast(1 as double)/3, cast(2 as double)/3){acc}) AS qs"
         )
     ).select(F.col("qs")[0].alias("c1"), F.col("qs")[1].alias("c2"))
     s = F.col("lm_score").cast("double")

@@ -772,3 +772,37 @@ def test_dedup_video_recovers_planted_perturbed_clips(spark):
         assert (0, k) in got, (k, sorted(got))
         assert got[(0, k)] <= M.VIDEO_FP_MAX_HAM
     assert not any(50 in p for p in got), got
+
+
+def test_ccnet_approx_buckets_drift_is_banded(spark):
+    """The approx_percentile swap (the documented 100 TB path) must
+    relabel only a banded fraction of documents vs the exact terciles:
+    at the default accuracy the sketch's rank error is <= n/accuracy,
+    so on any corpus where n << accuracy the buckets must match
+    EXACTLY; at a deliberately coarse accuracy the drift stays under
+    the rank-error bound n_relabel <= 2 * ceil(n / accuracy) + ties."""
+    from piper_spark.functions.text import ccnet_buckets_rel, text_lm_score
+
+    scored = text_lm_score(spark, SF_SMOKE).persist()
+    exact = {r.doc_id: r.bucket for r in ccnet_buckets_rel(scored).collect()}
+    n = len(exact)
+    approx = {
+        r.doc_id: r.bucket
+        for r in ccnet_buckets_rel(scored, approx=True).collect()
+    }
+    # n=500 << accuracy=10000 removes SKETCH error entirely, but one
+    # systematic difference remains: approx_percentile returns an order
+    # STATISTIC while percentile INTERPOLATES between the two straddling
+    # values — so only docs whose score falls strictly between them can
+    # relabel: at most one tie-group per cut.
+    small_drift = sum(1 for k in exact if approx[k] != exact[k]) / n
+    assert small_drift <= 2 / n * 2, small_drift
+    coarse = {
+        r.doc_id: r.bucket
+        for r in ccnet_buckets_rel(scored, approx=True, accuracy=50).collect()
+    }
+    drift = sum(1 for k in exact if coarse[k] != exact[k]) / n
+    # two cuts, each off by <= n/accuracy ranks, plus tie-groups at the
+    # displaced cuts; 20% is a loose ceiling for accuracy=50 (rank
+    # error n/50 = 2% per cut before ties).
+    assert drift <= 0.2, drift
