@@ -1544,3 +1544,67 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed_lines"),
         cleaned.alias("cleaned"),
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         '  ' || upper(substring(text, 1, 1 + CAST(doc_id % 7 AS INT)))
+              || substring(text, 2 + CAST(doc_id % 7 AS INT))
+              || '   -- Footer#' || CAST(doc_id AS VARCHAR) || '!!  ' AS t
+  FROM documents
+), norm AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(
+           regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS normalized
+  FROM aug
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars_raw,
+       CAST(length(normalized) AS BIGINT) AS n_chars_norm,
+       normalized
+FROM norm
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT NORMALIZATION — the canonicalization pass that runs BEFORE
+    every hash-based dedup step in a real pipeline (CCNet lowercases
+    and strips punctuation/accents before its per-shard hash dedup;
+    exact dedup on raw bytes misses trivially-reformatted copies):
+    case-fold → non-alphanumeric runs → single space → collapse
+    whitespace → trim. Composes with `dedup_exact_hash` et al.: hash
+    `normalized`, not `text`.
+
+    The synthetic corpus is already clean, so a deterministic MESS is
+    injected IN BOTH ENGINES first (the `text_pii` convention): mixed
+    case at a doc_id-dependent prefix width, a punctuated footer, and
+    leading/trailing/multiple spaces — every rule is exercised on
+    every row and the byte-exact oracle proves the whole chain.
+    Regexes stay in the POSIX character-class subset where Java regex
+    and DuckDB's RE2 agree; Unicode NFC/accent folding is the
+    documented production extension (ICU/transliterate UDF) — a no-op
+    on this ASCII corpus, deliberately omitted rather than faked.
+    Pure per-row codegen: no shuffle, free rider on any scan."""
+    d = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.lit("  "),
+        F.upper(F.expr("substring(text, 1, cast(doc_id % 7 as int) + 1)")),
+        F.expr("substring(text, cast(doc_id % 7 as int) + 2)"),
+        F.lit("   -- Footer#"),
+        F.col("doc_id").cast("string"),
+        F.lit("!!  "),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        norm.alias("normalized"),
+    )

@@ -70,6 +70,7 @@ RISKY = [
     "text_boilerplate_lines",
     "video_fingerprint",
     "dedup_video",
+    "dedup_near_incremental",
 ]
 
 

@@ -159,7 +159,7 @@ def test_lsh_cosine_candidates_come_from_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-@pytest.mark.parametrize("name", ["agg_group", "proj_math", "clamp_scale"])
+@pytest.mark.parametrize("name", ["agg_group", "proj_math", "clamp_scale", "text_normalize"])
 def test_hot_paths_are_whole_stage_codegen(spark, name):
     df = registry.all_queries()[name](spark, SF_SMOKE)
     df.collect()  # AQE finalizes this DataFrame's own query execution
@@ -524,3 +524,12 @@ def test_dedup_video_band_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_near_incremental_probes_index_not_all_pairs(spark):
+    """The incremental near-dedup probe is a fingerprint equi-join
+    against the (df-capped) index — never cartesian, never a
+    broadcast of a corpus-scaled side."""
+    plan = plan_of(spark, "dedup_near_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -806,3 +806,52 @@ def test_ccnet_approx_buckets_drift_is_banded(spark):
     # displaced cuts; 20% is a loose ceiling for accuracy=50 (rank
     # error n/50 = 2% per cut before ties).
     assert drift <= 0.2, drift
+
+
+def test_near_incremental_matches_winnow_across_the_split(spark):
+    """The incremental op must report EXACTLY dedup_winnow's verified
+    pairs that straddle the batch/corpus split (in batch→corpus
+    orientation), and nothing else: same candidate guarantee, same
+    Jaccard gate, evaluated against the index instead of a self-join."""
+    from piper_spark.functions.dedup import (
+        NEAR_INCR_BATCH_MOD,
+        NEAR_INCR_BATCH_RESIDUE,
+        dedup_near_incremental,
+        dedup_winnow,
+    )
+
+    def is_batch(i):
+        return i % NEAR_INCR_BATCH_MOD == NEAR_INCR_BATCH_RESIDUE
+
+    winnow = {
+        (r.id1, r.id2) for r in dedup_winnow(spark, SF_SMOKE).collect()
+    }
+    straddle = {
+        (a, b) if is_batch(a) else (b, a)
+        for a, b in winnow
+        if is_batch(a) != is_batch(b)
+    }
+    got = {
+        (r.batch_id, r.corpus_id)
+        for r in dedup_near_incremental(spark, SF_SMOKE).collect()
+    }
+    assert got == straddle
+    assert got, "fixture must produce at least one straddling pair"
+
+
+def test_text_normalize_is_idempotent_and_canonical(spark):
+    """Normalized text is a fixed point of the normalization rules
+    (lowercase, single-space, alphanumeric+space alphabet, trimmed) —
+    the property exact-dedup-after-normalization relies on."""
+    import re
+
+    from piper_spark.functions.text import text_normalize
+
+    rows = text_normalize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        n = r.normalized
+        assert n == n.lower()
+        assert "  " not in n and n == n.strip()
+        assert re.fullmatch(r"[a-z0-9 ]*", n), n[:80]
+        assert len(n) == r.n_chars_norm and r.n_chars_raw >= r.n_chars_norm
