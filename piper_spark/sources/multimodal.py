@@ -2762,20 +2762,46 @@ def video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("s") * 2).cast("long").alias("frame_no"), "fhash")
 
 
+def video_band_frames(n_docs: int) -> int:
+    """Opening-frame count the near-dup band hashes on, derived from
+    corpus size exactly like `derived_band_bits` (functions/lsh.py):
+    k = ceil(bits/24) frames supply >= the derived band width, so
+    random band collisions (~n²/2^(24k)) stay linear in n — k is 1 up
+    to ~2M docs, 2 to ~4·10¹², 3 at the 63-bit clamp. The DuckDB
+    oracle derives the identical k in SQL."""
+    import math
+
+    from piper_spark.functions.lsh import derived_band_bits
+
+    return max(1, math.ceil(derived_band_bits(n_docs) / 24))
+
+
 @register(
     "dedup_video",
     oracle=f"""
-WITH d AS ({_VIDEO_FH_SQL.format(min_bytes=3 * FRAME_W * FRAME_H * 3)}
+WITH kk AS (
+  SELECT CAST(greatest(1, ceil(
+    least(63, greatest(16,
+      CAST(ceil(log2(greatest(count(*), 2))) AS INTEGER) + 3)) / 24.0))
+    AS INT) AS k
+  FROM documents
+), d AS ({_VIDEO_FH_SQL.format(
+        min_bytes=f"(SELECT (2 * k + 1) * {FRAME_W * FRAME_H * 3} FROM kk)")}
 ), sig AS (
   SELECT doc_id, ns, list(fhash ORDER BY s) AS sg
   FROM fh GROUP BY doc_id, ns
+), bb AS (
+  SELECT doc_id, ns, sg,
+         list_reduce(sg[1:(SELECT k FROM kk)],
+                     (acc, x) -> acc * 16777216 + x) AS band
+  FROM sig
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        CAST(list_sum([bit_count(xor(a.sg[i + 1], b.sg[i + 1]))
                       FOR i IN range(0, CAST(least(a.ns, b.ns) AS INT))])
             AS BIGINT) AS hamming
-FROM sig a JOIN sig b
-  ON a.sg[1] = b.sg[1] AND a.doc_id < b.doc_id
+FROM bb a JOIN bb b
+  ON a.band = b.band AND a.doc_id < b.doc_id
 WHERE abs(a.ns - b.ns) <= {VIDEO_FP_MAX_DNS}
   AND list_sum([bit_count(xor(a.sg[i + 1], b.sg[i + 1]))
                 FOR i IN range(0, CAST(least(a.ns, b.ns) AS INT))])
@@ -2801,27 +2827,41 @@ def dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first false band collision is > VIDEO_FP_MAX_HAM.
 
     Scale: the signature relation is persisted (both self-join aliases
-    read it — the dedup_audio persist rule); band values spread over
-    2^24 buckets, per-bucket fan-out bounded by collision rate;
-    production video would band on k opening frames and derive band
-    width from corpus size (`derived_band_bits`) exactly like
-    `dedup_lsh_cosine` — the documented ceiling of this short-clip
-    geometry, same as dedup_audio's 32-bit note."""
+    read it — the dedup_audio persist rule), and the band width is
+    CORPUS-SIZE-DERIVED like `dedup_lsh_cosine`'s: the band hashes the
+    first `video_band_frames(n)` sampled frames (Horner-packed, 24
+    bits per frame), so random band collisions (~n²/2^(24k)) stay
+    linear in n at any corpus size — k = 1 at every test SF, 2 past
+    ~2M docs, with the DuckDB oracle deriving the identical k in SQL.
+    The length gate grows with k (>= k+1 sampled frames), keeping the
+    verify strictly wider than the band at every geometry."""
+    from piper_spark.session import row_count
+
+    # Band geometry derives from corpus size (parquet-footer count, no
+    # job): k opening frames supply >= derived_band_bits bits of band,
+    # and the length gate grows with k (ns >= k + 1 keeps the verify
+    # covering more than the band at every k).
+    k = video_band_frames(row_count(spark, sf_dir, "documents"))
     d = spread_for_decode(
         table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    f = _video_fh_rel(d, min_nf=3).persist()
+    f = _video_fh_rel(d, min_nf=2 * k + 1).persist()
+    band = F.aggregate(
+        F.slice("sig", 1, k),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(1 << 24) + x,
+    )
     a = f.select(
         F.col("doc_id").alias("id1"),
         F.col("ns").alias("ns1"),
         F.col("sig").alias("sg1"),
-        F.element_at("sig", 1).alias("band"),
+        band.alias("band"),
     )
     b = f.select(
         F.col("doc_id").alias("id2"),
         F.col("ns").alias("ns2"),
         F.col("sig").alias("sg2"),
-        F.element_at("sig", 1).alias("band"),
+        band.alias("band"),
     )
     m = F.least(F.col("ns1"), F.col("ns2")).cast("int")
     ham = F.aggregate(

@@ -763,7 +763,10 @@ def test_dedup_video_recovers_planted_perturbed_clips(spark):
     # a fully different opening: replace the first frame's bytes
     rows.append((50, "zzzz" * 18 + base[72:]))
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    with mock.patch.object(M, "table", lambda s, sf, name: d):
+    from piper_spark import session as S
+
+    with mock.patch.object(M, "table", lambda s, sf, name: d), \
+         mock.patch.object(S, "row_count", lambda s, sf, name: len(rows)):
         got = {
             (r.id1, r.id2): r.hamming
             for r in M.dedup_video(spark, "_").collect()
@@ -855,3 +858,40 @@ def test_text_normalize_is_idempotent_and_canonical(spark):
         assert "  " not in n and n == n.strip()
         assert re.fullmatch(r"[a-z0-9 ]*", n), n[:80]
         assert len(n) == r.n_chars_norm and r.n_chars_raw >= r.n_chars_norm
+
+
+def test_dedup_video_derived_band_widens_with_corpus_size(spark):
+    """The band-frame derivation mirrors derived_band_bits (k=1 to ~2M
+    docs, 2 past it, 3 at the 63-bit clamp), and the k=2 path works
+    end-to-end: with the corpus count mocked past the threshold, the
+    band covers the first TWO sampled frames, so a perturbation beyond
+    them still pairs while one INSIDE the widened band correctly
+    misses (the opening-band geometry, now two frames wide)."""
+    from unittest import mock
+
+    from piper_spark import session as S
+    from piper_spark.sources import multimodal as M
+
+    assert M.video_band_frames(2_000_000) == 1
+    assert M.video_band_frames(3_000_000) == 2
+    assert M.video_band_frames(10**12) == 2
+    assert M.video_band_frames(2**60) == 3
+
+    base = "".join("abcdefgh"[(i * 7 + i // 9) % 8] for i in range(6 * 72))
+    pert_tail = base[:300] + chr(ord(base[300]) + 1) + base[301:]  # frame 4
+    pert_band = base[:150] + chr(ord(base[150]) + 1) + base[151:]  # frame 2
+    rows = [(0, base), (1, pert_tail), (2, pert_band)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(M, "table", lambda s, sf, name: d), \
+         mock.patch.object(S, "row_count", lambda s, sf, name: 3_000_000):
+        got = {(r.id1, r.id2) for r in M.dedup_video(spark, "_").collect()}
+    assert (0, 1) in got
+    # (0, 2) may appear ONLY if the +1 luminance bump left frame 2's
+    # hash bits unchanged (no pixel sat on the mean threshold); if the
+    # hash moved, the two-frame band must miss it. Either way the
+    # tail-perturbed pair above is banded by construction.
+    if (0, 2) not in got:
+        with mock.patch.object(M, "table", lambda s, sf, name: d), \
+             mock.patch.object(S, "row_count", lambda s, sf, name: 3):
+            one = {(r.id1, r.id2) for r in M.dedup_video(spark, "_").collect()}
+        assert (0, 2) in one  # k=1 band (frame 0 only) does find it
