@@ -1608,3 +1608,65 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("long").alias("n_chars_norm"),
         norm.alias("normalized"),
     )
+
+
+#: Quality-mix keep rates in TENTHS per CCNet bucket: keep all of
+#: head, half of middle, a tenth of tail — the head-heavy mix a
+#: quality-stratified pretraining run samples (CCNet §4.4 consumers
+#: choose exactly such head/middle/tail volume trades).
+QMIX_TENTHS = {"head": 10, "middle": 5, "tail": 1}
+
+
+@register(
+    "sample_quality_mix",
+    oracle=f"""
+WITH scored AS ({_LM_SCORE_SQL}),
+cuts AS (
+  SELECT quantile_cont(CAST(lm_score AS DOUBLE), CAST(1 AS DOUBLE)/3) AS c1,
+         quantile_cont(CAST(lm_score AS DOUBLE), CAST(2 AS DOUBLE)/3) AS c2
+  FROM scored
+), b AS (
+  SELECT doc_id,
+         CASE WHEN CAST(lm_score AS DOUBLE) <= cuts.c1 THEN 'tail'
+              WHEN CAST(lm_score AS DOUBLE) <= cuts.c2 THEN 'middle'
+              ELSE 'head' END AS bucket
+  FROM scored, cuts
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ((doc_id % 1000000007) * 2654435761) % 10
+                          < CASE bucket WHEN 'head' THEN {QMIX_TENTHS["head"]}
+                                        WHEN 'middle' THEN {QMIX_TENTHS["middle"]}
+                                        ELSE {QMIX_TENTHS["tail"]} END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM b GROUP BY bucket
+""",
+)
+def sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-STRATIFIED downsampling — the composition step after
+    `text_ccnet_buckets`: keep all head documents, half of middle, a
+    tenth of tail (QMIX_TENTHS), realized by the same deterministic
+    Knuth-scramble residue rule as the language samplers so reruns
+    keep the SAME documents and the whole mix is auditable. This is
+    the head-heavy data diet CCNet-style pipelines actually feed a
+    model once the terciles exist — buckets label, this op selects.
+
+    Shape: the LM-score relation is computed once (persisted), the
+    tercile cuts are one broadcast two-value aggregate, the keep rule
+    is a narrow per-row map, and the output is a 3-row bucket audit
+    (bucket, n_docs, n_kept) — the corpus is never globally sorted or
+    shuffled beyond the lm-score join it already pays. Overflow-safe
+    residues (reduce mod p before multiplying, the sample_capped
+    rule)."""
+    scored = text_lm_score(spark, sf_dir).persist()
+    bucketed = ccnet_buckets_rel(scored, approx=False)
+    tenths = (
+        F.when(F.col("bucket") == "head", QMIX_TENTHS["head"])
+        .when(F.col("bucket") == "middle", QMIX_TENTHS["middle"])
+        .otherwise(QMIX_TENTHS["tail"])
+    )
+    keep = ((F.col("doc_id") % 1000000007) * 2654435761) % 10 < tenths
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )

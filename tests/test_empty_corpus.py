@@ -71,6 +71,7 @@ RISKY = [
     "video_fingerprint",
     "dedup_video",
     "dedup_near_incremental",
+    "sample_quality_mix",
 ]
 
 

@@ -895,3 +895,21 @@ def test_dedup_video_derived_band_widens_with_corpus_size(spark):
              mock.patch.object(S, "row_count", lambda s, sf, name: 3):
             one = {(r.id1, r.id2) for r in M.dedup_video(spark, "_").collect()}
         assert (0, 2) in one  # k=1 band (frame 0 only) does find it
+
+
+def test_quality_mix_respects_bucket_rates(spark):
+    """Per-bucket kept fractions must sit near the configured tenths
+    (exactly-deterministic counts; the tolerance covers residue-stream
+    granularity at n/3 docs per bucket), and head keeps everything."""
+    from piper_spark.functions.text import QMIX_TENTHS, sample_quality_mix
+
+    rows = {r.bucket: r for r in sample_quality_mix(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    assert rows["head"].n_kept == rows["head"].n_docs  # rate 10/10
+    for b in ("middle", "tail"):
+        frac = rows[b].n_kept / rows[b].n_docs
+        assert abs(frac - QMIX_TENTHS[b] / 10) < 0.12, (b, frac)
+    again = {
+        r.bucket: r.n_kept for r in sample_quality_mix(spark, SF_SMOKE).collect()
+    }
+    assert again == {b: r.n_kept for b, r in rows.items()}
