@@ -1670,3 +1670,111 @@ def sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
     )
+
+
+#: Intra-doc repetition: occurrences of one gram within a doc are
+#: capped (pathological one-word spam would otherwise quadratically
+#: self-join); runs count from a single repeated 3-gram up.
+SELF_REPEAT_MAX_OCC = 20
+
+
+@register(
+    "text_self_repeat",
+    oracle=f"""
+WITH toks AS ({_GRAM_SQL}),
+occ AS (
+  SELECT doc_id, g FROM valid GROUP BY doc_id, g
+  HAVING count(*) <= {SELF_REPEAT_MAX_OCC}
+), v AS (
+  SELECT valid.doc_id, pos, valid.g FROM valid JOIN occ USING (doc_id, g)
+), m AS (
+  SELECT a.doc_id, a.pos AS p1, a.pos - b.pos AS diag
+  FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.g = b.g AND a.pos > b.pos
+), runs AS (
+  SELECT doc_id, diag, p1,
+         p1 - row_number() OVER (PARTITION BY doc_id, diag ORDER BY p1)
+             AS island
+  FROM m
+), r AS (
+  SELECT doc_id, count(*) AS n_repeat_sites,
+         CAST(max(run_len) + 2 AS BIGINT) AS max_repeat_words
+  FROM (SELECT doc_id, diag, island, count(*) AS run_len
+        FROM runs GROUP BY doc_id, diag, island)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.max_repeat_words, 0) AS BIGINT) AS max_repeat_words,
+       CAST(coalesce(r.n_repeat_sites, 0) AS BIGINT) AS n_repeat_sites
+FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+""",
+)
+def text_self_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition — the self-plagiarism quality signal
+    (Rae et al. 2021's dup-n-gram family; looping generation and SEO
+    spam repeat themselves VERBATIM): for every document, the longest
+    word run that appears at least twice inside it (0 when none) and
+    the number of distinct repeat sites. `dedup_substring` finds runs
+    shared ACROSS documents; this is the same diagonal-island machinery
+    pointed at ONE document (match positions p1 > p2 within the doc;
+    islands per (doc, p1−p2) diagonal; run length + 2 words).
+
+    Per-gram occurrences are capped at SELF_REPEAT_MAX_OCC within a
+    doc — a pathological one-phrase spam page would otherwise
+    quadratically self-join; past the cap the doc is degenerate by
+    inspection (the Gopher dup-fraction gates already kill it). Every
+    stage is keyed by doc_id — embarrassingly parallel over the scan,
+    window state bounded by matches per diagonal."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # persist: occurrence-cap agg + both self-join aliases read it.
+    v = gram_rel(docs).persist()
+    occ = (
+        v.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= SELF_REPEAT_MAX_OCC)
+        .select("doc_id", "g")
+    )
+    vc = v.join(occ, ["doc_id", "g"])
+    a, b = vc.alias("a"), vc.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.pos") > F.col("b.pos")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("p1"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("doc_id", "diag").orderBy("p1")
+    runs = m.select(
+        "doc_id", "diag", (F.col("p1") - F.row_number().over(win)).alias("island")
+    )
+    r = (
+        runs.groupBy("doc_id", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeat_sites"),
+            (F.max("run_len") + 2).cast("long").alias("max_repeat_words"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(r, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_repeat_words", F.lit(0)).cast("long").alias(
+                "max_repeat_words"
+            ),
+            F.coalesce("n_repeat_sites", F.lit(0)).cast("long").alias(
+                "n_repeat_sites"
+            ),
+        )
+    )

@@ -72,6 +72,7 @@ RISKY = [
     "dedup_video",
     "dedup_near_incremental",
     "sample_quality_mix",
+    "text_self_repeat",
 ]
 
 

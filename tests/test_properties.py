@@ -913,3 +913,29 @@ def test_quality_mix_respects_bucket_rates(spark):
         r.bucket: r.n_kept for r in sample_quality_mix(spark, SF_SMOKE).collect()
     }
     assert again == {b: r.n_kept for b, r in rows.items()}
+
+
+def test_self_repeat_detects_planted_loops(spark):
+    """A document that repeats an 8-word phrase must report a >= 8-word
+    self-repeat; a no-repeat document reports 0; the pathological
+    one-word page is occurrence-capped, not quadratically joined (it
+    still reports a repeat — through the surviving distinct grams —
+    but the op completes instantly)."""
+    from unittest import mock
+
+    from piper_spark.functions import text as T
+
+    phrase = " ".join(f"p{j}" for j in range(8))
+    uniq = " ".join(f"u{j}" for j in range(12))
+    rows = [
+        (0, f"{uniq} {phrase} mid {phrase} end"),
+        (1, "all words here are completely distinct tokens"),
+        (2, " ".join(["loop"] * 200)),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(T, "table", lambda s, sf, name: d):
+        out = {r.doc_id: r for r in T.text_self_repeat(spark, "_").collect()}
+    assert out[0].max_repeat_words >= 8
+    assert out[1].max_repeat_words == 0 and out[1].n_repeat_sites == 0
+    # 200×"loop" has one gram at 198 occurrences — capped out, so 0.
+    assert out[2].max_repeat_words == 0
