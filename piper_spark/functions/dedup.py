@@ -1192,3 +1192,193 @@ def dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch_id", "corpus_id", "shared", F.round(jac, 4).alias("jaccard")
         )
     )
+
+
+#: SemDeDup parameters: corpus cap, number of seed centroids, cosine
+#: threshold for "semantic duplicate within a cluster".
+SEMDEDUP_CAP = 1200
+SEMDEDUP_K = 16
+SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+  FROM embeddings WHERE vec_id < {SEMDEDUP_CAP}
+),
+seeds AS (
+  SELECT vec_id AS sid, ed AS sed,
+         sqrt(list_sum(list_transform(ed, x -> x * x))) AS snorm
+  FROM e WHERE vec_id < {SEMDEDUP_K}
+),
+scored AS (
+  SELECT e.vec_id, s.sid,
+         list_sum(list_transform(e.ed, (x, i) -> x * s.sed[i]))
+           / (sqrt(list_sum(list_transform(e.ed, x -> x * x))) * s.snorm)
+           AS cos,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum(list_transform(e.ed, (x, i) -> x * s.sed[i]))
+                    / (sqrt(list_sum(list_transform(e.ed, x -> x * x)))
+                       * s.snorm) DESC, s.sid
+         ) AS rn
+  FROM e CROSS JOIN seeds s
+),
+asg AS (SELECT vec_id, sid AS cluster FROM scored WHERE rn = 1),
+pairs AS (
+  SELECT a.cluster, a.vec_id AS id1, b.vec_id AS id2
+  FROM asg a
+  JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_sum(list_transform(ea.ed, (x, i) -> x * eb.ed[i]))
+          / (sqrt(list_sum(list_transform(ea.ed, x -> x * x)))
+             * sqrt(list_sum(list_transform(eb.ed, x -> x * x))))
+        >= {SEMDEDUP_TAU}
+)
+SELECT id2 AS vec_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       min(id1) AS dup_of,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM pairs
+GROUP BY id2, cluster
+""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-scoped embedding dedup (Abbas et al. 2023).
+
+    The headline modern semantic-dedup shape: partition the corpus into
+    k clusters, then look for cosine-≥-τ duplicates ONLY within a
+    cluster — candidate volume n²/k instead of n², and each cluster's
+    pair set is an independent shard. A vec is DROPPED when a
+    lower-vec_id member of its cluster sits within τ; output is the
+    dropped set with its cluster, its lowest-id duplicate partner, and
+    the partner count — all integers, so the oracle is value-exact
+    (the float cosines only gate, never surface).
+
+    Cluster representatives here are the first k embeddings, pinned so
+    the key is oracle-checkable end-to-end (assignment = argmax cosine,
+    ties to the lowest seed, decided on bit-identical doubles in both
+    engines — the sequential-fold dot product matches DuckDB's
+    list_sum(list_transform(...)) bit-for-bit, the `dedup_embed`
+    discipline). Production would train them with the bounded-sample
+    Lloyd from `sim_ann_ivf` (functions/similarity.py) — swapping the
+    seeds relation is the only change, the join shapes stay.
+
+    Scale shape: seeds are a k-row broadcast; assignment is one
+    narrow pass (n·k fold-dot-products, no shuffle); the pair stage
+    shuffles on `cluster` only and SemDeDup's own guarantee bounds each
+    partition's work at |cluster|². Skewed clusters would salt or
+    df-cap exactly like the gram joins (functions/dedup.py df-cap
+    pattern). Corpus capped at {SEMDEDUP_CAP} vecs for the registered
+    key so the exact within-cluster verify stays bench-sized.
+    """
+    # persist: norms live IN the cached relation (trap 3 — the pair
+    # stage reads e from two aliases; a per-pair norm recompute would
+    # triple the fold work), and the relation feeds seeds, assignment,
+    # and both pair aliases.
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SEMDEDUP_CAP)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
+        .select("vec_id", "ed", _vec_norm(F.col("ed")).alias("nrm"))
+        .persist()
+    )
+    seeds = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("sid"),
+        F.col("ed").alias("sed"),
+        F.col("nrm").alias("snorm"),
+    )
+    cos_to_seed = _fold_dot(F.col("ed"), F.col("sed")) / (
+        F.col("nrm") * F.col("snorm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("sid").asc()
+    )
+    # persist: the decision stage reads the assignment from both pair
+    # aliases — without it the k-way argmax window evaluates twice.
+    asg = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "sid", cos_to_seed.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("sid").alias("cluster"))
+        .persist()
+    )
+    return semantic_drop_decisions(asg, e, SEMDEDUP_TAU)
+
+
+def _fold_dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — bit-matches DuckDB's
+    list_sum(list_transform(...)) (the `dedup_embed` discipline)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _vec_norm(c: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def semantic_drop_decisions(
+    asg: DataFrame, e: DataFrame, tau: float
+) -> DataFrame:
+    """SemDeDup's within-cluster decision stage: given an assignment
+    relation (vec_id, cluster) and the vectors (vec_id, ed, nrm — norm
+    precomputed in the persisted relation, trap-3 discipline), emit the
+    DROPPED set — every vec with a lower-vec_id cluster-mate within
+    cosine τ, with its lowest-id partner and partner count.
+
+    Shared by the registered `dedup_semantic` (k pinned seeds, HOF
+    argmax assignment — oracle-exact) and the scale measurement in
+    scripts/bench_scaling.py (corpus-size-derived k, `assign_cells`
+    matmul assignment from functions/similarity.py). Caller persists
+    both inputs (each is read from two aliases). The only shuffle is on
+    `cluster`; per-partition work is |cluster|² by SemDeDup's own
+    construction."""
+    a = asg.alias("a").join(
+        e.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("ed").alias("a_ed"),
+            F.col("nrm").alias("a_nrm"),
+        ),
+        F.col("a.vec_id") == F.col("a_id"),
+    )
+    b = asg.alias("b").join(
+        e.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("ed").alias("b_ed"),
+            F.col("nrm").alias("b_nrm"),
+        ),
+        F.col("b.vec_id") == F.col("b_id"),
+    )
+    pair_cos = _fold_dot(F.col("a_ed"), F.col("b_ed")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .filter(pair_cos >= tau)
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a_id").alias("id1"),
+            F.col("b_id").alias("id2"),
+        )
+    )
+    return pairs.groupBy(
+        F.col("id2").alias("vec_id"), F.col("cluster").cast("long").alias("cluster")
+    ).agg(
+        F.min("id1").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )

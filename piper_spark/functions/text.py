@@ -1778,3 +1778,110 @@ def text_self_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Fixed BM25 demo query — three corpus terms with distinct df profiles
+#: (two language markers + one common verb; FIXTURES.md vocab).
+BM25_QUERY_TERMS = ("merge", "vector", "window")
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+totals AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS l_total,
+         (10000 * CAST(sum(dl) AS BIGINT)) // count(*) AS a_q
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN ('merge', 'vector', 'window')
+  GROUP BY doc_id, w
+),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id,
+         ((2 * t.n_docs - 2 * df.df + 1) * 10000 // (2 * df.df + 1))
+         * ((22 * t.a_q * tf.tf * 10000)
+            // (10 * t.a_q * tf.tf + 3 * t.a_q + 9 * dl.dl * 10000))
+           AS term_score
+  FROM tf
+  JOIN df USING (word)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN totals t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(term_score) AS BIGINT) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+""",
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (k1=1.2, b=0.75) for a fixed 3-term query.
+
+    Okapi BM25 (Robertson et al.) in EXACT fixed-point integer
+    arithmetic, the `text_tfidf` discipline: both factors are rational
+    in integer corpus statistics, so instead of libm log/double division
+    (engine-divergent last bits) each is a scaled integer floor-division
+    — idf ≈ (N-df+½)/(df+½) kept as (2N-2df+1)·10⁴ div (2df+1), and the
+    tf saturation tf·(k1+1)/(tf + k1(1-b+b·dl/avgdl)) cleared of
+    fractions via avgdl_q = 10⁴·L div N then scaled by 10⁴. Ordering is
+    monotone-equivalent to the double form at this quantization; values
+    are bit-identical across engines by construction. Overflow-safe to
+    ~10⁹ docs × 10³-word tf (score ≤ 2N·10⁴ · 2.2·10⁴ < 2⁶³).
+
+    Scale shape: the explode is filtered to the query terms BEFORE any
+    shuffle (predicate on the exploded value — the tf relation is
+    |query|·|matching docs|, not corpus-sized), df and the (N, L)
+    scalars are one tiny broadcast each, and the only corpus-wide pass
+    is the dl projection. Top-k is an output-sized sort-limit.
+    """
+    d = table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(words_col()).cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("l_total"),
+    ).select(
+        "n_docs",
+        F.expr("10000L * l_total div n_docs").alias("a_q"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(words_col()).alias("word"))
+        .filter(F.col("word").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfr), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.expr("(2L * n_docs - 2L * df + 1L) * 10000L div (2L * df + 1L)")
+                * F.expr(
+                    "(22L * a_q * tf * 10000L)"
+                    " div (10L * a_q * tf + 3L * a_q + 9L * dl * 10000L)"
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("term_score").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

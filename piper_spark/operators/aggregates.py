@@ -569,3 +569,104 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         F.round(gini, 4).alias("gini_impurity"),
     )
+
+
+#: Count-Min sketch geometry + the d row-mixer constants (fixed primes;
+#: production would use xxhash64 seeds — these keep both engines exact).
+CMS_WIDTH = 1024
+CMS_MIXERS = (
+    (0, 1_299_721, 15_485_867),
+    (1, 15_485_863, 32_452_867),
+    (2, 32_452_843, 49_979_693),
+    (3, 49_979_687, 67_867_967),
+)
+CMS_MOD = 2_147_483_647
+
+_CMS_MIXER_VALUES = ", ".join(f"({r}, {a}, {b})" for r, a, b in CMS_MIXERS)
+
+
+@register(
+    "agg_countmin",
+    oracle=f"""
+WITH wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),
+wh AS (
+  SELECT word, exact_cnt,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(range(1, length(word) + 1),
+               i -> CAST(ord(substring(word, CAST(i AS INT), 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+  FROM wc
+),
+m(r, a, b) AS (VALUES {_CMS_MIXER_VALUES}),
+counters AS (
+  SELECT m.r, ((wh.h * m.a + m.b) % {CMS_MOD}) % {CMS_WIDTH} AS bkt,
+         CAST(sum(wh.exact_cnt) AS BIGINT) AS cnt
+  FROM wh CROSS JOIN m
+  GROUP BY 1, 2
+),
+top AS (SELECT * FROM wh ORDER BY exact_cnt DESC, word LIMIT 15)
+SELECT t.word, t.exact_cnt, min(c.cnt) AS cms_est
+FROM top t
+CROSS JOIN m
+JOIN counters c
+  ON c.r = m.r AND c.bkt = ((t.h * m.a + m.b) % {CMS_MOD}) % {CMS_WIDTH}
+GROUP BY t.word, t.exact_cnt
+""",
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch word frequencies (Cormode & Muthukrishnan 2005)
+    vs exact counts for the top-15 words.
+
+    The sketch family's third member beside HLL (`agg_approx_distinct`)
+    and the roaring-style bitmap (`agg_bitmap_distinct`) — and unlike
+    those, VALUE-EXACT against the oracle: every counter is integer
+    arithmetic over the engine-shared polynomial word hash
+    (functions/text.py WORD_HASH_MOD fold), with d=4 fixed prime
+    affine mixers mod 2³¹−1 folded to width 1024. est = min over rows
+    of counter[r, b_r(word)] — the one-sided overestimate guarantee
+    (est ≥ exact) is pinned by a property test, not just asserted.
+
+    Scale shape: the counter relation is d·w = 4096 rows REGARDLESS of
+    corpus size — that is the entire point of the sketch: one map-side
+    partial agg over (row, bucket) keys, a broadcast-sized state, and
+    mergeability across shards/streams for free (counters add). The
+    word hash is computed once per DISTINCT word (counts first, hash
+    the vocabulary), so the fold cost is vocabulary-, not corpus-sized.
+    """
+    from piper_spark.functions.text import _winnow_word_hash, words_col
+
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    wh = wc.select(
+        "word", "exact_cnt", _winnow_word_hash(F.col("word")).alias("h")
+    ).persist()
+    mixers = F.broadcast(
+        spark.createDataFrame(list(CMS_MIXERS), "r int, a long, b long")
+    )
+    bkt = ((F.col("h") * F.col("a") + F.col("b")) % CMS_MOD) % CMS_WIDTH
+    counters = (
+        wh.crossJoin(mixers)
+        .select("r", bkt.alias("bkt"), "exact_cnt")
+        .groupBy("r", "bkt")
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
+    top = wh.orderBy(F.col("exact_cnt").desc(), "word").limit(15)
+    return (
+        top.crossJoin(mixers)
+        .select("word", "exact_cnt", F.col("r").alias("tr"), bkt.alias("tbkt"))
+        .join(
+            F.broadcast(counters),
+            (F.col("tr") == F.col("r")) & (F.col("tbkt") == F.col("bkt")),
+        )
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

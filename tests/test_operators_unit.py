@@ -449,3 +449,79 @@ def test_simhash128_low_half_is_the_64bit_signature(spark):
     s128 = {r.doc_id: (r.sh_lo, r.sh_hi) for r in simhash128_signatures(df).collect()}
     assert {k: v[0] for k, v in s128.items()} == sh64
     assert any(v[1] != sh64[k] for k, v in s128.items())
+
+
+def test_bm25_ranks_higher_tf_doc_first(spark):
+    """On a tiny synthetic corpus, the doc with more query-term hits
+    (same length, same terms) must outscore its sibling, and every
+    returned doc must actually contain a query term."""
+    from piper_spark.functions.text import BM25_QUERY_TERMS, text_bm25
+    import tempfile
+
+    rows = [
+        (0, "merge merge merge pad pad pad pad pad", "en", "s", 8),
+        (1, "merge pad pad pad pad pad pad pad", "en", "s", 8),
+        (2, "pad pad pad pad pad pad pad pad", "en", "s", 8),
+        (3, "vector window pad pad pad pad pad pad", "en", "s", 8),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in text_bm25(spark, d).collect()}
+    assert 2 not in out  # no query term → no score
+    assert out[0].score > out[1].score  # tf monotonicity
+    assert out[3].n_terms == 2 and out[0].n_terms == 1
+    assert set(BM25_QUERY_TERMS) == {"merge", "vector", "window"}
+
+
+def test_dedup_semantic_pairs_are_same_cluster_and_over_tau(spark):
+    """Every reported drop must have cos(vec, dup_of) ≥ τ, dup_of <
+    vec_id, and both ends assigned to the reported cluster — recomputed
+    independently in numpy."""
+    import numpy as np
+
+    from piper_spark.functions.dedup import (
+        SEMDEDUP_CAP,
+        SEMDEDUP_K,
+        SEMDEDUP_TAU,
+        dedup_semantic,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_semantic(spark, sf).collect()
+    assert out, "threshold should be non-vacuous on the fixture corpus"
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(f"vec_id < {SEMDEDUP_CAP}")
+        .collect()
+    }
+    seeds = {i: emb[i] for i in range(SEMDEDUP_K) if i in emb}
+
+    def cluster(v):
+        cs = {
+            s: float(v @ sv / (np.linalg.norm(v) * np.linalg.norm(sv)))
+            for s, sv in seeds.items()
+        }
+        best = max(cs.values())
+        return min(s for s, c in cs.items() if c == best)
+
+    for r in out:
+        assert r.dup_of < r.vec_id and r.n_dups >= 1
+        a, b = emb[r.dup_of], emb[r.vec_id]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= SEMDEDUP_TAU - 1e-9, (r.vec_id, r.dup_of, cos)
+        assert cluster(a) == r.cluster == cluster(b)
+
+
+def test_countmin_never_underestimates(spark):
+    """The CMS one-sided error guarantee: est ≥ exact for every
+    reported word, with equality unless that word's counter row
+    collided in all d rows (possible, never below)."""
+    from piper_spark.operators.aggregates import agg_countmin
+
+    out = agg_countmin(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.cms_est >= r.exact_cnt, (r.word, r.exact_cnt, r.cms_est)
