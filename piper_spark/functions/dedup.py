@@ -1382,3 +1382,96 @@ def semantic_drop_decisions(
         F.min("id1").alias("dup_of"),
         F.count(F.lit(1)).alias("n_dups"),
     )
+
+
+@register(
+    "dedup_url",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'www.example.com'
+           ELSE 'example.com' END ||
+         '/p/' || CAST(doc_id // 7 AS VARCHAR) ||
+         CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN doc_id % 2 = 0
+              THEN '?utm_source=s' || CAST(doc_id % 4 AS VARCHAR)
+                   || '&utm_campaign=c'
+              ELSE '' END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             replace(lower(url), '://www.', '://'),
+             '\\?.*$', ''),
+           '/$', '') AS canon_url
+  FROM aug
+)
+SELECT canon_url, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM canon
+GROUP BY canon_url
+HAVING count(*) >= 2
+""",
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the CCNet/RefinedWeb crawl-prep
+    step: normalize scheme-host-path variants (case, `www.`, tracking
+    query params, trailing slash) to one canonical URL, keep the lowest
+    doc_id per canonical group, report the collapsed count.
+
+    The corpus has no URL column, so one is synthesized careful-
+    deterministically per doc (the `text_pii` augmentation precedent,
+    functions/text.py pii_facts): seven consecutive doc_ids share a
+    canonical URL behind different surface forms (host case / `www.` /
+    `utm_*` query noise / trailing slash). Canonicalization is pure
+    string expressions — lower + replace + two anchored regexes, each
+    matching at most once so Spark's replace-all and DuckDB's
+    replace-first agree — making the key value-exact.
+
+    Scale shape: canonicalization is a zero-shuffle per-row map; the
+    keeper decision is one canonical-key hash aggregate (the
+    `dedup_exact` profile — hot URLs skew, which AQE skew-join/salting
+    absorbs; state per key is a count and a min, never the rows).
+    """
+    d = table(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Example.COM"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www.example.com"))
+        .otherwise(F.lit("example.com"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/p/"),
+        F.expr("CAST(doc_id div 7 AS STRING)"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=s"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit("&utm_campaign=c"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.expr("replace(lower(url), '://www.', '://')"), r"\?.*$", ""
+        ),
+        "/$",
+        "",
+    )
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )

@@ -564,3 +564,63 @@ def join_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("total_price"),
         )
     )
+
+
+#: CDC key space: inserted rows get keys shifted far past the base
+#: table's range so MERGE "not matched" branches are unambiguous.
+MERGE_INSERT_SHIFT = 100_000_000
+
+
+@register(
+    "merge_upsert",
+    oracle=f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+ins AS (
+  SELECT o_orderkey + {MERGE_INSERT_SHIFT} AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 7
+),
+changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+UNION ALL
+SELECT * FROM changes
+""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) semantics on plain parquet relations.
+
+    The lakehouse staple Spark-on-parquet lacks as a statement: apply a
+    changelog of updates (matched → new status 'U') and inserts (not
+    matched → shifted keys, status 'N') to a base table in one pass.
+    Expressed as the relational core every MERGE implementation lowers
+    to — a key anti-join removing superseded base rows + a union of the
+    applied changes. The changelog here is derived deterministically
+    from the base table so the key stays oracle-checkable (a real CDC
+    feed swaps the two derivation filters for the incoming batch;
+    `dedup_incremental` is the same pattern on the dedup side).
+
+    Scale shape: one o_orderkey-shuffled anti-join (sort-merge or
+    shuffled-hash under AQE — the changelog is usually batch-sized, so
+    Catalyst broadcasts it when small) and a shuffle-free union. No
+    global state; Delta/Iceberg MERGE adds file-level pruning on top of
+    exactly this plan.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 10 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + MERGE_INSERT_SHIFT)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    changes = upd.unionByName(ins)
+    kept = o.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
+    return kept.unionByName(changes)

@@ -279,3 +279,56 @@ def win_rangeframe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(cents).over(w).alias("trailing_hour_cents"),
     )
+
+
+#: EWMA frame: the last EWMA_SPAN events (current included). α = 1/2 —
+#: halving is EXACT in float64, so the fold is bit-identical across
+#: engines (cents ≤ 2¹⁶ plus 16 halvings needs ~32 mantissa bits < 53).
+EWMA_SPAN = 16
+
+
+@register(
+    "win_ewma",
+    oracle=f"""
+SELECT event_id, user_id,
+       list_reduce(
+         list(CAST(floor(value * 100.0 + 0.5) AS DOUBLE))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW),
+         (acc, x) -> (acc + x) / 2.0) / 100.0 AS ewma
+FROM events
+""",
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = ½) per user over the
+    last {EWMA_SPAN} events.
+
+    The decay factor is deliberately ½: dividing a float64 by two is
+    exact, and the scaled-cents inputs fit the mantissa with all 16
+    halvings to spare, so the left-fold s ← (s + x)/2 produces
+    BIT-IDENTICAL doubles in both engines (the win_movavg scaled-long
+    discipline, extended to a decaying frame — an arbitrary α would
+    hit libm pow and diverge in the last bits). Spark's `aggregate`
+    seeds with the frame's first element to match DuckDB's
+    `list_reduce` semantics exactly.
+
+    Scale shape: one user-keyed shuffle; per-row state is the bounded
+    {EWMA_SPAN}-element frame array — no unbounded partition state, no
+    global window.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), Window.currentRow)
+    )
+    arr = F.collect_list(cents).over(w)
+    folded = F.aggregate(
+        F.slice(arr, 2, EWMA_SPAN),
+        F.element_at(arr, 1),
+        lambda acc, x: (acc + x) / 2.0,
+    )
+    return e.select(
+        "event_id", "user_id", (folded / 100.0).alias("ewma")
+    )

@@ -525,3 +525,69 @@ def test_countmin_never_underestimates(spark):
     assert len(out) == 15
     for r in out:
         assert r.cms_est >= r.exact_cnt, (r.word, r.exact_cnt, r.cms_est)
+
+
+def test_ewma_halving_fold_semantics(spark):
+    """s ← (s+x)/2 seeded with the frame's first element, frame capped
+    at EWMA_SPAN rows — checked against a hand-rolled fold."""
+    from piper_spark.operators.windows import EWMA_SPAN, win_ewma
+    import tempfile
+
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", 7, "click", float(i + 1), "{}")
+        for i in range(20)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).write.parquet(
+            f"{d}/events.parquet"
+        )
+        out = {r.event_id: r.ewma for r in win_ewma(spark, d).collect()}
+    for eid in (0, 1, 16, 19):
+        lo = max(0, eid - EWMA_SPAN + 1)
+        cents = [(i + 1) * 100.0 for i in range(lo, eid + 1)]
+        s = cents[0]
+        for x in cents[1:]:
+            s = (s + x) / 2.0
+        assert out[eid] == s / 100.0, eid
+
+
+def test_merge_upsert_applies_changelog(spark):
+    """Matched keys carry status 'U', inserted keys are shifted with
+    'N', untouched keys keep their original status, and row counts
+    reconcile exactly."""
+    from piper_spark.operators.joins import MERGE_INSERT_SHIFT, merge_upsert
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        r.o_orderkey: r.o_orderstatus
+        for r in spark.read.parquet(f"{sf}/orders.parquet").collect()
+    }
+    out = merge_upsert(spark, sf).collect()
+    n_upd = sum(1 for k in base if k % 3 == 0)
+    n_ins = sum(1 for k in base if k % 10 == 7)
+    assert len(out) == len(base) + n_ins
+    by_key = {r.o_orderkey: r.o_orderstatus for r in out}
+    for k, st in base.items():
+        if k % 3 == 0:
+            assert by_key[k] == "U"
+        else:
+            assert by_key[k] == st
+        if k % 10 == 7:
+            assert by_key[k + MERGE_INSERT_SHIFT] == "N"
+
+
+def test_dedup_url_groups_of_seven(spark):
+    """Every canonical group collapses exactly the seven (or tail)
+    consecutive doc_ids that share doc_id div 7, and keeps the lowest."""
+    from piper_spark.functions.dedup import dedup_url
+
+    out = dedup_url(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert 2 <= r.n_dups <= 7
+        assert r.canon_url.endswith(f"/p/{r.keep_id // 7}")
+        assert r.keep_id % 7 == 0 or r.canon_url.endswith("/p/0")
