@@ -670,3 +670,31 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word", "exact_cnt")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def cms_counters(words: DataFrame) -> DataFrame:
+    """(r, bkt, cnt) Count-Min counters over a word-OCCURRENCE relation.
+
+    Works unchanged on a STREAMING relation: the mixer side is a 4-row
+    broadcast (stream-static join) and the aggregate's key space is the
+    fixed d·w grid, so state is sketch-sized forever — sketches are
+    streaming-native, which is why `streaming.events.stream_countmin`
+    is this exact function applied to a document stream. The batch
+    `agg_countmin` takes the vocabulary-hash shortcut instead (count
+    per distinct word, then weight); the streaming parity test proves
+    the two paths land on identical counters.
+    """
+    from piper_spark.functions.text import _winnow_word_hash
+
+    spark = words.sparkSession
+    mixers = F.broadcast(
+        spark.createDataFrame(list(CMS_MIXERS), "r int, a long, b long")
+    )
+    wh = words.select(_winnow_word_hash(F.col("word")).alias("h"))
+    bkt = ((F.col("h") * F.col("a") + F.col("b")) % CMS_MOD) % CMS_WIDTH
+    return (
+        wh.crossJoin(mixers)
+        .select("r", bkt.alias("bkt"))
+        .groupBy("r", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -495,3 +495,19 @@ def stream_pii_scrub(docs: DataFrame) -> DataFrame:
     from piper_spark.functions.text import pii_facts
 
     return pii_facts(docs)
+
+
+def stream_countmin(docs: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch over a document stream.
+
+    The batch twin is `operators.aggregates.agg_countmin`; this is the
+    shared `cms_counters` relation applied to the exploded word stream.
+    No custom state processor is needed — the counter grid is a plain
+    update-mode aggregation whose key space is FIXED at d·w = 4096
+    regardless of how long the stream runs, and counters merge by
+    addition across micro-batches exactly as they do across shards.
+    """
+    from piper_spark.functions.text import words_col
+    from piper_spark.operators.aggregates import cms_counters
+
+    return cms_counters(docs.select(F.explode(words_col()).alias("word")))

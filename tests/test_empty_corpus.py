@@ -73,6 +73,13 @@ RISKY = [
     "dedup_near_incremental",
     "sample_quality_mix",
     "text_self_repeat",
+    # round-7 late additions: a scalar agg feeding an integer division
+    # (n_docs = 0), an empty broadcast counter relation, empty pinned
+    # seeds under a crossJoin + argmax window, and a seeded frame fold.
+    "text_bm25",
+    "agg_countmin",
+    "dedup_semantic",
+    "win_ewma",
 ]
 
 

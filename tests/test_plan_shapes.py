@@ -533,3 +533,57 @@ def test_near_incremental_probes_index_not_all_pairs(spark):
     plan = plan_of(spark, "dedup_near_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_bm25_topk_without_global_sort(spark):
+    # Top-10 must lower to TakeOrderedAndProject (per-partition top-k +
+    # merge), never a full Sort of the scored relation; the only
+    # nested-loop joins are the 1-row/3-row broadcast scalar relations.
+    plan = plan_of(spark, "text_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_countmin_counters_join_is_broadcast(spark):
+    # The d·w counter relation is sketch-sized by construction; probing
+    # it from the top-word rows must be a BroadcastHashJoin, and the
+    # only nested-loop join is the 4-row mixer crossJoin.
+    plan = plan_of(spark, "agg_countmin")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_semantic_pair_join_is_keyed(spark):
+    # The within-cluster pair stage must shuffle on the cluster key —
+    # an all-pairs CartesianProduct would defeat SemDeDup's n²/k
+    # bound. (The k-row seed crossJoin is the one intended broadcast
+    # nested loop; it prints once per pair alias because the persisted
+    # assignment subtree is unmaterialized in a fresh plan.)
+    plan = plan_of(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin [cluster" in plan or "ShuffledHashJoin [cluster" in plan
+
+
+def test_win_ewma_single_user_shuffle(spark):
+    # One user-keyed Exchange feeding the window; the frame fold is a
+    # codegen expression, not a second shuffle or a Python worker.
+    plan = plan_of(spark, "win_ewma")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_upsert_is_anti_join_plus_union(spark):
+    plan = plan_of(spark, "merge_upsert")
+    assert "LeftAnti" in plan
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_url_partial_agg_single_shuffle(spark):
+    # Canonicalization is a per-row map; the keeper decision is one
+    # hash aggregate with a map-side partial — exactly one Exchange.
+    plan = plan_of(spark, "dedup_url")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2

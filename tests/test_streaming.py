@@ -452,3 +452,66 @@ def test_stream_running_topk_tws_matches_batch(spark, events_dir):
         for r in event_topk_run(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_stream_countmin_matches_batch_counters_and_estimates(spark):
+    """The streaming CMS twin (per-occurrence path, update-mode agg)
+    must land on the SAME counter grid the batch op derives through its
+    vocabulary-hash shortcut — and a pure-Python reimplementation of
+    the sketch probe must reproduce the registered op's estimates from
+    the streamed counters."""
+    import tempfile as _tf
+
+    from piper_spark.operators.aggregates import (
+        CMS_MIXERS,
+        CMS_MOD,
+        CMS_WIDTH,
+        agg_countmin,
+    )
+    from piper_spark.functions.text import WORD_HASH_MOD
+    from piper_spark.streaming.events import (
+        read_document_stream,
+        stream_countmin,
+    )
+
+    d = _tf.mkdtemp(prefix="piper_docs_cms_")
+    table(spark, SF_SMOKE, "documents").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(d)
+    run_available_now(
+        stream_countmin(read_document_stream(spark, d)),
+        "cms_out",
+        output_mode="complete",
+    )
+    streamed = {
+        (r.r, r.bkt): r.cnt for r in spark.table("cms_out").collect()
+    }
+
+    # Batch counters, rebuilt from exact per-word counts (the registered
+    # op's vocabulary path) in plain Python.
+    wc: dict[str, int] = {}
+    for row in table(spark, SF_SMOKE, "documents").select("text").collect():
+        for w in row.text.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+
+    def h(word: str) -> int:
+        acc = 0
+        for ch in word:
+            acc = (acc * 31 + ord(ch)) % WORD_HASH_MOD
+        return acc
+
+    batch: dict[tuple[int, int], int] = {}
+    for w, c in wc.items():
+        for r, a, b in CMS_MIXERS:
+            key = (r, ((h(w) * a + b) % CMS_MOD) % CMS_WIDTH)
+            batch[key] = batch.get(key, 0) + c
+    assert streamed == batch
+
+    # The registered op's estimates must equal a probe of the STREAMED
+    # counters: est(word) = min over rows of counter[r, b_r(word)].
+    for row in agg_countmin(spark, SF_SMOKE).collect():
+        est = min(
+            streamed[(r, ((h(row.word) * a + b) % CMS_MOD) % CMS_WIDTH)]
+            for r, a, b in CMS_MIXERS
+        )
+        assert est == row.cms_est, row.word
