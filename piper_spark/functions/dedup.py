@@ -1475,3 +1475,116 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dups") >= 2)
     )
+
+
+#: Containment knobs: candidate shingles must appear in <= CONTAIN_MAX_DF
+#: docs (stop-shingle buckets never join), and the verify keeps pairs
+#: whose shared-shingle count covers >= CONTAIN_THRESHOLD of the SMALLER
+#: document's distinct shingles.
+CONTAIN_MAX_DF, CONTAIN_THRESHOLD = 20, 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(w) - 1, 2))]) AS sh
+  FROM d
+),
+x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+rare AS (
+  SELECT g
+  FROM (SELECT g, count(*) AS df FROM x GROUP BY g)
+  WHERE df <= {CONTAIN_MAX_DF}
+),
+xr AS (SELECT x.doc_id, x.g FROM x JOIN rare USING (g)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM xr a JOIN xr b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.id1, c.id2,
+         len(list_intersect(sa.sh, sb.sh)) AS shared,
+         least(len(sa.sh), len(sb.sh)) AS small
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.id1
+  JOIN s sb ON sb.doc_id = c.id2
+)
+SELECT id1, id2, shared,
+       round(CAST(shared AS DOUBLE) / small, 4) AS containment
+FROM v
+WHERE CAST(shared AS DOUBLE) / small >= {CONTAIN_THRESHOLD}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle CONTAINMENT — |S(a) ∩ S(b)|
+    / min(|S(a)|, |S(b)|) ≥ 0.8 (Broder 1997's containment, the
+    resemblance's one-sided sibling): a short document pasted inside a
+    much longer one has LOW Jaccard (the union is dominated by the long
+    doc) and is invisible to `dedup_jaccard_shingle` / `dedup_minhash`,
+    but containment ≈ 1. This is the quote-inclusion / subset-document
+    class a training-data pipeline must catch separately — Jaccard
+    dedup keeps both docs, yet the small one contributes no new text.
+    `dedup_substring` reports the shared RUN; this op scores the
+    whole-document coverage.
+
+    Shape (the `dedup_winnow` candidates-then-verify discipline):
+    zero-shuffle shingling → df-cap the exploded shingle relation (one
+    hash agg; stop-shingle buckets never join) → self equi-join ON
+    shingle (bucketed; fan-out ≤ C(CONTAIN_MAX_DF, 2) per shingle) →
+    DISTINCT pair candidates → exact containment verify via two
+    id-keyed joins back to the per-doc shingle arrays. Every stage is
+    a keyed shuffle; the only pairs not seen are those ALL of whose
+    shared shingles exceed the df-cap — by then the text is corpus-
+    common boilerplate, `text_boilerplate`'s job, not a pair op's. The
+    oracle mirrors the cap, so the key stays value-exact."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # persist: the exploded relation feeds the df-cap agg AND both join
+    # aliases; the shingle arrays feed the verify from both sides
+    # (caller owns both cache lifetimes — the dedup_winnow lesson).
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles("text")).alias("sh")
+    ).persist()
+    x = sh.select("doc_id", F.explode("sh").alias("g")).persist()
+    rare = (
+        x.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_MAX_DF)
+        .select("g")
+    )
+    xr = x.join(rare, "g")
+    a, b = xr.alias("a"), xr.alias("b")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    shared = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast(
+        "long"
+    )
+    small = F.least(
+        F.size(F.col("sa.sh")).cast("long"), F.size(F.col("sb.sh")).cast("long")
+    )
+    contain = shared.cast("double") / small
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id1"))
+        .join(sb, F.col("sb.doc_id") == F.col("id2"))
+        .filter(contain >= CONTAIN_THRESHOLD)
+        .select(
+            "id1",
+            "id2",
+            shared.alias("shared"),
+            F.round(contain, 4).alias("containment"),
+        )
+    )

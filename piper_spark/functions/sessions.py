@@ -715,3 +715,96 @@ def event_topk_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("user_id").agg(
         pick(1).alias("top1"), pick(2).alias("top2"), pick(3).alias("top3")
     )
+
+
+@register(
+    "event_cooccur",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+n AS (
+  SELECT count(*) AS nb
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)
+),
+t AS (SELECT event_type, count(*) AS cnt FROM u GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS both_cnt
+  FROM u a
+  JOIN u b ON a.user_id = b.user_id AND a.day = b.day
+          AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.both_cnt,
+       round(CAST(p.both_cnt AS DOUBLE) / n.nb, 6) AS support,
+       round(CAST(p.both_cnt AS DOUBLE) * n.nb / (ta.cnt * tb.cnt), 6) AS lift
+FROM p, n
+JOIN t ta ON ta.event_type = p.type_a
+JOIN t tb ON tb.event_type = p.type_b
+""",
+)
+def event_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over (user, day) activity baskets — per
+    event-type pair the basket co-occurrence count, support, and LIFT
+    (observed co-rate / rate expected under independence; > 1 means the
+    types attract, < 1 repel). Market-basket analytics' core primitive
+    (Agrawal et al. 1993's support/lift, minus the iterative Apriori
+    growth — pairs only, the query-engine cut), and the same statistic
+    an LLM-pipeline uses to find correlated quality signals.
+
+    Shape: one DISTINCT shuffle builds the basket relation, then the
+    pair join is keyed on (user_id, day) with per-basket fan-out ≤
+    C(|event-type domain|, 2) — a CONSTANT for enum-like item domains
+    (5 types here), never an all-pairs blowup; basket count and
+    per-type counts are tiny aggregates broadcast back onto the
+    pair-count relation. For large item domains (e.g. SKUs) add a
+    min-support df-cap on the item relation first — the
+    `dedup_containment` discipline — before the basket self-join."""
+    ev = table(spark, sf_dir, "events")
+    # persist: the basket relation feeds the per-type counts, the
+    # basket count, and BOTH pair-join aliases (caller owns the cache).
+    u = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .distinct()
+        .persist()
+    )
+    n = u.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    t = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = u.alias("a"), u.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    ta = t.select(F.col("event_type").alias("type_a"), F.col("cnt").alias("ca"))
+    tb = t.select(F.col("event_type").alias("type_b"), F.col("cnt").alias("cb"))
+    return (
+        p.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "both_cnt",
+            F.round(F.col("both_cnt").cast("double") / F.col("nb"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("both_cnt").cast("double")
+                * F.col("nb")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -521,3 +521,182 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("codes", -1).alias("code_last"),
         F.round(mae, 6).alias("mae"),
     )
+
+
+#: Quantization scale for the exact covariance path: embeddings are
+#: float32 in roughly [-1, 1], so floor(x·1e4 + 0.5) keeps 4 decimal
+#: digits and bounds |v| ≤ ~1e4. A per-pair product is ≤ 1e8, so the
+#: int64 Gram sums stay exact past 9e10 vectors — far beyond any
+#: corpus this engine will see (overflow bound, numeric.py preamble).
+COV_SCALE = 10000.0
+#: Principal components the PCA projection emits.
+PCA_K = 4
+
+
+def quantized_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, v: array<long>) — embeddings on the COV_SCALE integer
+    grid, the same floor(x·s + 0.5) recipe as `embed_quantize` /
+    `embed_centroids`: every downstream sum is exact integer math,
+    order-independent across engines and partitionings."""
+    return e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * COV_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("v"),
+    )
+
+
+def _gram_partial_batches(batches):
+    """mapInPandas worker: per-Arrow-batch integer Gram partials.
+
+    For a batch matrix V (k × d, int64) emit the upper triangle of
+    Vᵀ·V plus the per-dim sums and the row count — ONE d(d+1)/2-row
+    partial per batch, all exact int64, so the final (i, j) hash-agg
+    shuffles O(d²) rows per batch regardless of corpus size. This is
+    the 100 TB covariance shape: numpy does the per-batch matmul,
+    Spark only ever moves bounded sketch-sized partials.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        V = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+        d = V.shape[1]
+        iu = np.triu_indices(d)
+        G = V.T @ V
+        s = V.sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "g": G[iu],
+                "si": s[iu[0]],
+                "sj": s[iu[1]],
+                "n": np.full(len(iu[0]), len(V), dtype=np.int64),
+            }
+        )
+
+
+def cov_partials(e: DataFrame) -> DataFrame:
+    """Aggregated Gram partials (i, j, sxy, sx, sy, n) over the upper
+    triangle — the bounded (d² rows) sufficient statistic for
+    covariance/PCA. Exact int64 end-to-end; per-(i,j) sums of the
+    per-batch partials are associative, so the map-side combine does
+    most of the work and the shuffle is d(d+1)/2 keys total."""
+    part = quantized_vectors(e).mapInPandas(
+        _gram_partial_batches,
+        schema="i int, j int, g long, si long, sj long, n long",
+    )
+    return part.groupBy("i", "j").agg(
+        F.sum("g").alias("sxy"),
+        F.sum("si").alias("sx"),
+        F.sum("sj").alias("sy"),
+        F.sum("n").alias("n"),
+    )
+
+
+@register(
+    "embed_cov",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE!r} + 0.5) AS BIGINT)
+          FOR x IN embedding] AS v
+  FROM embeddings
+),
+idx AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM q) + 1)) AS i),
+p AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
+g AS (
+  SELECT i, j, sum(v[i] * v[j]) AS sxy, sum(v[i]) AS sx, sum(v[j]) AS sy,
+         count(*) AS n
+  FROM q, p GROUP BY i, j
+)
+SELECT CAST(i - 1 AS INT) AS dim_i, CAST(j - 1 AS INT) AS dim_j,
+       round((CAST(sxy AS DOUBLE) / n
+              - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+             / {COV_SCALE * COV_SCALE!r}, 9) AS cov
+FROM g
+""",
+)
+def embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT covariance matrix of the embedding corpus (upper triangle,
+    d(d+1)/2 rows) — the sufficient statistic PCA/whitening/Mahalanobis
+    scoring need, computed the way a 100 TB embedding store must: one
+    Arrow pass emitting per-batch integer Gram partials (numpy matmul
+    per batch), then a d²-key hash aggregate. The shuffle volume is
+    O(d² · batches) 8-byte counters — independent of corpus row count —
+    and every sum is exact int64 on the COV_SCALE grid, so the result
+    is bit-identical across engines, partitionings, and retries (the
+    float-sum order trap in numeric.py never arises). cov is reported
+    in ORIGINAL units: population covariance E[xy] − E[x]E[y] of the
+    quantized values, descaled by COV_SCALE² (identical IEEE expression
+    both engines, then round 9)."""
+    e = table(spark, sf_dir, "embeddings")
+    c = (
+        F.col("sxy").cast("double") / F.col("n")
+        - (F.col("sx").cast("double") / F.col("n"))
+        * (F.col("sy").cast("double") / F.col("n"))
+    ) / F.lit(COV_SCALE * COV_SCALE)
+    return cov_partials(e).select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        F.round(c, 9).alias("cov"),
+    )
+
+
+@register("embed_pca")
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to PCA_K components — the dimensionality-reduction
+    step before clustering/visualization/cheap ANN. Two-stage, the
+    `sim_ann_ivf` codebook pattern: (1) TRAIN driver-side on a BOUNDED
+    artifact — the d(d+1)/2-row exact covariance from `cov_partials`
+    (bounded by embedding width, never by corpus size) is collected,
+    eigendecomposed with numpy, and the top-K eigenvectors sign-fixed
+    deterministically (largest-|coordinate| made positive); (2) PROJECT
+    with a broadcast literal model — per-row mean-centering + K dot
+    products as JVM-side zip_with/aggregate folds, zero shuffle, scales
+    with the scan. Eigenvectors are float artifacts → rows-only key
+    (⚠); the exact twin is `embed_cov` (same partials, oracle-checked),
+    and numpy-parity/orthonormality are pinned in property tests."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    rows = cov_partials(e).collect()  # ≤ d(d+1)/2 rows: model artifact
+    out_cols = ["vec_id"] + [f"pc{c + 1}" for c in range(PCA_K)]
+    if not rows:
+        schema = "vec_id long, " + ", ".join(
+            f"pc{c + 1} double" for c in range(PCA_K)
+        )
+        return spark.createDataFrame([], schema)
+    d = max(r["i"] for r in rows) + 1
+    n = rows[0]["n"]
+    scale2 = COV_SCALE * COV_SCALE
+    C = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in rows:
+        cov = (r["sxy"] / n - (r["sx"] / n) * (r["sy"] / n)) / scale2
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = cov
+        if r["i"] == r["j"]:
+            mean[r["i"]] = r["sx"] / n / COV_SCALE
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    W = []
+    for k in range(1, PCA_K + 1):
+        w = vecs[:, -k]
+        if w[int(np.argmax(np.abs(w)))] < 0:  # deterministic sign
+            w = -w
+        W.append(w)
+    m_arr = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), m_arr, lambda x, y: x - y
+    )
+    proj = e.withColumn("centered", centered)
+    pcs = [
+        F.round(
+            dot(F.col("centered"), F.array(*[F.lit(float(v)) for v in w])), 6
+        ).alias(f"pc{c + 1}")
+        for c, w in enumerate(W)
+    ]
+    return proj.select("vec_id", *pcs)

@@ -422,3 +422,75 @@ def dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+#: Robust-outlier knobs: MAD consistency constant (σ estimate for
+#: normal data) and the flag threshold in robust-σ units.
+MAD_K, OUTLIER_SIGMA = 1.4826, 3.0
+
+
+@register(
+    "dq_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       round((d.value - d.med) / ({MAD_K!r} * m.mad), 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.adev > {OUTLIER_SIGMA!r} * {MAD_K!r} * m.mad
+""",
+)
+def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier flags per event_type — |x − median| > 3 robust-σ,
+    where robust-σ = 1.4826·MAD (median absolute deviation). The
+    data-quality sibling of `dq_checks`/`dq_quarantine` that mean/stddev
+    z-scores cannot replace: one fat-fingered 1e9 value drags the MEAN
+    gate's own threshold, while median and MAD are 50%-breakdown
+    estimators — the standard anomaly screen before a value column
+    feeds training or billing.
+
+    Shape: two grouped EXACT percentiles (same `percentile` ≡
+    `quantile_cont` bit-parity as `agg_median`) with the tiny per-type
+    stats broadcast back — the corpus is scanned, never shuffled on a
+    data key. At 100 TB swap `percentile` for `approx_percentile`'s
+    mergeable sketch (the `agg_median_approx` path — bounded state per
+    group instead of a full value buffer); exact form registered so the
+    oracle is value-exact. The filter and z expression are the same
+    IEEE operation order both engines, so doubles match bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    # persist: the MAD aggregate AND the final flag pass both read the
+    # deviation relation — one events scan+join, not two (caller owns
+    # the cache lifetime).
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .persist()
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    rz = (F.col("value") - F.col("med")) / (F.lit(MAD_K) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > F.lit(OUTLIER_SIGMA) * F.lit(MAD_K) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(rz, 4).alias("robust_z"),
+        )
+    )

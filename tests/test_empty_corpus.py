@@ -80,6 +80,14 @@ RISKY = [
     "agg_countmin",
     "dedup_semantic",
     "win_ewma",
+    # round-7 closing batch: an Arrow Gram pass + numpy eigh model fit
+    # on zero rows, a persisted shingle self-join, grouped exact
+    # percentiles feeding a broadcast, and a basket-count crossJoin.
+    "embed_cov",
+    "embed_pca",
+    "dedup_containment",
+    "dq_outliers",
+    "event_cooccur",
 ]
 
 

@@ -587,3 +587,59 @@ def test_dedup_url_partial_agg_single_shuffle(spark):
     plan = plan_of(spark, "dedup_url")
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") == 2
+
+
+def test_embed_cov_shuffles_only_gram_partials(spark):
+    # The corpus pass is ONE Arrow stage emitting d²-sized partials;
+    # the only Exchange is the (i, j) hash-agg key — d(d+1)/2 keys
+    # regardless of corpus size — with a map-side partial agg before it.
+    plan = plan_of(spark, "embed_cov")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_pca_projection_is_shuffle_free_codegen(spark):
+    # Training collected a bounded artifact while BUILDING the plan;
+    # the returned projection itself must be a pure narrow codegen
+    # pass: literal model arrays, no Exchange, no Python workers.
+    plan = plan_of(spark, "embed_pca")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_dedup_containment_candidates_are_shingle_keyed(spark):
+    # Candidate generation must equi-join on the shingle, and the
+    # verify must join back by doc id — never an all-pairs product.
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # any equi-join flavor is fine (smoke-scale sides broadcast); the
+    # contract is the EQUI key: candidates join ON the shingle column.
+    assert "Join [g#" in plan
+
+
+def test_dq_outliers_stats_are_broadcast_back(spark):
+    # Both per-type stats relations are tiny grouped aggregates; the
+    # corpus joins them via BroadcastHashJoin — the events relation is
+    # never shuffled on a data key.
+    plan = plan_of(spark, "dq_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_cooccur_basket_join_is_keyed(spark):
+    # The pair stage shuffles on the basket key (user_id, day); the
+    # count relations come back as broadcasts (the 1-row basket count
+    # is the one intended nested-loop join).
+    plan = plan_of(spark, "event_cooccur")
+    assert "CartesianProduct" not in plan
+    # the pair stage is an equi-join on the basket key in any flavor
+    # (smoke-scale sides broadcast); the 1-row basket count is the one
+    # intended nested-loop join.
+    assert "Join [user_id#" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" in plan

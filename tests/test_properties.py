@@ -939,3 +939,158 @@ def test_self_repeat_detects_planted_loops(spark):
     assert out[1].max_repeat_words == 0 and out[1].n_repeat_sites == 0
     # 200×"loop" has one gram at 198 occurrences — capped out, so 0.
     assert out[2].max_repeat_words == 0
+
+
+def test_embed_cov_matches_numpy_exactly(spark):
+    """The Arrow Gram-partial path must equal a single-process numpy
+    covariance of the SAME quantized values bit-for-bit — partials are
+    exact int64, so no partitioning/batching may change any value."""
+    import numpy as np
+
+    from piper_spark.functions.similarity import COV_SCALE, embed_cov
+
+    rows = table(spark, SF_SMOKE, "embeddings").orderBy("vec_id").collect()
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    V = np.floor(E * COV_SCALE + 0.5).astype(np.int64)
+    n = len(V)
+    G, s = V.T @ V, V.sum(axis=0)
+    C = (G / n - np.outer(s / n, s / n)) / (COV_SCALE * COV_SCALE)
+    iu = np.triu_indices(V.shape[1])
+    want = {
+        (int(i), int(j)): round(float(C[i, j]), 9)
+        for i, j in zip(iu[0], iu[1])
+    }
+    got = {
+        (r.dim_i, r.dim_j): r.cov for r in embed_cov(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_embed_pca_matches_numpy_and_is_orthonormal(spark):
+    """The driver-side eigh model must (a) project every vector exactly
+    as the same numpy pipeline does, (b) use orthonormal components,
+    (c) order components by DESCENDING explained variance, and (d) fix
+    signs deterministically (largest-|coordinate| positive)."""
+    import numpy as np
+
+    from piper_spark.functions.similarity import COV_SCALE, PCA_K, embed_pca
+
+    rows = table(spark, SF_SMOKE, "embeddings").orderBy("vec_id").collect()
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    V = np.floor(E * COV_SCALE + 0.5).astype(np.int64)
+    n = len(V)
+    G, s = V.T @ V, V.sum(axis=0)
+    C = (G / n - np.outer(s / n, s / n)) / (COV_SCALE * COV_SCALE)
+    C = (C + C.T) / 2  # the operator writes both triangles from one value
+    # mirror the operator's model build EXACTLY (same float ops)
+    d = V.shape[1]
+    C2 = np.zeros((d, d))
+    mean = np.zeros(d)
+    iu = np.triu_indices(d)
+    for i, j in zip(iu[0], iu[1]):
+        cov = (G[i, j] / n - (s[i] / n) * (s[j] / n)) / (COV_SCALE * COV_SCALE)
+        C2[i, j] = C2[j, i] = cov
+        if i == j:
+            mean[i] = s[i] / n / COV_SCALE
+    vals, vecs = np.linalg.eigh(C2)
+    W = []
+    for k in range(1, PCA_K + 1):
+        w = vecs[:, -k]
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        W.append(w)
+    W = np.stack(W)
+    # (b) orthonormal; (c) descending variance
+    assert np.allclose(W @ W.T, np.eye(PCA_K), atol=1e-10)
+    ev = vals[::-1][:PCA_K]
+    assert all(ev[k] >= ev[k + 1] - 1e-12 for k in range(PCA_K - 1))
+    # (a) exact projection parity (same IEEE ops -> same rounded value)
+    want = np.round((E - mean) @ W.T, 6)
+    got = embed_pca(spark, SF_SMOKE).orderBy("vec_id").collect()
+    have = np.array([[getattr(r, f"pc{c + 1}") for c in range(PCA_K)] for r in got])
+    assert np.array_equal(have, want)
+
+
+def test_dedup_containment_catches_the_low_jaccard_inclusion(spark):
+    """A short doc pasted verbatim into a much longer one: containment
+    = 1.0 (every shingle of the small doc is in the big one) while
+    whole-doc Jaccard is LOW — the pair class the Jaccard family
+    deliberately misses and this operator exists for. A half-contained
+    doc under the 0.8 gate must NOT pair."""
+    from unittest import mock
+
+    from piper_spark.functions import dedup as D
+
+    quote = " ".join(f"q{i}" for i in range(30))
+    host = " ".join(f"h{i}" for i in range(300)) + " " + quote
+    half = " ".join(f"q{i}" for i in range(15)) + " " + " ".join(
+        f"z{i}" for i in range(15)
+    )
+    d = spark.createDataFrame(
+        [(1, quote), (2, host), (3, half)], "doc_id long, text string"
+    )
+    with mock.patch.object(D, "table", lambda s, sf, name: d):
+        got = {
+            (r.id1, r.id2): r.containment
+            for r in D.dedup_containment(spark, "_").collect()
+        }
+    assert got.get((1, 2)) == 1.0, got
+    # Jaccard of the same pair is well under the 0.5 near-dup gate
+    sh_q, sh_h = 28, 328  # distinct 3-shingles: n_words - 2
+    assert sh_q / sh_h < 0.5
+    assert (1, 3) not in got and (2, 3) not in got, got
+
+
+def test_dq_outliers_is_robust_to_the_outliers_themselves(spark):
+    """MAD-gate robustness: a planted extreme value must be flagged,
+    and planting it must NOT change the median/MAD enough to flag a
+    previously-normal value (the failure mode of mean/stddev z-scores,
+    where one 1e9 row widens the gate and masks real outliers)."""
+    from unittest import mock
+
+    from piper_spark import pipelines as P
+
+    base = [
+        (i, "t", float(100 + (i % 21) - 10)) for i in range(200)
+    ]  # values 90..110, median 100
+    extreme = [(900, "t", 1e9), (901, "t", 150.0)]
+    d = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", 1, t, v, "{}") for i, t, v in base + extreme],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with mock.patch.object(P, "table", lambda s, sf, name: d):
+        got = {r.event_id: r.robust_z for r in P.dq_outliers(spark, "_").collect()}
+    assert 900 in got and got[900] > 1000  # the extreme is flagged hard
+    assert 901 in got and got[901] > 3  # a real moderate outlier too
+    assert all(i not in got for i in range(200)), sorted(got)  # none normal
+
+
+def test_event_cooccur_lift_separates_attraction_from_repulsion(spark):
+    """Synthetic baskets where A and B ALWAYS co-occur and C never
+    joins them: lift(A,B) must exceed 1 (attraction), A-C/B-C must not
+    pair at all, and support must be the exact basket fraction."""
+    from unittest import mock
+
+    from piper_spark.functions import sessions as S
+
+    rows = []
+    eid = 0
+    for u in range(10):  # 10 users x 1 day each: 20 baskets total
+        for t in ("A", "B"):
+            rows.append((eid, f"2024-01-0{1 + u % 9} 10:00:00", u, t)); eid += 1
+        rows.append((eid, f"2024-01-0{1 + u % 9} 11:00:00", u + 100, "C")); eid += 1
+    d = spark.createDataFrame(
+        [(i, ts, u, t, 1.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with mock.patch.object(S, "table", lambda s, sf, name: d):
+        got = {
+            (r.type_a, r.type_b): r for r in S.event_cooccur(spark, "_").collect()
+        }
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert r.both_cnt == 10 and r.support == 0.5  # 10 of 20 baskets
+    # lift = (10 * 20) / (10 * 10) = 2.0: A and B attract
+    assert r.lift == 2.0
