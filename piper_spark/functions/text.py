@@ -1885,3 +1885,69 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+#: Merge candidates reported by the BPE pair-count pass.
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "text_bpe_pairs",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS freq FROM w
+  WHERE len(word) >= 2 GROUP BY word
+),
+pairs AS (
+  SELECT unnest([substring(word, i, 2) FOR i IN range(1, len(word))]) AS pair,
+         freq
+  FROM vocab
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
+""",
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner statistic (Sennrich et al. 2016): count
+    adjacent SYMBOL pairs across the corpus, weighted by word
+    frequency — the top pair is the next merge rule; tokenizer training
+    is this op iterated with the merge applied between rounds (the
+    driver-orchestrated loop, each round one cheap pass like this one).
+
+    The scale insight that makes distributed BPE feasible: after ONE
+    corpus-wide word-frequency aggregate (classic map-side-combine
+    shuffle on the word), every subsequent pass runs on the DISTINCT
+    VOCABULARY weighted by freq — Heaps-law sublinear in corpus size,
+    so at 100 TB the pair counting never re-scans the corpus. Here the
+    pair explode is a zero-shuffle HOF over the vocab relation (an
+    adjacent char pair IS the 2-char substring at i), the pair count a
+    second small hash agg, and top-20 a TakeOrderedAndProject —
+    deterministic tiebreak on the pair string. Single-char words carry
+    no pair and are filtered before the explode (they'd hit the
+    descending-sequence trap winnow_fps guards against)."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -18,7 +18,7 @@ physical join at any scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from piper_spark.functions.numeric import dsum, sql_dsum
@@ -624,3 +624,57 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = upd.unionByName(ins)
     kept = o.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
     return kept.unionByName(changes)
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+WITH chg AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS ver_key
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+v AS (
+  SELECT c.o_custkey AS cust_key, c.o_orderdate AS valid_from,
+         o.o_orderstatus AS status,
+         lead(c.o_orderdate) OVER (PARTITION BY c.o_custkey
+                                   ORDER BY c.o_orderdate) AS valid_to
+  FROM chg c JOIN orders o ON o.o_orderkey = c.ver_key
+)
+SELECT cust_key, valid_from, valid_to, status,
+       CAST(valid_to IS NULL AS INT) AS is_current
+FROM v
+""",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension build — turn a changelog into validity
+    intervals [valid_from, valid_to) with an is_current flag, the
+    Kimball slowly-changing-dimension shape every lakehouse dimension
+    load runs and the historical sibling of `merge_upsert` (which keeps
+    only the latest version; SCD2 keeps them ALL, queryable as-of any
+    date via `join_asof`). Changelog derived deterministically from
+    `orders`: per (customer, date) the highest orderkey is that day's
+    version (the dedup-to-one-version-per-grain step every CDC feed
+    needs — same discipline as `exact_dedup`'s deterministic survivor).
+
+    Shape: one (key, grain) hash agg → one orderkey-keyed join back for
+    the version payload → ONE key-partitioned lead() window; all three
+    shuffle on the dimension key or the version key, state per window
+    partition bounded by one key's history. At 100 TB the window is the
+    only sort, and it sorts each customer's handful of versions —
+    never a global order."""
+    o = table(spark, sf_dir, "orders")
+    chg = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("ver_key")
+    )
+    v = chg.join(
+        o.select("o_orderkey", "o_orderstatus"),
+        chg["ver_key"] == F.col("o_orderkey"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return v.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.col("o_orderstatus").alias("status"),
+        F.lead("o_orderdate").over(w).isNull().cast("int").alias("is_current"),
+    )

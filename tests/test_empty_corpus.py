@@ -88,6 +88,8 @@ RISKY = [
     "dedup_containment",
     "dq_outliers",
     "event_cooccur",
+    "text_bpe_pairs",
+    "scd2_intervals",
 ]
 
 

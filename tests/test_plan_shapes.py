@@ -643,3 +643,22 @@ def test_event_cooccur_basket_join_is_keyed(spark):
     assert "Join [user_id#" in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_text_bpe_pairs_runs_on_the_vocab_not_the_corpus(spark):
+    # Two hash aggregates (word freq, then pair count) and a
+    # TakeOrderedAndProject for the top-k — never a global Sort; the
+    # pair explode hangs off the vocab relation, after the word agg.
+    plan = plan_of(spark, "text_bpe_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_intervals_window_is_key_partitioned(spark):
+    # One lead() window partitioned on the dimension key; the version
+    # payload comes back via an equi-join on the version key.
+    plan = plan_of(spark, "scd2_intervals")
+    assert "Window" in plan
+    assert "windowspecdefinition(o_custkey" in plan
+    assert "CartesianProduct" not in plan

@@ -1094,3 +1094,57 @@ def test_event_cooccur_lift_separates_attraction_from_repulsion(spark):
     assert r.both_cnt == 10 and r.support == 0.5  # 10 of 20 baskets
     # lift = (10 * 20) / (10 * 10) = 2.0: A and B attract
     assert r.lift == 2.0
+
+
+def test_text_bpe_pairs_counts_are_freq_weighted_and_tiebroken(spark):
+    """Pair counts must be exact word-freq-weighted adjacent-symbol
+    counts (the Sennrich BPE statistic), single-char words contribute
+    nothing, and equal counts tiebreak lexicographically."""
+    from unittest import mock
+
+    from piper_spark.functions import text as T
+
+    d = spark.createDataFrame(
+        [
+            (0, "abc abc x"),   # abc twice here +1 below = freq 3
+            (1, "abc zz zz"),   # zz freq 2
+            (2, "x y z"),       # single chars: no pairs
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(T, "table", lambda s, sf, name: d):
+        got = [(r.pair, r.pair_count) for r in T.text_bpe_pairs(spark, "_").collect()]
+    # abc freq 3 -> ab:3, bc:3; zz freq 2 -> zz:2
+    assert got == [("ab", 3), ("bc", 3), ("zz", 2)]
+
+
+def test_scd2_intervals_chain_and_current_flag(spark):
+    """SCD2 invariants: per key the intervals CHAIN (each valid_to is
+    the next valid_from), exactly ONE row is current (null valid_to),
+    and a same-grain double-change resolves to the highest version key
+    (deterministic CDC dedup)."""
+    import datetime
+    from unittest import mock
+
+    from piper_spark.operators import joins as J
+
+    d1, d2, d3 = (datetime.date(2024, 1, i) for i in (1, 5, 9))
+    rows = [
+        (100, 7, d1, "A", 1.0, "x", 0, "c", "n"),
+        (101, 7, d2, "B", 1.0, "x", 0, "c", "n"),
+        (102, 7, d2, "C", 1.0, "x", 0, "c", "n"),  # same grain, higher key wins
+        (103, 7, d3, "D", 1.0, "x", 0, "c", "n"),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate date, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string, o_shippriority int, "
+        "o_clerk string, o_comment string",
+    )
+    with mock.patch.object(J, "table", lambda s, sf, name: d):
+        got = sorted(
+            J.scd2_intervals(spark, "_").collect(), key=lambda r: r.valid_from
+        )
+    assert [r.status for r in got] == ["A", "C", "D"]  # 102 beat 101
+    assert [r.valid_to for r in got] == [d2, d3, None]  # chained
+    assert [r.is_current for r in got] == [0, 0, 1]
