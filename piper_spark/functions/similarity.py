@@ -665,11 +665,9 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     rows = cov_partials(e).collect()  # ≤ d(d+1)/2 rows: model artifact
-    out_cols = ["vec_id"] + [f"pc{c + 1}" for c in range(PCA_K)]
+    pc_cols = [f"pc{c + 1}" for c in range(PCA_K)]
     if not rows:
-        schema = "vec_id long, " + ", ".join(
-            f"pc{c + 1} double" for c in range(PCA_K)
-        )
+        schema = "vec_id long, " + ", ".join(f"{c} double" for c in pc_cols)
         return spark.createDataFrame([], schema)
     d = max(r["i"] for r in rows) + 1
     n = rows[0]["n"]
@@ -696,7 +694,7 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcs = [
         F.round(
             dot(F.col("centered"), F.array(*[F.lit(float(v)) for v in w])), 6
-        ).alias(f"pc{c + 1}")
+        ).alias(pc_cols[c])
         for c, w in enumerate(W)
     ]
     return proj.select("vec_id", *pcs)

@@ -671,10 +671,11 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         chg["ver_key"] == F.col("o_orderkey"),
     )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    # is_current derives FROM valid_to (one window slot, single source
+    # of truth — the oracle does the same), never a second lead().
     return v.select(
         F.col("o_custkey").alias("cust_key"),
         F.col("o_orderdate").alias("valid_from"),
         F.lead("o_orderdate").over(w).alias("valid_to"),
         F.col("o_orderstatus").alias("status"),
-        F.lead("o_orderdate").over(w).isNull().cast("int").alias("is_current"),
-    )
+    ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))

@@ -980,8 +980,6 @@ def test_embed_pca_matches_numpy_and_is_orthonormal(spark):
     V = np.floor(E * COV_SCALE + 0.5).astype(np.int64)
     n = len(V)
     G, s = V.T @ V, V.sum(axis=0)
-    C = (G / n - np.outer(s / n, s / n)) / (COV_SCALE * COV_SCALE)
-    C = (C + C.T) / 2  # the operator writes both triangles from one value
     # mirror the operator's model build EXACTLY (same float ops)
     d = V.shape[1]
     C2 = np.zeros((d, d))
@@ -1004,8 +1002,18 @@ def test_embed_pca_matches_numpy_and_is_orthonormal(spark):
     assert np.allclose(W @ W.T, np.eye(PCA_K), atol=1e-10)
     ev = vals[::-1][:PCA_K]
     assert all(ev[k] >= ev[k + 1] - 1e-12 for k in range(PCA_K - 1))
-    # (a) exact projection parity (same IEEE ops -> same rounded value)
-    want = np.round((E - mean) @ W.T, 6)
+    # (a) exact projection parity. NOT a BLAS matmul here: Spark's
+    # aggregate() is a strict left-to-right fold of (e_i − m_i)·w_i
+    # starting at 0.0, while dgemm reorders/FMAs — replicate the fold
+    # op-for-op so the bit-exact assertion is an invariant, not a
+    # BLAS-implementation coincidence.
+    want = np.zeros((len(E), PCA_K))
+    for c in range(PCA_K):
+        acc = np.zeros(len(E))
+        for i in range(d):
+            acc = acc + (E[:, i] - mean[i]) * W[c][i]
+        want[:, c] = acc
+    want = np.round(want, 6)
     got = embed_pca(spark, SF_SMOKE).orderBy("vec_id").collect()
     have = np.array([[getattr(r, f"pc{c + 1}") for c in range(PCA_K)] for r in got])
     assert np.array_equal(have, want)
