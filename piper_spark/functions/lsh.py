@@ -232,7 +232,9 @@ _COS_SQL = """list_sum(list_transform({a}.ed, (x, i) -> x * {b}.ed[i]))
 #: oracle string is exact at every SF. `nb` is a 1-row CTE cross-joined
 #: where the width is needed; the hyperplane list and the plane range
 #: scale with it (n_planes = 4 × bits_per_band — band count fixed at 4).
-_DEDUP_ORACLE = """
+#: The CTE chain through `pairs` (candidates + exact cosine), shared by
+#: the dedup oracle and pipeline_embed_curate's composed oracle.
+_DEDUP_CTES = """
 WITH nb AS (
   SELECT LEAST(63, GREATEST(16,
            CAST(ceil(log2(GREATEST(count(*), 2))) AS INTEGER) + 3)) AS bpb
@@ -283,10 +285,15 @@ pairs AS (
   FROM cand
   JOIN q e1 ON cand.id1 = e1.vec_id
   JOIN q e2 ON cand.id2 = e2.vec_id
-)
+)"""
+
+_DEDUP_ORACLE = (
+    _DEDUP_CTES
+    + """
 SELECT id1, id2, round(cos, 4) AS cos_sim
 FROM pairs WHERE cos >= 0.95
 """
+)
 
 
 @register("dedup_lsh_cosine", oracle=_DEDUP_ORACLE.format(cos=_COS_SQL.format(a="e1", b="e2")))

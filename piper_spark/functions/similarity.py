@@ -450,30 +450,44 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embed_quantize",
-    oracle="""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+#: int8-quantization audit CTEs over any (vec_id, ed DOUBLE[]) source
+#: CTE — shared by `embed_quantize` (whole corpus) and
+#: `pipeline_embed_curate` (post-dedup survivors). Emits `qq` with
+#: (vec_id, ed, mn, mx, codes).
+_QUANT_AUDIT_SQL = """
+qm AS (
+  SELECT vec_id, ed, list_min(ed) AS mn, list_max(ed) AS mx FROM {src}
 ),
-m AS (
-  SELECT vec_id, ed, list_min(ed) AS mn, list_max(ed) AS mx FROM e
-),
-q AS (
+qq AS (
   SELECT vec_id, ed, mn, mx,
          list_transform(ed, x -> CASE WHEN mx = mn THEN 0
            ELSE CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)
            END) AS codes
-  FROM m
-)
-SELECT vec_id, mn, mx,
+  FROM qm
+)"""
+
+#: The audit's reported facts from `qq` (same expressions both oracles).
+_QUANT_FACTS_SQL = """
        CAST(list_sum(codes) AS BIGINT) AS code_sum,
        codes[1] AS code_first,
        codes[len(codes)] AS code_last,
        round(list_sum(list_transform(list_zip(ed, codes), p ->
                abs(p[1] - (mn + p[2] * ((mx - mn) / 255.0)))))
-             / len(ed), 6) AS mae
-FROM q
+             / len(ed), 6) AS mae"""
+
+
+@register(
+    "embed_quantize",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+),"""
+    + _QUANT_AUDIT_SQL.format(src="e")
+    + """
+SELECT vec_id, mn, mx,"""
+    + _QUANT_FACTS_SQL
+    + """
+FROM qq
 """,
 )
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +509,14 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ed")
     )
+    return quantize_audit_rel(e)
+
+
+def quantize_audit_rel(e: DataFrame) -> DataFrame:
+    """The audit relation behind `embed_quantize`, over any
+    (vec_id, ed array<double>) frame — also the quantization stage of
+    `pipeline_embed_curate`. Same floor(t + 0.5) / IEEE-order recipe
+    (see embed_quantize's docstring for the cross-engine argument)."""
     mn, mx = F.array_min("ed"), F.array_max("ed")
     m = e.select("vec_id", "ed", mn.alias("mn"), mx.alias("mx"))
     code = lambda x: F.when(  # noqa: E731

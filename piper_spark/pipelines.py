@@ -494,3 +494,82 @@ def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 4).alias("robust_z"),
         )
     )
+
+
+def _embed_curate_oracle() -> str:
+    """Composed oracle: the LSH near-dup CTE chain -> drop the higher
+    id of every verified pair -> modulo split -> int8 quantize audit.
+    Built from the SAME SQL fragments the stage oracles use, so the
+    pipeline check can only pass if each stage's semantics compose."""
+    from piper_spark.functions.lsh import _COS_SQL, _DEDUP_CTES
+    from piper_spark.functions.similarity import (
+        _QUANT_AUDIT_SQL,
+        _QUANT_FACTS_SQL,
+    )
+
+    return (
+        _DEDUP_CTES.format(cos=_COS_SQL.format(a="e1", b="e2"))
+        + """,
+drops AS (SELECT DISTINCT id2 AS vec_id FROM pairs WHERE cos >= 0.95),
+surv AS (
+  SELECT vec_id, ed FROM un
+  WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+),"""
+        + _QUANT_AUDIT_SQL.format(src="surv")
+        + """
+SELECT vec_id,
+       CASE WHEN vec_id % 100 < 80 THEN 'train' ELSE 'val' END AS split,
+       mn, mx,"""
+        + _QUANT_FACTS_SQL
+        + """
+FROM qq
+"""
+    )
+
+
+@register("pipeline_embed_curate", oracle=_embed_curate_oracle())
+def pipeline_embed_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING modality's curation spine — `pipeline_curate` for
+    vectors, closing the pipeline × modality grid (text:
+    pipeline_curate/near_dedup; vectors: this):
+
+      embeddings (∪ derived near-dup twins, the lsh fixture)
+        → near-dup removal   (dedup_lsh_cosine's banded candidates +
+                              exact-cosine verify; drop the HIGHER
+                              vec_id of every cos ≥ 0.95 pair — the
+                              pipeline_near_dedup keep rule)
+        → deterministic split (vec_id % 100 modulo form)
+        → int8 quantization audit (the embed_quantize stage — what an
+                              embedding store persists for ANN)
+
+    One lazy plan end-to-end: the banded signature equi-join and the
+    anti-join on the bounded drop set are the only key shuffles; the
+    quantize stage is per-row codegen. Value-exact because every stage
+    is (the oracle composes the stages' own SQL fragments), where a
+    k-means-style semantic dedup would be rows-only — the exact twin
+    discipline, applied to a whole pipeline."""
+    from piper_spark.functions.lsh import (
+        _DEDUP_BANDS,
+        derived_band_bits,
+        lsh_near_dup_pairs,
+        planted_union,
+    )
+    from piper_spark.functions.similarity import quantize_audit_rel
+    from piper_spark.session import row_count
+
+    bpb = derived_band_bits(row_count(spark, sf_dir, "embeddings"))
+    # persist: the union feeds the signature pass, both verify sides,
+    # AND the survivor anti-join (caller owns the cache lifetime).
+    un = planted_union(spark, sf_dir).persist()
+    pairs = lsh_near_dup_pairs(un, _DEDUP_BANDS * bpb, bpb)
+    drops = pairs.select(F.col("id2").alias("vec_id")).distinct()
+    surv = un.join(drops, "vec_id", "left_anti")
+    audit = quantize_audit_rel(surv)
+    split = (
+        F.when(F.col("vec_id") % 100 < 80, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split")
+    )
+    return audit.select(
+        "vec_id", split, "mn", "mx", "code_sum", "code_first", "code_last", "mae"
+    )

@@ -90,6 +90,7 @@ RISKY = [
     "event_cooccur",
     "text_bpe_pairs",
     "scd2_intervals",
+    "pipeline_embed_curate",
 ]
 
 

@@ -662,3 +662,13 @@ def test_scd2_intervals_window_is_key_partitioned(spark):
     assert "Window" in plan
     assert "windowspecdefinition(o_custkey" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pipeline_embed_curate_survivors_via_anti_join(spark):
+    # The drop set is applied as a key anti-join (never a collected
+    # filter list); candidates stay an equi-join on the band value, and
+    # the only Python stage is the Arrow signature kernel.
+    plan = plan_of(spark, "pipeline_embed_curate")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow, not row-at-a-time

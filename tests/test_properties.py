@@ -1156,3 +1156,24 @@ def test_scd2_intervals_chain_and_current_flag(spark):
     assert [r.status for r in got] == ["A", "C", "D"]  # 102 beat 101
     assert [r.valid_to for r in got] == [d2, d3, None]  # chained
     assert [r.is_current for r in got] == [0, 0, 1]
+
+
+def test_pipeline_embed_curate_drops_twins_keeps_base(spark):
+    """The embedding curation spine must drop every derived near-dup
+    twin (cos exactly 1.0 with its base, always the higher id) and keep
+    every base vector (the corpus has no natural cos >= 0.95 pairs),
+    with the exact modulo split on the survivors."""
+    from piper_spark.functions.lsh import PLANT_OFFSET
+    from piper_spark.pipelines import pipeline_embed_curate
+    from piper_spark.session import table
+
+    base_ids = {
+        r.vec_id for r in table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    got = pipeline_embed_curate(spark, SF_SMOKE).collect()
+    surv = {r.vec_id for r in got}
+    assert surv == base_ids  # every base kept, every twin dropped
+    assert not any(v >= PLANT_OFFSET for v in surv)
+    assert all(
+        (r.split == "train") == (r.vec_id % 100 < 80) for r in got
+    )
