@@ -808,3 +808,49 @@ def event_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "event_paths",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS path_count
+FROM o WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY path_count DESC, path LIMIT 10
+""",
+)
+def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event-type PATHS per user timeline — the
+    sequential-pattern-mining primitive behind clickstream analysis
+    (the n-gram view of `event_markov`'s single transitions: Markov
+    sees click→buy, paths see view>click>buy as one unit). Ordering
+    within a user is (ts, event_id) so simultaneous events rank
+    deterministically in both engines.
+
+    Shape: ONE user-keyed window (two lead() slots share it — state is
+    one user's events), a concat projection, a path hash-agg with
+    map-side partials over the bounded |types|³ key space, and
+    TakeOrderedAndProject for the top-k — no global sort, no self-join
+    (the window IS the adjacency; a join-based 3-gram would shuffle the
+    corpus twice more)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        o.filter(F.col("t3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("path_count"))
+        .orderBy(F.col("path_count").desc(), F.col("path").asc())
+        .limit(10)
+    )

@@ -204,3 +204,85 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         dsum(F.col("value")).alias("total_value"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH e AS (SELECT * FROM events WHERE event_type <> 'signup'),
+s AS (SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+b AS (SELECT e.event_id, e.user_id, e.ts, s.ts AS b_ts, s.event_id AS b_id
+      FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts),
+f AS (SELECT e.event_id, s.ts AS f_ts, s.event_id AS f_id
+      FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts <= s.ts)
+SELECT b.event_id, b.user_id, b.ts,
+  CASE WHEN b_ts IS NULL THEN f_ts
+       WHEN f_ts IS NULL THEN b_ts
+       WHEN (epoch_us(b.ts) - epoch_us(b_ts)) <= (epoch_us(f_ts) - epoch_us(b.ts))
+       THEN b_ts ELSE f_ts END AS r_ts,
+  CASE WHEN b_ts IS NULL THEN f_id
+       WHEN f_ts IS NULL THEN b_id
+       WHEN (epoch_us(b.ts) - epoch_us(b_ts)) <= (epoch_us(f_ts) - epoch_us(b.ts))
+       THEN b_id ELSE f_id END AS r_event_id
+FROM b JOIN f USING (event_id)
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: attach each non-signup event to the signup
+    CLOSEST in time, in either direction — the third member of the
+    as-of family (backward `join_asof` = latest state, forward
+    `join_asof_fwd` = next event, nearest = best timestamp alignment,
+    the sensor-fusion/record-linkage variant). Ties at equal distance
+    resolve to the BACKWARD match (<=), and one-sided rows (no signup
+    before/after) fall back to the side that exists — both rules
+    mirrored in the oracle's CASE order.
+
+    Shape: the two directional passes are each ONE union-and-carry
+    window over the join key (`asof_join` — no range join, no
+    explosion), combined by an event_id equi-join; all three shuffles
+    are keyed, state per window partition is one user's events. The
+    distance comparison is integer microseconds on both engines
+    (unix_micros ≡ epoch_us), so the choice is value-exact."""
+    e = table(spark, sf_dir, "events")
+    # persist: both directional passes read each side (caller-owned).
+    left = (
+        e.filter(F.col("event_type") != "signup")
+        .select("event_id", "user_id", "ts")
+        .persist()
+    )
+    right = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .persist()
+    )
+    b = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["ts", "event_id"],
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("r_ts").alias("b_ts"), F.col("r_event_id").alias("b_id"),
+    )
+    f = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["ts", "event_id"], direction="forward",
+    ).select(
+        F.col("event_id"), F.col("r_ts").alias("f_ts"),
+        F.col("r_event_id").alias("f_id"),
+    )
+    j = b.join(f, "event_id")
+    back_wins = (
+        F.unix_micros("ts") - F.unix_micros("b_ts")
+    ) <= (F.unix_micros("f_ts") - F.unix_micros("ts"))
+    pick = lambda bc, fc: (  # noqa: E731
+        F.when(F.col("b_ts").isNull(), F.col(fc))
+        .when(F.col("f_ts").isNull(), F.col(bc))
+        .when(back_wins, F.col(bc))
+        .otherwise(F.col(fc))
+    )
+    return j.select(
+        "event_id", "user_id", "ts",
+        pick("b_ts", "f_ts").alias("r_ts"),
+        pick("b_id", "f_id").alias("r_event_id"),
+    )

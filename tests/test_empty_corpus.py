@@ -91,6 +91,8 @@ RISKY = [
     "text_bpe_pairs",
     "scd2_intervals",
     "pipeline_embed_curate",
+    "join_asof_nearest",
+    "event_paths",
 ]
 
 

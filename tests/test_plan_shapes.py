@@ -672,3 +672,22 @@ def test_pipeline_embed_curate_survivors_via_anti_join(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # Arrow, not row-at-a-time
+
+
+def test_join_asof_nearest_is_windows_plus_keyed_join(spark):
+    # Two union-and-carry windows + an event_id equi-join — never a
+    # range/cartesian pairing of the two sides.
+    plan = plan_of(spark, "join_asof_nearest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 2
+    assert "Join [event_id#" in plan
+
+
+def test_event_paths_is_one_window_no_join(spark):
+    # The window IS the adjacency: one user-keyed Window feeding both
+    # lead slots, a bounded hash agg, and top-k without a global sort.
+    plan = plan_of(spark, "event_paths")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert "TakeOrderedAndProject" in plan

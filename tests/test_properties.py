@@ -1177,3 +1177,66 @@ def test_pipeline_embed_curate_drops_twins_keeps_base(spark):
     assert all(
         (r.split == "train") == (r.vec_id % 100 < 80) for r in got
     )
+
+
+def test_join_asof_nearest_direction_ties_and_fallbacks(spark):
+    """Nearest-in-time semantics, pinned case by case: closer-backward,
+    exact tie (backward wins), closer-forward, no-signup-before
+    (forward fallback), no-signup-after (backward fallback)."""
+    from unittest import mock
+
+    from piper_spark.operators import asof as A
+
+    def ev(eid, sec, typ, uid=1):
+        return (eid, f"2024-01-01 00:00:{sec:02d}", uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(100, 10, "signup"), ev(200, 20, "signup"),
+        ev(1, 5, "click"),    # before any signup -> forward to the 10s one
+        ev(2, 14, "click"),   # 4s back vs 6s fwd -> backward (10)
+        ev(3, 15, "click"),   # exact tie -> backward (10)
+        ev(4, 16, "click"),   # 6s back vs 4s fwd -> forward (20)
+        ev(5, 25, "click"),   # after all signups -> backward (20)
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with mock.patch.object(A, "table", lambda s, sf, name: d):
+        got = {
+            r.event_id: r.r_event_id
+            for r in A.join_asof_nearest(spark, "_").collect()
+        }
+    assert got == {1: 100, 2: 100, 3: 100, 4: 200, 5: 200}
+
+
+def test_event_paths_counts_exact_trigrams(spark):
+    """Known timeline -> exact sliding trigram counts, with the
+    (ts, event_id) tiebreak making simultaneous events deterministic."""
+    from unittest import mock
+
+    from piper_spark.functions import sessions as S
+
+    seq = ["A", "B", "C", "A", "B", "C"]  # trigrams: ABC BCA CAB ABC
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", 1, t, 1.0, "{}")
+        for i, t in enumerate(seq)
+    ]
+    # a second user with two SIMULTANEOUS events: event_id breaks the tie
+    rows += [
+        (10, "2024-01-01 00:00:00", 2, "X", 1.0, "{}"),
+        (11, "2024-01-01 00:00:01", 2, "Y", 1.0, "{}"),
+        (12, "2024-01-01 00:00:01", 2, "Z", 1.0, "{}"),  # ties with 11
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with mock.patch.object(S, "table", lambda s, sf, name: d):
+        got = {r.path: r.path_count for r in S.event_paths(spark, "_").collect()}
+    assert got == {
+        "A>B>C": 2, "B>C>A": 1, "C>A>B": 1,  # user 1's sliding trigrams
+        "X>Y>Z": 1,  # user 2: event_id 11 before 12 at the tied ts
+    }
