@@ -821,7 +821,8 @@ WITH o AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS path_count
-FROM o WHERE t3 IS NOT NULL
+FROM o
+WHERE event_type IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
 GROUP BY 1 ORDER BY path_count DESC, path LIMIT 10
 """,
 )
@@ -846,8 +847,15 @@ def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 1).over(w).alias("t2"),
         F.lead("event_type", 2).over(w).alias("t3"),
     )
+    # All three slots must be non-null: concat_ws SKIPS nulls while the
+    # oracle's || propagates them — an unguarded null event_type would
+    # emit a 2-segment path here and a NULL path there.
     return (
-        o.filter(F.col("t3").isNotNull())
+        o.filter(
+            F.col("event_type").isNotNull()
+            & F.col("t2").isNotNull()
+            & F.col("t3").isNotNull()
+        )
         .select(F.concat_ws(">", "event_type", "t2", "t3").alias("path"))
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("path_count"))

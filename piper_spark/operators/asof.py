@@ -80,6 +80,22 @@ def asof_join(
     return out
 
 
+def _signup_sides(e: "DataFrame") -> tuple["DataFrame", "DataFrame"]:
+    """The as-of family's shared fixture: non-signup events as the left
+    side, signups deduped to one row per (user_id, ts) by max event_id
+    as the right side — ONE definition so the three registered
+    directions can never desynchronize their tie semantics."""
+    left = e.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return left, right
+
+
 @register(
     "join_asof",
     oracle="""
@@ -98,15 +114,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     The right side is deduped to one row per (key, ts) — ASOF tie
     behavior on duplicate timestamps is engine-arbitrary otherwise.
     """
-    e = table(spark, sf_dir, "events")
-    left = e.filter(F.col("event_type") != "signup").select(
-        "event_id", "user_id", "ts"
-    )
-    right = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("event_id"))
-    )
+    left, right = _signup_sides(table(spark, sf_dir, "events"))
     return asof_join(
         left, right, on="user_id", left_ts="ts", right_ts="ts",
         right_payload=["ts", "event_id"],
@@ -132,15 +140,7 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, no range explosion. DuckDB's ASOF with a flipped inequality
     is the oracle.
     """
-    e = table(spark, sf_dir, "events")
-    left = e.filter(F.col("event_type") != "signup").select(
-        "event_id", "user_id", "ts"
-    )
-    right = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("event_id"))
-    )
+    left, right = _signup_sides(table(spark, sf_dir, "events"))
     return asof_join(
         left, right, on="user_id", left_ts="ts", right_ts="ts",
         right_payload=["ts", "event_id"], direction="forward",
@@ -244,19 +244,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     are keyed, state per window partition is one user's events. The
     distance comparison is integer microseconds on both engines
     (unix_micros ≡ epoch_us), so the choice is value-exact."""
-    e = table(spark, sf_dir, "events")
+    left, right = _signup_sides(table(spark, sf_dir, "events"))
     # persist: both directional passes read each side (caller-owned).
-    left = (
-        e.filter(F.col("event_type") != "signup")
-        .select("event_id", "user_id", "ts")
-        .persist()
-    )
-    right = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("event_id"))
-        .persist()
-    )
+    left, right = left.persist(), right.persist()
     b = asof_join(
         left, right, on="user_id", left_ts="ts", right_ts="ts",
         right_payload=["ts", "event_id"],

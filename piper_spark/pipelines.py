@@ -84,9 +84,13 @@ def dedup_near_docs(docs: DataFrame) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti")
 
 
-def tag_split(docs: DataFrame, train_pct: int = 80) -> DataFrame:
-    """Deterministic key-hash split tag (reference loader.rs:21-45)."""
-    split = F.when(F.col("doc_id") % 100 < train_pct, F.lit("train")).otherwise(
+def tag_split(
+    docs: DataFrame, train_pct: int = 80, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic key-modulo split tag (reference loader.rs:21-45).
+    ONE definition of the 80/20 rule — text pipelines tag doc_id,
+    `pipeline_embed_curate` tags vec_id via the same expression."""
+    split = F.when(F.col(key) % 100 < train_pct, F.lit("train")).otherwise(
         F.lit("val")
     )
     return docs.withColumn("split", split)
@@ -564,12 +568,7 @@ def pipeline_embed_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_near_dup_pairs(un, _DEDUP_BANDS * bpb, bpb)
     drops = pairs.select(F.col("id2").alias("vec_id")).distinct()
     surv = un.join(drops, "vec_id", "left_anti")
-    audit = quantize_audit_rel(surv)
-    split = (
-        F.when(F.col("vec_id") % 100 < 80, F.lit("train"))
-        .otherwise(F.lit("val"))
-        .alias("split")
-    )
+    audit = tag_split(quantize_audit_rel(surv), key="vec_id")
     return audit.select(
-        "vec_id", split, "mn", "mx", "code_sum", "code_first", "code_last", "mae"
+        "vec_id", "split", "mn", "mx", "code_sum", "code_first", "code_last", "mae"
     )
