@@ -720,3 +720,57 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, w in enumerate(W)
     ]
     return proj.select("vec_id", *pcs)
+
+
+@register("embed_whiten")
+def embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-WHITENING projection to PCA_K decorrelated unit-variance
+    components — the standard prep before cosine ANN / clustering when
+    a few directions dominate the variance (whitening stops them from
+    drowning the rest): w_k = pc_k / sqrt(λ_k) on `embed_pca`'s model.
+    Same two-stage shape (bounded driver-side model from the exact
+    `cov_partials` statistic, zero-shuffle broadcast-literal
+    projection); rows-only ⚠ like embed_pca, but with the STRONGEST
+    invariant in the family pinned in a property test: the sample
+    covariance of the output is the identity matrix (decorrelated,
+    unit variance) up to quantization tolerance. Components with
+    non-positive eigenvalue (degenerate corpora) emit NULL rather than
+    a division by ~0 silently exploding the scale."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    rows = cov_partials(e).collect()  # bounded model artifact
+    w_cols = [f"w{c + 1}" for c in range(PCA_K)]
+    if not rows:
+        schema = "vec_id long, " + ", ".join(f"{c} double" for c in w_cols)
+        return spark.createDataFrame([], schema)
+    d = max(r["i"] for r in rows) + 1
+    n = rows[0]["n"]
+    scale2 = COV_SCALE * COV_SCALE
+    C = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in rows:
+        cov = (r["sxy"] / n - (r["sx"] / n) * (r["sy"] / n)) / scale2
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = cov
+        if r["i"] == r["j"]:
+            mean[r["i"]] = r["sx"] / n / COV_SCALE
+    vals, vecs = np.linalg.eigh(C)
+    m_arr = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), m_arr, lambda x, y: x - y
+    )
+    proj = e.withColumn("centered", centered)
+    ws = []
+    for k in range(1, PCA_K + 1):
+        w, lam = vecs[:, -k], float(vals[-k])
+        if w[int(np.argmax(np.abs(w)))] < 0:  # embed_pca's sign rule
+            w = -w
+        w_arr = F.array(*[F.lit(float(v)) for v in w])
+        score = dot(F.col("centered"), w_arr)
+        col = (
+            F.round(score / F.lit(float(np.sqrt(lam))), 6)
+            if lam > 0
+            else F.lit(None).cast("double")
+        )
+        ws.append(col.alias(w_cols[k - 1]))
+    return proj.select("vec_id", *ws)

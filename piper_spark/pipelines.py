@@ -572,3 +572,76 @@ def pipeline_embed_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.select(
         "vec_id", "split", "mn", "mx", "code_sum", "code_first", "code_last", "mae"
     )
+
+
+@register(
+    "dq_profile",
+    oracle="""
+SELECT 'text' AS col, count(*) - count(text) AS n_null,
+       count(DISTINCT text) AS n_distinct,
+       CAST(min(len(text)) AS BIGINT) AS min_len,
+       CAST(max(len(text)) AS BIGINT) AS max_len
+FROM documents
+UNION ALL
+SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+       CAST(min(len(lang)) AS BIGINT), CAST(max(len(lang)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'source', count(*) - count(source), count(DISTINCT source),
+       CAST(min(len(source)) AS BIGINT), CAST(max(len(source)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT)
+FROM documents
+""",
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column PROFILE of the documents table — per column the null
+    count, exact distinct cardinality, and min/max length (value range
+    for numerics): the data-profiling pass every ingest pipeline runs
+    before `dq_checks` can even be WRITTEN (you cannot pick domain
+    gates without knowing the observed domains). One row per column.
+
+    Shape: ONE corpus scan computing all sixteen measures in a single
+    aggregate (the multi-distinct lowers to Spark's Expand — one pass
+    over the data, k× the agg input rows, still map-side partials per
+    distinct key), then a 4-struct inline explode pivots the 1-row wide
+    result to the (col, measures) report grid — the unpivot costs
+    nothing at any scale because it runs on ONE row. The oracle spells
+    the same facts as four UNION ALL aggregates; for a 100 TB profile
+    swap the exact distincts for `approx_count_distinct` (the
+    `agg_approx_distinct` path) — exact form registered so the check
+    stays value-exact."""
+    d = table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    wide = d.agg(
+        (n - F.count("text")).alias("text_null"),
+        F.countDistinct("text").alias("text_dist"),
+        F.min(F.length("text").cast("long")).alias("text_min"),
+        F.max(F.length("text").cast("long")).alias("text_max"),
+        (n - F.count("lang")).alias("lang_null"),
+        F.countDistinct("lang").alias("lang_dist"),
+        F.min(F.length("lang").cast("long")).alias("lang_min"),
+        F.max(F.length("lang").cast("long")).alias("lang_max"),
+        (n - F.count("source")).alias("source_null"),
+        F.countDistinct("source").alias("source_dist"),
+        F.min(F.length("source").cast("long")).alias("source_min"),
+        F.max(F.length("source").cast("long")).alias("source_max"),
+        (n - F.count("n_chars")).alias("n_chars_null"),
+        F.countDistinct("n_chars").alias("n_chars_dist"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+    )
+    row = lambda c: F.struct(  # noqa: E731
+        F.lit(c).alias("col"),
+        F.col(f"{c}_null").alias("n_null"),
+        F.col(f"{c}_dist").alias("n_distinct"),
+        F.col(f"{c}_min").alias("min_len"),
+        F.col(f"{c}_max").alias("max_len"),
+    )
+    return wide.select(
+        F.explode(
+            F.array(row("text"), row("lang"), row("source"), row("n_chars"))
+        ).alias("p")
+    ).select("p.col", "p.n_null", "p.n_distinct", "p.min_len", "p.max_len")

@@ -93,6 +93,8 @@ RISKY = [
     "pipeline_embed_curate",
     "join_asof_nearest",
     "event_paths",
+    "embed_whiten",
+    "dq_profile",
 ]
 
 
@@ -110,7 +112,7 @@ def empty_dir(tmp_path_factory):
 
 #: Queries whose output is a FIXED report grid (rows exist even with
 #: zero input): event_funnel always reports its 3 steps (0 users each).
-GRID_ROWS = {"event_funnel": 3}
+GRID_ROWS = {"event_funnel": 3, "dq_profile": 4}
 
 
 @pytest.mark.parametrize("name", RISKY)

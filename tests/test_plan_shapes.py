@@ -691,3 +691,22 @@ def test_event_paths_is_one_window_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Window") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dq_profile_is_one_scan(spark):
+    # All sixteen measures come from ONE aggregate over one FileScan
+    # (the multi-distinct lowers to Expand, not extra scans); the
+    # row-pivot explode runs on a single row.
+    plan = plan_of(spark, "dq_profile")
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_embed_whiten_projection_is_shuffle_free(spark):
+    # Same contract as embed_pca: training collected a bounded artifact
+    # at plan-build time; the projection itself is narrow codegen.
+    plan = plan_of(spark, "embed_whiten")
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1240,3 +1240,44 @@ def test_event_paths_counts_exact_trigrams(spark):
         "A>B>C": 2, "B>C>A": 1, "C>A>B": 1,  # user 1's sliding trigrams
         "X>Y>Z": 1,  # user 2: event_id 11 before 12 at the tied ts
     }
+
+
+def test_embed_whiten_output_covariance_is_identity(spark):
+    """The whitening invariant — the strongest in the embedding-prep
+    family: the POPULATION covariance of the whitened components is
+    the identity (decorrelated, unit variance), up to the COV_SCALE
+    quantization and the round-6 output rounding."""
+    import numpy as np
+
+    from piper_spark.functions.similarity import PCA_K, embed_whiten
+
+    got = embed_whiten(spark, SF_SMOKE).orderBy("vec_id").collect()
+    W = np.array([[getattr(r, f"w{c + 1}") for c in range(PCA_K)] for r in got])
+    assert not np.isnan(W).any()
+    C = np.cov(W.T, bias=True)  # population, matching cov_partials
+    assert np.allclose(C, np.eye(PCA_K), atol=2e-3), C
+
+
+def test_dq_profile_reacts_to_planted_defects(spark):
+    """The profiler must count planted nulls exactly and report the
+    true distinct cardinality and length range per column."""
+    from unittest import mock
+
+    from piper_spark import pipelines as P
+
+    rows = [
+        (0, "aaaa", "en", "web", 4),
+        (1, None, "en", "web", 4),
+        (2, "bb", None, "book", 2),
+        (3, "aaaa", "de", None, None),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with mock.patch.object(P, "table", lambda s, sf, name: d):
+        got = {r.col: r for r in P.dq_profile(spark, "_").collect()}
+    assert (got["text"].n_null, got["text"].n_distinct) == (1, 2)
+    assert (got["text"].min_len, got["text"].max_len) == (2, 4)
+    assert (got["lang"].n_null, got["lang"].n_distinct) == (1, 2)
+    assert (got["source"].n_null, got["source"].n_distinct) == (1, 2)
+    assert (got["n_chars"].n_null, got["n_chars"].min_len, got["n_chars"].max_len) == (1, 2, 4)
