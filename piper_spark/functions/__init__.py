@@ -11,4 +11,6 @@ from piper_spark.functions import (  # noqa: F401
     lsh,
     sessions,
     udfs,
+    graphs,
+    entity,
 )

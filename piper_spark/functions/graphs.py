@@ -1,0 +1,307 @@
+"""Graph operators: PageRank, triangle counting, neighbor-set link
+prediction — the iterative/structural family the engine's dedup
+clustering (functions/dedup.py connected_components) already borders
+on, promoted to first-class graph analytics.
+
+The corpus carries no explicit link column, so a deterministic link
+graph is synthesized from doc_ids IN BOTH ENGINES (the `dedup_url` /
+`text_pii` augmentation precedent): each document links to up to
+three targets of a fixed quadratic map.  The quadratic term is what
+makes the graph non-regular — an affine map `(a·id + c) % n` is a
+bijection per link slot (every in-degree exactly 3, PageRank exactly
+uniform, measured before this design), while `id² · 7 + id · 31 + 97c`
+folds 0/2/4 quadratic-residue preimages onto each target, giving the
+skewed in-degree distribution (0..~20 at sf0.01) iterative ranking
+needs to be non-trivial.  The third link exists only for even ids so
+out-degree varies too.  In production the edge relation is a real
+(src, dst) table and every query below runs on it unchanged; the
+synthesis also bounds id² · 7 < 2³·10¹² at the 500k-doc scale corpus,
+far inside int64.
+
+Scale shape notes live on each operator; the common principle: every
+stage is a keyed equi-join or keyed aggregate on (src|dst|node), never
+all-pairs, and iteration state (ranks, labels) is persisted per round
+with the previous generation unpersisted, so lineage stays
+one-iteration deep (the connected_components discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piper_spark.registry import register
+from piper_spark.session import row_count, table
+
+#: PageRank geometry: ranks are integers scaled by 10¹² (exact across
+#: engines — no float sums), damping 0.85 as the exact rational
+#: (15·base + 85·Σcontrib) div 100, a fixed 3 power-iterations
+#: (unrolled verbatim in the oracle — same arithmetic, same floor
+#: divisions).  Worst-case per-node inflow ≈ indeg_max · SCALE ≈
+#: 20 · 10¹² and ×85 stays < 2·10¹⁵, no overflow headroom concerns.
+PR_SCALE = 1_000_000_000_000
+PR_ITERS = 3
+
+#: Wedge-join hub cap for `graph_neighbor_jaccard`: wedges routed
+#: through a common neighbor of degree > NEIGHBOR_HUB_CAP are dropped
+#: (the WINNOW_MAX_DF discipline applied to graphs — a celebrity node
+#: would otherwise fan out deg² candidate pairs).  A no-op on the
+#: fixture (max degree ≈ 20) but bounds the 100 TB worst case by
+#: construction; mirrored in the oracle so the key stays value-exact.
+NEIGHBOR_HUB_CAP = 64
+
+#: Shared directed-edge CTE (`edges(src, dst)`) for all three oracles.
+_EDGES_SQL = """
+n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * doc_id * 7 + doc_id * 31 + c * 97) % n.n AS dst
+  FROM documents CROSS JOIN n, (VALUES (1), (2), (3)) AS t(c)
+  WHERE (doc_id * doc_id * 7 + doc_id * 31 + c * 97) % n.n <> doc_id
+    AND NOT (c = 3 AND doc_id % 2 = 1)
+)"""
+
+#: Shared undirected view: symmetrized distinct edges + degrees.
+_UND_SQL = """
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+dg AS (SELECT u, count(*) AS d FROM sym GROUP BY u)"""
+
+
+def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized directed edge relation (src, dst) — one codegen
+    projection over the documents scan.  `n` comes from the parquet
+    footer (`row_count` — no Spark job), the same metadata-only count
+    `derived_band_bits` uses; the oracle's `count(*)` CTE sees the
+    identical value."""
+    n = row_count(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    e = d.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("c")
+    )
+    dst = (
+        F.col("doc_id") * F.col("doc_id") * 7
+        + F.col("doc_id") * 31
+        + F.col("c") * 97
+    ) % F.lit(n)
+    return (
+        e.filter(~((F.col("c") == 3) & (F.col("doc_id") % 2 == 1)))
+        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Symmetrized simple graph as (u, v) with BOTH directions present
+    (each undirected edge contributes two rows)."""
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    return und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def _pr_iter_sql(t: int, p: int) -> str:
+    return f"""
+r{t} AS (
+  SELECT d.doc_id AS id,
+         ({15 * PR_SCALE} + 85 * COALESCE(s.contrib, 0)) // 100 AS rank
+  FROM documents d LEFT JOIN (
+    SELECT e.dst, sum(r.rank // g.outdeg) AS contrib
+    FROM edges e JOIN r{p} r ON r.id = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.doc_id
+)"""
+
+
+_PAGERANK_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + """,
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS id, 1000000000000::BIGINT AS rank FROM documents),"""
+    + ",".join(_pr_iter_sql(t, t - 1) for t in range(1, PR_ITERS + 1))
+    + f"""
+SELECT id AS doc_id, CAST(rank AS BIGINT) AS pagerank FROM r{PR_ITERS}
+"""
+)
+
+
+@register("graph_pagerank", oracle=_PAGERANK_SQL)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Page et al. 1999) over the synthesized link graph —
+    fixed {PR_ITERS} power iterations in EXACT integer arithmetic
+    (rank·10¹², damping as the rational (15·base + 85·Σ) div 100 with
+    both floor divisions mirrored), so the unrolled-CTE oracle matches
+    bit-for-bit where a float formulation would drift with summation
+    order.  Fixed iteration count ⇒ no driver-side convergence
+    `collect()` at all; production runs to an epsilon with the one
+    scalar-per-round pattern of connected_components.
+
+    Scale shape (the Pregel shuffle profile): per iteration ONE
+    dst-keyed shuffle of (dst, contrib) partial aggregates — map-side
+    combine applies because contrib sums — plus one node-keyed left
+    join for dangling/no-inlink nodes.  The edge⋈degree relation is
+    computed once and persisted ({PR_ITERS} iterations read it); rank
+    state is persisted per generation and the previous generation
+    unpersisted, keeping lineage one round deep.  No broadcast of
+    anything corpus-sized; nothing driver-side.
+    """
+    edges = link_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # persist: read once per iteration from the contribution join.
+    ed = edges.join(deg, "src").persist()
+    nodes = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    ranks = nodes.select("id", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["id"])
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                F.expr(
+                    f"(cast({15 * PR_SCALE} as bigint)"
+                    " + 85 * coalesce(contrib, cast(0 as bigint))) div 100"
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        ranks.unpersist()
+        ranks = new
+    ed.unpersist()
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.col("rank").cast("long").alias("pagerank")
+    )
+
+
+@register(
+    "graph_triangles",
+    oracle="WITH "
+    + _EDGES_SQL
+    + ","
+    + _UND_SQL
+    + """,
+ori AS (
+  SELECT s.u, s.v FROM sym s JOIN dg du ON du.u = s.u JOIN dg dv ON dv.u = s.v
+  WHERE (du.d, s.u) < (dv.d, s.v)
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM ori e1 JOIN ori e2 ON e1.v = e2.u
+  JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY node
+""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts by degree-ordered wedge join (the
+    Schank & Wagner 2005 / Cohen 2009 MapReduce formulation): orient
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher, join oriented wedges u→v→w, then probe for the closing
+    edge u→w.  Orientation caps every node's oriented out-degree at
+    O(√m), so wedge fan-out is bounded even under power-law degrees —
+    THE standard trick that makes distributed triangle counting
+    feasible; without it a celebrity node generates deg² wedges.
+
+    Shape: three keyed equi-joins (wedge join on v, closing probe on
+    (u, w)) + one final node aggregate — no all-pairs stage anywhere.
+    The oriented edge relation is persisted once and read three times
+    (both wedge aliases + the closing probe).
+    """
+    sym = undirected(link_edges(spark, sf_dir))
+    dg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = dg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
+    dv = dg.select(F.col("u").alias("_v"), F.col("d").alias("dv"))
+    # persist: read from three aliases by the wedge + closing joins.
+    ori = (
+        sym.join(du, sym["u"] == du["_u"])
+        .join(dv, sym["v"] == dv["_v"])
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .persist()
+    )
+    e1 = ori.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = ori.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = ori.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+@register(
+    "graph_neighbor_jaccard",
+    oracle="WITH "
+    + _EDGES_SQL
+    + ","
+    + _UND_SQL
+    + f""",
+common AS (
+  SELECT s1.u AS x, s2.u AS y, CAST(count(*) AS BIGINT) AS common
+  FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+  JOIN dg hub ON hub.u = s1.v
+  WHERE hub.d <= {NEIGHBOR_HUB_CAP}
+  GROUP BY s1.u, s2.u HAVING count(*) >= 2
+)
+SELECT c.x, c.y, c.common,
+       c.common * 1000000 // (dx.d + dy.d - c.common) AS jacc_ppm
+FROM common c JOIN dg dx ON dx.u = c.x JOIN dg dy ON dy.u = c.y
+""",
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard (Liben-Nowell &
+    Kleinberg 2003): for every node pair sharing ≥ 2 common neighbors,
+    |Γ(x)∩Γ(y)| · 10⁶ div |Γ(x)∪Γ(y)| as an exact scaled integer
+    (inclusion-exclusion on degrees — no per-pair set materialization,
+    the same trick `dedup_jaccard_shingle` uses).
+
+    Shape: the candidate pairs come from a WEDGE join keyed on the
+    common neighbor — never an all-pairs comparison — with hubs above
+    degree {NEIGHBOR_HUB_CAP} excluded as wedge centers (mirrored in
+    the oracle), so per-center fan-out is ≤ C({NEIGHBOR_HUB_CAP}, 2)
+    by construction: the df-cap discipline of `dedup_winnow` applied
+    to graphs.  Then two node-keyed degree joins finish the score.
+    """
+    sym = undirected(link_edges(spark, sf_dir)).persist()
+    dg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
+    hub = dg.select(F.col("u").alias("_hub"), F.col("d").alias("hub_d"))
+    s1 = sym.select(F.col("u").alias("x"), F.col("v").alias("w"))
+    s2 = sym.select(F.col("u").alias("y"), F.col("v").alias("w"))
+    common = (
+        s1.join(s2, "w")
+        .filter(F.col("x") < F.col("y"))
+        .join(hub, F.col("w") == F.col("_hub"))
+        .filter(F.col("hub_d") <= NEIGHBOR_HUB_CAP)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    dx = dg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    dy = dg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    return (
+        common.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            F.expr("common * 1000000 div (dx + dy - common)").alias("jacc_ppm"),
+        )
+    )
