@@ -1588,3 +1588,155 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(contain, 4).alias("containment"),
         )
     )
+
+
+#: Bloom-prefilter geometry for `dedup_bloom`: k = 2 positions per key
+#: from the engine-shared char fold of md5(text) (p1 = h mod m; p2 via
+#: one prime affine mixer), m = the smallest power of two ≥
+#: BLOOM_BITS_PER_KEY · corpus keys, clamped to [2¹², 2²⁶] — at k = 2
+#: and m/n = 16 the false-positive rate is (1−e^(−2n/m))² ≈ 1.4%,
+#: matching the 4/250 measured on the fixture.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_MIN_BITS, BLOOM_MAX_BITS = 1 << 12, 1 << 26
+BLOOM_MIX_A, BLOOM_MIX_MOD = 48_271, 2_147_483_647
+
+_BLOOM_POWERS = ",".join(f"({1 << k})" for k in range(12, 27))
+
+
+def derived_bloom_bits(n_keys: int) -> int:
+    """Smallest power of two ≥ BLOOM_BITS_PER_KEY·n_keys, clamped —
+    the `derived_band_bits` discipline for bloom sizing: the filter
+    grows with the corpus (from a metadata-only count), so the FP
+    rate — and therefore the exact-verify join's input — stays flat
+    instead of degrading as the corpus outgrows a fixed m."""
+    want = max(BLOOM_MIN_BITS, BLOOM_BITS_PER_KEY * max(n_keys, 1))
+    m = 1 << (want - 1).bit_length()
+    return min(max(m, BLOOM_MIN_BITS), BLOOM_MAX_BITS)
+
+
+@register(
+    "dedup_bloom",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, n_chars,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, 33),
+             i -> CAST(ord(substring(md5(text), CAST(i AS INT), 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+  FROM documents
+),
+nc AS (SELECT count(*) AS n FROM documents WHERE doc_id < {INCR_BOUNDARY}),
+m AS (SELECT min(p) AS m FROM (VALUES {_BLOOM_POWERS}) t(p) CROSS JOIN nc
+      WHERE p >= {BLOOM_BITS_PER_KEY} * nc.n),
+hp AS (SELECT doc_id, n_chars, h, h % m.m AS p1,
+              (h * {BLOOM_MIX_A}) % {BLOOM_MIX_MOD} % m.m AS p2
+       FROM hashed CROSS JOIN m),
+corpus AS (SELECT * FROM hp WHERE doc_id < {INCR_BOUNDARY}),
+posset AS (SELECT p1 AS p FROM corpus UNION SELECT p2 FROM corpus),
+batch AS (SELECT * FROM hp WHERE doc_id >= {INCR_BOUNDARY}),
+keeper AS (SELECT h, min(doc_id) AS doc_id FROM batch GROUP BY h),
+b2 AS (SELECT b.doc_id, b.h, b.n_chars, b.p1, b.p2
+       FROM batch b JOIN keeper k ON b.h = k.h AND b.doc_id = k.doc_id),
+flagged AS (
+  SELECT doc_id, h, CAST(n_chars AS BIGINT) AS n_chars,
+         CASE WHEN p1 IN (SELECT p FROM posset)
+               AND p2 IN (SELECT p FROM posset)
+              THEN 1::BIGINT ELSE 0::BIGINT END AS probed
+  FROM b2
+)
+SELECT doc_id, h, n_chars, probed FROM flagged
+WHERE probed = 0 OR h NOT IN (SELECT h FROM corpus)
+""",
+)
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup — `dedup_incremental` with
+    the corpus-side join REPLACED by a bounded statistic for the
+    common case (Bloom 1970; the "does this batch key exist at all?"
+    screen every lakehouse MERGE and crawl-ingest pipeline runs before
+    touching the accumulated index).  The corpus's content hashes are
+    folded into an m-bit filter packed as m/64 int64 words via one
+    `bit_or` aggregate — a relation whose size depends ONLY on m
+    (64 rows at the fixture's m = 4096), NOT on corpus rows — and the
+    incoming batch probes it with two broadcast joins:
+
+      probed = 0 (either bit clear) → DEFINITELY new: kept with no
+               corpus join at all — at 100 TB this is the overwhelming
+               majority of a fresh crawl batch, and it never shuffles;
+      probed = 1 → maybe-duplicate: only these few rows (true dups +
+               the ~1.4% false-positive tail) reach the exact
+               hash anti-join against the corpus index.
+
+    No false negatives by construction, so kept-set semantics are
+    EXACTLY `dedup_incremental`'s — and the oracle checks the `probed`
+    flag too, because a position-set IN test is the unpacked bit
+    array: the bloom arithmetic itself is value-exact cross-engine.
+    m derives from the corpus count in BOTH engines (Spark: parquet
+    footer via `derived_bloom_bits`, exploiting the fixture's
+    contiguous doc_ids; SQL: the same smallest-power-of-2 lookup), so
+    the filter scales with the corpus and the FP rate stays flat.
+
+    Content hash = the engine-shared char fold OVER md5(text): md5 is
+    identical text in both engines and the 32-hex-char fold is O(1)
+    per doc (the full-text fold would be O(doc length)).
+    """
+    from piper_spark.functions.text import _winnow_word_hash
+    from piper_spark.session import row_count
+
+    n_total = row_count(spark, sf_dir, "documents")
+    m = derived_bloom_bits(min(INCR_BOUNDARY, n_total))
+    d = table(spark, sf_dir, "documents")
+    h = _winnow_word_hash(F.md5(F.encode("text", "utf-8")))
+    hp = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        h.alias("h"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "h",
+        (F.col("h") % m).alias("p1"),
+        (F.col("h") * BLOOM_MIX_A % BLOOM_MIX_MOD % m).alias("p2"),
+    )
+    # persist: the corpus side feeds BOTH the bloom build and the
+    # exact-verify anti-join (4-long rows; caller owns the lifetime).
+    corpus = hp.filter(F.col("doc_id") < INCR_BOUNDARY).persist()
+    words = (
+        corpus.select(F.explode(F.array("p1", "p2")).alias("p"))
+        .select(
+            F.expr("p div 64").alias("widx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    batch = hp.filter(F.col("doc_id") >= INCR_BOUNDARY)
+    keeper = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    b2 = batch.join(keeper, ["h", "doc_id"])
+    w1 = words.select(F.col("widx").alias("wi1"), F.col("w").alias("w1"))
+    w2 = words.select(F.col("widx").alias("wi2"), F.col("w").alias("w2"))
+    probed = (
+        b2.join(F.broadcast(w1), F.expr("p1 div 64") == F.col("wi1"), "left")
+        .join(F.broadcast(w2), F.expr("p2 div 64") == F.col("wi2"), "left")
+        .select(
+            "doc_id",
+            "h",
+            "n_chars",
+            F.when(
+                F.expr(
+                    "(shiftright(w1, cast(p1 % 64 as int)) & 1) = 1"
+                    " AND (shiftright(w2, cast(p2 % 64 as int)) & 1) = 1"
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("probed"),
+        )
+    )
+    fresh = probed.filter(F.col("probed") == 0)
+    maybe = probed.filter(F.col("probed") == 1).join(
+        corpus.select("h"), "h", "left_anti"
+    )
+    return fresh.unionByName(maybe.select("doc_id", "h", "n_chars", "probed"))

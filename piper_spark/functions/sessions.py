@@ -862,3 +862,62 @@ def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("path_count").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@register(
+    "ts_ohlc",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_ts,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) * 1000000
+           + event_id AS k
+  FROM events
+)
+SELECT event_type, bar_ts,
+       arg_min(cents, k) AS open,
+       CAST(max(cents) AS BIGINT) AS high,
+       CAST(min(cents) AS BIGINT) AS low,
+       arg_max(cents, k) AS close,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(cents) AS BIGINT) AS volume_cents
+FROM e GROUP BY event_type, bar_ts
+""",
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — the financial-bar aggregation (open / high /
+    low / close / trade count / volume per (series, hour) bucket) that
+    rounds out the time-series family: `ts_gapfill` densifies,
+    `ts_interp` fills, this DOWNSAMPLES.  Open/close are `min_by` /
+    `max_by` on a composite microsecond+event_id key (both engines
+    compare the same int64), because `first()`-style keepers are
+    nondeterministic under parallel scan order — the SURVEY §7 rule.
+    The key is exact: event timestamps sit within epoch-relative
+    microseconds (< 2.7·10¹² for the 30-day fixture window) so
+    rel_us · 10⁶ + event_id < 2.7·10¹⁸ fits int64 (the fixture bounds
+    event_id < 10⁶; a production key would pack (ts, id) as a struct
+    ordering — Spark supports it, the oracle dialect does not).
+
+    Scale shape: ONE partial-aggregatable keyed shuffle on
+    (event_type, bar) — min/max/min_by/max_by/sum/count all combine
+    map-side, so 100 TB of ticks reduce to bar-count rows before the
+    exchange.  Values are scaled cents (`floor(x·100 + 0.5)`, the
+    win_rangeframe idiom) so every aggregate is integer-exact.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            "(unix_micros(ts) - unix_micros(timestamp'2024-01-01 00:00:00'))"
+            " * 1000000 + event_id"
+        ).alias("k"),
+    )
+    return e.groupBy("event_type", "bar_ts").agg(
+        F.min_by("cents", "k").alias("open"),
+        F.max("cents").alias("high"),
+        F.min("cents").alias("low"),
+        F.max_by("cents", "k").alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("cents").alias("volume_cents"),
+    )

@@ -645,3 +645,65 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(row("text"), row("lang"), row("source"), row("n_chars"))
         ).alias("p")
     ).select("p.col", "p.n_null", "p.n_distinct", "p.min_len", "p.max_len")
+
+
+def _audio_curate_oracle() -> str:
+    """Composed oracle: fingerprint CTE → near-dup pairs → drop the
+    higher id → modulo split — built from the SAME SQL fragments the
+    audio stage oracles use (the `pipeline_embed_curate` discipline)."""
+    from piper_spark.sources.multimodal import _AUDIO_FP_SQL, _AUDIO_PAIRS_SQL
+
+    return (
+        f"WITH d AS ({_AUDIO_FP_SQL}){_AUDIO_PAIRS_SQL}"
+        + """,
+drops AS (SELECT DISTINCT id2 AS doc_id FROM apairs),
+surv AS (
+  SELECT doc_id, n_bits, fp FROM f
+  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'val' END AS split,
+       n_bits, fp
+FROM surv
+"""
+    )
+
+
+@register("pipeline_audio_curate", oracle=_audio_curate_oracle())
+def pipeline_audio_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO modality's curation spine — `pipeline_curate` for PCM
+    clips, extending the pipeline × modality grid (text:
+    pipeline_curate/near_dedup; vectors: pipeline_embed_curate;
+    audio: this):
+
+      audio clips → fingerprintability gate (frame count above the
+                     band width, applied INSIDE the fingerprint
+                     relation on the cheap byte-length-derived count —
+                     the computed-column pushdown trap)
+                  → acoustic fingerprint (`audio_fingerprint`'s exact
+                     integer delta-energy bits)
+                  → near-dup removal (`dedup_audio`'s banded pairs;
+                     drop the HIGHER doc_id — the pipeline_near_dedup
+                     keep rule)
+                  → deterministic modulo split.
+
+    One lazy plan: the band self-join and the bounded drop anti-join
+    are the only key shuffles; the fingerprint fold is per-row
+    codegen.  VALUE-EXACT as a whole because every stage is — the
+    oracle composes the stages' own SQL fragments
+    (`_AUDIO_FP_SQL` + `_AUDIO_PAIRS_SQL`), so this key can only pass
+    if the stage semantics compose.
+    """
+    from piper_spark.sources.multimodal import (
+        AUDIO_FP_BAND_BITS,
+        _audio_fp_rel,
+        audio_near_dup_pairs,
+    )
+
+    # persist: the fingerprint relation feeds the pair self-join (both
+    # aliases) AND the survivor anti-join (caller owns the lifetime).
+    f = _audio_fp_rel(spark, sf_dir, min_frames=AUDIO_FP_BAND_BITS + 2).persist()
+    pairs = audio_near_dup_pairs(f)
+    drops = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    surv = f.join(drops, "doc_id", "left_anti")
+    return tag_split(surv).select("doc_id", "split", "n_bits", "fp")

@@ -2540,25 +2540,70 @@ def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_fp_rel(spark, sf_dir)
 
 
-@register(
-    "dedup_audio",
-    oracle=f"""
-WITH d AS ({_AUDIO_FP_SQL})
+#: Shared pair CTE fragment (continues a `WITH d AS ({_AUDIO_FP_SQL})`
+#: chain): `f` = band-eligible fingerprints, `apairs` = verified
+#: near-dup pairs.  Used verbatim by `dedup_audio`'s oracle and
+#: composed into `pipeline_audio_curate`'s (the pipeline check can
+#: only pass if the stage semantics compose).
+_AUDIO_PAIRS_SQL = f"""
 , f AS (
   SELECT * FROM fps WHERE n_bits > {AUDIO_FP_BAND_BITS}
 )
-SELECT a.doc_id AS id1, b.doc_id AS id2,
-       CAST(bit_count(xor(a.fp, b.fp)
-                      & ((1::BIGINT << least(a.n_bits, b.n_bits)) - 1))
-            AS BIGINT) AS hamming
-FROM f a JOIN f b
-  ON (a.fp & {(1 << AUDIO_FP_BAND_BITS) - 1})
-     = (b.fp & {(1 << AUDIO_FP_BAND_BITS) - 1})
- AND a.doc_id < b.doc_id
-WHERE abs(a.n_bits - b.n_bits) <= {AUDIO_FP_MAX_DLEN}
-  AND bit_count(xor(a.fp, b.fp)
-                & ((1::BIGINT << least(a.n_bits, b.n_bits)) - 1))
-      <= {AUDIO_FP_MAX_HAM}
+, apairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CAST(bit_count(xor(a.fp, b.fp)
+                        & ((1::BIGINT << least(a.n_bits, b.n_bits)) - 1))
+              AS BIGINT) AS hamming
+  FROM f a JOIN f b
+    ON (a.fp & {(1 << AUDIO_FP_BAND_BITS) - 1})
+       = (b.fp & {(1 << AUDIO_FP_BAND_BITS) - 1})
+   AND a.doc_id < b.doc_id
+  WHERE abs(a.n_bits - b.n_bits) <= {AUDIO_FP_MAX_DLEN}
+    AND bit_count(xor(a.fp, b.fp)
+                  & ((1::BIGINT << least(a.n_bits, b.n_bits)) - 1))
+        <= {AUDIO_FP_MAX_HAM}
+)"""
+
+
+def audio_near_dup_pairs(f: DataFrame) -> DataFrame:
+    """Verified audio near-dup pairs (id1, id2, hamming) from a
+    fingerprint relation — the band equi-join + prefix-Hamming verify,
+    extracted so `dedup_audio` and `pipeline_audio_curate` share ONE
+    definition (callers pass a PERSISTED relation: the self-join reads
+    it from both aliases)."""
+    band = F.col("fp").bitwiseAND(F.lit((1 << AUDIO_FP_BAND_BITS) - 1))
+    a = f.select(
+        F.col("doc_id").alias("id1"),
+        F.col("n_bits").alias("nb1"),
+        F.col("fp").alias("fp1"),
+        band.alias("band"),
+    )
+    b = f.select(
+        F.col("doc_id").alias("id2"),
+        F.col("n_bits").alias("nb2"),
+        F.col("fp").alias("fp2"),
+        band.alias("band"),
+    )
+    ham = F.expr(
+        "bit_count((fp1 ^ fp2) & "
+        "(shiftleft(cast(1 as bigint), cast(least(nb1, nb2) as int)) - 1))"
+    ).cast("long")
+    return (
+        a.join(b, "band")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.col("nb1") - F.col("nb2")) <= AUDIO_FP_MAX_DLEN)
+        )
+        .select("id1", "id2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= AUDIO_FP_MAX_HAM)
+    )
+
+
+@register(
+    "dedup_audio",
+    oracle=f"""
+WITH d AS ({_AUDIO_FP_SQL}){_AUDIO_PAIRS_SQL}
+SELECT id1, id2, hamming FROM apairs
 """,
 )
 def dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2586,32 +2631,7 @@ def dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_bits, fp) row is 24 bytes, the same signature-table persist
     # dedup_simhash uses (caller owns the cache lifetime).
     f = _audio_fp_rel(spark, sf_dir, min_frames=AUDIO_FP_BAND_BITS + 2).persist()
-    band = F.col("fp").bitwiseAND(F.lit((1 << AUDIO_FP_BAND_BITS) - 1))
-    a = f.select(
-        F.col("doc_id").alias("id1"),
-        F.col("n_bits").alias("nb1"),
-        F.col("fp").alias("fp1"),
-        band.alias("band"),
-    )
-    b = f.select(
-        F.col("doc_id").alias("id2"),
-        F.col("n_bits").alias("nb2"),
-        F.col("fp").alias("fp2"),
-        band.alias("band"),
-    )
-    ham = F.expr(
-        "bit_count((fp1 ^ fp2) & "
-        "(shiftleft(cast(1 as bigint), cast(least(nb1, nb2) as int)) - 1))"
-    ).cast("long")
-    return (
-        a.join(b, "band")
-        .filter(
-            (F.col("id1") < F.col("id2"))
-            & (F.abs(F.col("nb1") - F.col("nb2")) <= AUDIO_FP_MAX_DLEN)
-        )
-        .select("id1", "id2", ham.alias("hamming"))
-        .filter(F.col("hamming") <= AUDIO_FP_MAX_HAM)
-    )
+    return audio_near_dup_pairs(f)
 
 
 # --- Video fingerprint + near-dup ------------------------------------------

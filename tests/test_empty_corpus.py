@@ -95,6 +95,18 @@ RISKY = [
     "event_paths",
     "embed_whiten",
     "dq_profile",
+    # round-8 additions: a modulo-by-zero edge map (n = 0 footer count),
+    # an iterative rank loop, persisted wedge/band self-joins, a
+    # per-block Arrow union-find, an empty bloom-word broadcast, and
+    # min_by/max_by keepers over zero groups.
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_neighbor_jaccard",
+    "er_match",
+    "er_clusters",
+    "dedup_bloom",
+    "ts_ohlc",
+    "pipeline_audio_curate",
 ]
 
 

@@ -710,3 +710,76 @@ def test_embed_whiten_projection_is_shuffle_free(spark):
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_graph_pagerank_is_keyed_iterations(spark):
+    # Each power iteration is a keyed shuffle — never a cartesian or
+    # nested-loop pairing of ranks with edges; the edge⋈degree relation
+    # is read from the persisted cache, not recomputed per round.
+    plan = plan_of(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_graph_triangles_is_equi_joins_only(spark):
+    # Wedge join + closing probe are equi-joins on (y) and (x, z);
+    # the oriented edge relation comes from the persisted cache.
+    plan = plan_of(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_graph_neighbor_jaccard_is_wedge_join(spark):
+    plan = plan_of(spark, "graph_neighbor_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er_match_pairs_come_from_block_equi_join(spark):
+    # The ONLY pair generator is the blocking-key equi-join; the
+    # levenshtein verify runs above it, never as a pairing condition.
+    plan = plan_of(spark, "er_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_er_clusters_is_one_shuffle_blockwise_unionfind(spark):
+    # The blocking structure makes clustering embarrassingly block-
+    # parallel: exactly ONE Exchange (the blk group shuffle) feeding an
+    # Arrow applyInPandas — not an iterative per-hop join loop.
+    plan = plan_of(spark, "er_clusters")
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "Join" not in plan
+
+
+def test_dedup_bloom_probes_are_broadcast_and_verify_is_single_anti(spark):
+    # The bloom word relation (m/64 rows, corpus-size-independent) is
+    # broadcast for both probe joins; only the maybe-branch reaches the
+    # corpus anti-join — exactly one LeftAnti in the whole plan.
+    plan = plan_of(spark, "dedup_bloom")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("LeftAnti") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_ts_ohlc_is_one_partial_agg_shuffle(spark):
+    # One keyed exchange; min_by/max_by/min/max/sum/count all combine
+    # map-side, so the shuffle carries bar-count rows, not ticks.
+    plan = plan_of(spark, "ts_ohlc")
+    assert plan.count("Exchange") == 1
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower()
+    assert "Join" not in plan
+
+
+def test_pipeline_audio_curate_reuses_persisted_fingerprints(spark):
+    # The fingerprint relation feeds the band self-join (both aliases)
+    # and the survivor anti-join from the SAME persisted cache; no
+    # cartesian anywhere; the pipeline stays Arrow/codegen-side.
+    plan = plan_of(spark, "pipeline_audio_curate")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti") == 1
