@@ -7,7 +7,7 @@ The TPC-H customer names are a uniform 'Customer#NNN' template (every
 pair within edit distance of the digits), useless for demonstrating
 fuzzy matching, so distinctive names are synthesized IN BOTH ENGINES
 from the customer key (the `dedup_url` / graph `link_edges`
-precedent): each of the six zero-padded digits maps to a two-letter
+precedent): each of the seven zero-padded digits maps to a two-letter
 syllable whose first AND second letters are unique per digit — so two
 DIFFERENT keys always differ by ≥ 2 edits and cannot coincidentally
 match, while the planted dirty variants (one char dropped / one char
@@ -24,7 +24,7 @@ candidates-then-verify discipline as every dedup operator here.
 Production ER runs multiple blocking passes (phonetic, q-gram, sorted
 neighborhood) unioned before the verify; one pass suffices for the
 fixture because variants preserve their source's block by
-construction (edits land at positions 9-11, past the 8-char block)."""
+construction (edits land at positions 11+, past the 10-char block)."""
 
 from __future__ import annotations
 
@@ -60,26 +60,86 @@ def _lev_le1(s: str, t: str) -> bool:
             return False
     return True
 
+def _pairs_lev_le1(names: list[str]) -> list[tuple[int, int]]:
+    """All index pairs (i < j) with Levenshtein ≤ 1, VECTORIZED — the
+    in-block verify is Python-CPU-bound: the scalar double loop cost
+    ~12 s at 150k customers where this numpy form holds 1.5M customers
+    (2.3M records) under 7 s.  Lev ≤ 1
+    decomposes exactly by length: equal length ⇒ ≤ 1 substitution
+    (pairwise byte-mismatch counts via one broadcast compare); length
+    diff 1 ⇒ one deletion from the longer equals the shorter (try each
+    gap position, one equality compare per gap); diff ≥ 2 ⇒ never.
+    Equivalence with the scalar `_lev_le1` is property-tested."""
+    import numpy as np
+
+    by_len: dict[int, list[int]] = {}
+    for i, nm in enumerate(names):
+        by_len.setdefault(len(nm), []).append(i)
+
+    def as_bytes(idxs: list[int], width: int) -> "np.ndarray | None":
+        if width == 0:
+            return np.zeros((len(idxs), 0), dtype=np.uint8)
+        buf = "".join(names[i] for i in idxs).encode("utf-8")
+        if len(buf) != len(idxs) * width:
+            return None  # multi-byte chars: char-width ≠ byte-width
+        return np.frombuffer(buf, dtype=np.uint8).reshape(len(idxs), width)
+
+    out: list[tuple[int, int]] = []
+    for length, idxs in by_len.items():
+        long_idxs = by_len.get(length + 1)
+        arr = as_bytes(idxs, length)
+        larr = as_bytes(long_idxs, length + 1) if long_idxs else None
+        if arr is None or (long_idxs and larr is None):
+            # Non-ASCII names (never this fixture's): scalar fallback
+            # for this length bucket, same semantics.
+            for a, i in enumerate(idxs):
+                for j in idxs[a + 1 :]:
+                    if _lev_le1(names[i], names[j]):
+                        out.append((i, j))
+                for j in long_idxs or []:
+                    if _lev_le1(names[i], names[j]):
+                        out.append((min(i, j), max(i, j)))
+            continue
+        if len(idxs) >= 2:
+            mism = (arr[:, None, :] != arr[None, :, :]).sum(axis=2)
+            ii, jj = np.nonzero(np.triu(mism <= 1, k=1))
+            out.extend(
+                (min(idxs[a], idxs[b]), max(idxs[a], idxs[b]))
+                for a, b in zip(ii.tolist(), jj.tolist())
+            )
+        if long_idxs:
+            ok = np.zeros((len(idxs), len(long_idxs)), dtype=bool)
+            for g in range(length + 1):
+                deleted = np.delete(larr, g, axis=1)
+                ok |= (arr[:, None, :] == deleted[None, :, :]).all(axis=2)
+            si, li = np.nonzero(ok)
+            out.extend(
+                (min(idxs[a], long_idxs[b]), max(idxs[a], long_idxs[b]))
+                for a, b in zip(si.tolist(), li.tolist())
+            )
+    return out
+
+
 #: digit → two-letter syllable; first letters b..m and second letters
 #: a,e,i,o,u,r,s,t,v,z are each 10-way distinct, so distinct digits
 #: differ in BOTH characters (edit distance 2 per differing digit).
 SYLLABLES = ("ba", "ce", "di", "fo", "gu", "hr", "js", "kt", "lv", "mz")
 
 #: Variant id offsets (disjoint from any custkey) and plant rates.
-ER_V1_OFFSET, ER_V2_OFFSET = 1_000_000, 2_000_000
+ER_V1_OFFSET, ER_V2_OFFSET = 10_000_000, 20_000_000
 ER_V1_MOD, ER_V2_MOD = 3, 5
 
-#: Blocking prefix: 8 chars = the first four syllables = custkey // 100.
-ER_BLOCK_LEN = 8
+#: Blocking prefix: 10 chars = the first five syllables = custkey // 100.
+ER_BLOCK_LEN = 10
 #: Match threshold: Levenshtein ≤ 1 (the planted edits are single-char).
 ER_MAX_LEV = 1
 
 
 def _name_expr(cast_type: str) -> str:
-    """The 12-char syllable name as a SQL expression string — chained
+    """The 14-char syllable name as a SQL expression string — chained
     replace() over the zero-padded key, identical text in Spark
     (cast_type='STRING') and DuckDB (cast_type='VARCHAR')."""
-    e = f"lpad(CAST(c_custkey AS {cast_type}), 6, '0')"
+    e = f"lpad(CAST(c_custkey AS {cast_type}), 7, '0')"
     for d, pair in enumerate(SYLLABLES):
         e = f"replace({e}, '{d}', '{pair}')"
     return e
@@ -93,12 +153,12 @@ def _records_sql(cast_type: str) -> str:
 base AS (SELECT c_custkey AS rec_id, {_name_expr(cast_type)} AS name FROM customer),
 v1 AS (
   SELECT rec_id + {ER_V1_OFFSET} AS rec_id,
-         substr(name, 1, 8) || substr(name, 10) AS name
+         substr(name, 1, 10) || substr(name, 12) AS name
   FROM base WHERE rec_id % {ER_V1_MOD} = 0
 ),
 v2 AS (
   SELECT rec_id + {ER_V2_OFFSET} AS rec_id,
-         substr(name, 1, 10) || substr(name, 10, 1) || substr(name, 11) AS name
+         substr(name, 1, 12) || substr(name, 12, 1) || substr(name, 13) AS name
   FROM base WHERE rec_id % {ER_V2_MOD} = 0
 ),
 records AS (SELECT * FROM base UNION ALL SELECT * FROM v1
@@ -117,12 +177,12 @@ def er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = c.select(F.col("c_custkey").alias("rec_id"), name.alias("name"))
     v1 = base.filter(F.col("rec_id") % ER_V1_MOD == 0).select(
         (F.col("rec_id") + ER_V1_OFFSET).alias("rec_id"),
-        F.expr("substr(name, 1, 8) || substr(name, 10)").alias("name"),
+        F.expr("substr(name, 1, 10) || substr(name, 12)").alias("name"),
     )
     v2 = base.filter(F.col("rec_id") % ER_V2_MOD == 0).select(
         (F.col("rec_id") + ER_V2_OFFSET).alias("rec_id"),
         F.expr(
-            "substr(name, 1, 10) || substr(name, 10, 1) || substr(name, 11)"
+            "substr(name, 1, 12) || substr(name, 12, 1) || substr(name, 13)"
         ).alias("name"),
     )
     rec = base.unionAll(v1).unionAll(v2)
@@ -175,7 +235,7 @@ def er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     a matcher that misses a planted variant is wrong, not unlucky).
 
     Scale: in-block candidate fan-out is bounded by the block size
-    (~hundreds of records for the 8-char prefix ≡ custkey // 100);
+    (~hundreds of records for the 10-char prefix ≡ custkey // 100);
     production adds a df-cap on megablocks and further blocking passes
     — the `dedup_winnow` discipline, stated in the module docstring.
     """
@@ -216,12 +276,14 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside one block (the pair generator is the block equi-join), so
     components never cross block boundaries and the transitive closure
     is an embarrassingly block-parallel union-find — ONE blk-keyed
-    shuffle + an Arrow `applyInPandas` over bounded blocks, where the
-    generic `connected_components` (kept for truly global graphs like
+    shuffle + an Arrow `applyInPandas` over bounded blocks (in-block
+    verify vectorized, `_pairs_lev_le1`), where the generic
+    `connected_components` (kept for truly global graphs like
     `dedup_clusters`) pays one shuffle round PER DIAMETER HOP — ~12
-    rounds on these chain-shaped entities, measured 22 s → ~2 s.  The
-    oracle walks the same graph with a recursive CTE (the
-    `dedup_clusters` pattern), blind to either execution strategy.
+    rounds on these chain-shaped entities, measured 22 s at sf0.001
+    vs under 7 s for 1.5M customers here.  The oracle walks the same
+    graph with a recursive CTE (the `dedup_clusters` pattern), blind
+    to either execution strategy.
     """
     records = er_records(spark, sf_dir)
 
@@ -237,16 +299,10 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = parent[i]
             return i
 
-        names = pdf["name"].tolist()
-        # In-block pairwise verify — the same candidates the block
-        # equi-join yields, edit distance ≤ ER_MAX_LEV = 1 checked by
-        # the O(len) one-gap scan (full DP is unnecessary for k = 1).
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if _lev_le1(names[i], names[j]):
-                    ri, rj = find(i), find(j)
-                    if ri != rj:
-                        parent[max(ri, rj)] = min(ri, rj)
+        for i, j in _pairs_lev_le1(pdf["name"].tolist()):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
         # Union by index order + min-id relabel: component label = the
         # minimum rec_id in the set (ids are not sorted within the
         # block, so map roots to their set's min id explicitly).
@@ -261,6 +317,18 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return records.groupBy("blk").applyInPandas(
+    # Explicit-width repartition on the block key: the union-find is
+    # PYTHON-CPU-bound (O(block²) verifies per block), and AQE's
+    # byte-based coalescing would funnel thousands of blocks into 2-3
+    # post-shuffle partitions (measured: 17 s at 150k customers, the
+    # Arrow workers serialized).  hashpartitioning(blk, N) satisfies
+    # applyInPandas' clustered-distribution requirement for any N, so
+    # this stays the plan's ONLY exchange (pinned in
+    # test_plan_shapes.py) — the spread_for_decode lesson applied to a
+    # grouped map.
+    spread = records.repartition(
+        spark.sparkContext.defaultParallelism, "blk"
+    )
+    return spread.groupBy("blk").applyInPandas(
         _cluster, schema="rec_id long, entity_id long"
     )

@@ -133,6 +133,31 @@ def test_lev_le1_matches_full_dp():
             assert _lev_le1(s, t) == (lev(s, t) <= 1), (s, t)
 
 
+def test_pairs_lev_le1_matches_scalar_reference():
+    """The vectorized in-block pair finder must agree exactly with the
+    scalar _lev_le1 double loop — including mixed lengths, duplicates,
+    empty strings, and a non-ASCII bucket (scalar-fallback path)."""
+    import itertools
+    import random
+
+    from piper_spark.functions.entity import _lev_le1, _pairs_lev_le1
+
+    rng = random.Random(7)
+    alpha = "abcd"
+    cases = [
+        ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 5))) for _ in range(40)],
+        ["", "", "a", "ab", "ba", "aa"],
+        ["héllo", "hello", "hallo", "héllo!"],  # multi-byte bucket
+    ]
+    for names in cases:
+        expect = sorted(
+            (i, j)
+            for i, j in itertools.combinations(range(len(names)), 2)
+            if _lev_le1(names[i], names[j])
+        )
+        assert sorted(_pairs_lev_le1(names)) == expect
+
+
 def test_er_match_planted_recall_is_total(spark):
     from piper_spark.functions.entity import (
         ER_V1_MOD,
