@@ -1951,3 +1951,128 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(BPE_TOP_PAIRS)
     )
+
+
+#: Number of BPE merges `text_bpe_encode` applies (rank order, fixed).
+BPE_ENCODE_MERGES = 5
+
+_BPE_MERGE_CTES = r"""
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wf AS (SELECT w, count(*) AS f FROM words WHERE length(w) >= 1 GROUP BY w),
+prs AS (
+  SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b,
+         CAST(sum(f) AS BIGINT) AS cnt
+  FROM (SELECT w, f, unnest(range(1, length(w))) AS i
+        FROM wf WHERE length(w) >= 2)
+  GROUP BY 1, 2
+),
+rk AS (SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b) AS r FROM prs)"""
+
+
+def _bpe_apply_sql(expr: str) -> str:
+    """Nested replace() chain applying merges 1..BPE_ENCODE_MERGES in
+    rank order, each pattern a scalar subquery against `rk`."""
+    for r in range(1, BPE_ENCODE_MERGES + 1):
+        expr = (
+            f"replace({expr}, "
+            f"(SELECT ' '||a||' '||b||' ' FROM rk WHERE r={r}), "
+            f"(SELECT ' '||a||b||' ' FROM rk WHERE r={r}))"
+        )
+    return expr
+
+
+@register(
+    "text_bpe_encode",
+    oracle=f"""
+WITH {_BPE_MERGE_CTES},
+enc0 AS (
+  SELECT doc_id, length(w) AS n_chars_w,
+         ' ' || array_to_string([substring(w, i, 1)
+                                 FOR i IN range(1, length(w) + 1)], ' ')
+             || ' ' AS e
+  FROM words WHERE length(w) >= 1
+),
+enc AS (SELECT doc_id, n_chars_w, {_bpe_apply_sql("e")} AS e FROM enc0)
+SELECT doc_id,
+       CAST(sum(n_chars_w) AS BIGINT) AS n_chars,
+       CAST(sum(length(trim(e)) - length(replace(trim(e), ' ', '')) + 1)
+            AS BIGINT) AS n_tokens
+FROM enc GROUP BY doc_id
+""",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the application half of tokenizer training
+    (`text_bpe_pairs` computes the merge statistic; this applies the
+    top-{BPE_ENCODE_MERGES} merges and reports per-doc token counts,
+    the number a packing/budget pipeline actually consumes).
+
+    The merge table is the corpus's own top-ranked adjacent pairs
+    (deterministic count-desc + lexicographic tiebreak); each merge is
+    one engine-shared replace() over the space-separated character
+    form, applied IN RANK ORDER — the one-shot variant of the BPE loop
+    (canonical BPE recounts pairs after every merge; the recount loop
+    runs the cheap vocabulary-sized half per `text_bpe_pairs`, so this
+    key pins the apply step's semantics, both engines single-pass
+    left-to-right).  FULLY DECLARATIVE: the merge table folds to one
+    broadcast row (conditional-aggregate pivot over the ≤ alphabet²
+    pair relation — a bounded global window, not a corpus one), no
+    driver-side collect.
+
+    Scale: one vocabulary shuffle for word freqs (Heaps-law sublinear),
+    one bounded pair aggregate, then a per-word codegen replace chain —
+    a free rider on the scan, the `text_tokens` profile.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(words_col()).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pos = wf.filter(F.length("w") >= 2).select(
+        "w", "f", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    )
+    prs = (
+        pos.select(
+            F.expr("substring(w, i, 1)").alias("a"),
+            F.expr("substring(w, i + 1, 1)").alias("b"),
+            "f",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("f").alias("cnt"))
+    )
+    rk = prs.select(
+        "a",
+        "b",
+        F.expr("row_number() OVER (ORDER BY cnt DESC, a, b)").alias("r"),
+    ).filter(F.col("r") <= BPE_ENCODE_MERGES)
+    merges = rk.agg(
+        *[
+            F.max(F.when(F.col("r") == r, F.col(c))).alias(f"{c}{r}")
+            for r in range(1, BPE_ENCODE_MERGES + 1)
+            for c in ("a", "b")
+        ]
+    )
+    enc0 = words.select(
+        "doc_id",
+        F.length("w").alias("n_chars_w"),
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("e"),
+    )
+    apply_expr = "e"
+    for r in range(1, BPE_ENCODE_MERGES + 1):
+        apply_expr = (
+            f"replace({apply_expr}, concat(' ', a{r}, ' ', b{r}, ' '), "
+            f"concat(' ', a{r}, b{r}, ' '))"
+        )
+    enc = enc0.crossJoin(F.broadcast(merges)).select(
+        "doc_id", "n_chars_w", F.expr(apply_expr).alias("e")
+    )
+    toks = (
+        F.length(F.trim(F.col("e")))
+        - F.length(F.regexp_replace(F.trim(F.col("e")), " ", ""))
+        + 1
+    )
+    return enc.groupBy("doc_id").agg(
+        F.sum("n_chars_w").cast("long").alias("n_chars"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )

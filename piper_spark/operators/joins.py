@@ -679,3 +679,88 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderdate").over(w).alias("valid_to"),
         F.col("o_orderstatus").alias("status"),
     ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+
+
+#: join_interval geometry: order intervals [orderdate, +key%14 days],
+#: 52 maintenance windows of 10 days weekly from 1995-01-01, both
+#: exploded to 7-day buckets for the equi-join prejoin.
+IVL_MAX_DAYS, IVL_WINDOWS, IVL_WIN_DAYS, IVL_EPOCH = 14, 52, 10, "1995-01-01"
+
+
+@register(
+    "join_interval",
+    oracle=f"""
+WITH iv AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + CAST((o_orderkey % {IVL_MAX_DAYS}) AS INTEGER) AS e
+  FROM orders
+),
+win AS (
+  SELECT w AS window_id,
+         DATE '{IVL_EPOCH}' + CAST(7 * w AS INTEGER) AS ws,
+         DATE '{IVL_EPOCH}' + CAST(7 * w + {IVL_WIN_DAYS} - 1 AS INTEGER) AS we
+  FROM (SELECT unnest(range(0, {IVL_WINDOWS})) AS w)
+)
+SELECT iv.o_orderkey, CAST(win.window_id AS BIGINT) AS window_id,
+       CAST(date_diff('day', greatest(iv.s, win.ws), least(iv.e, win.we)) + 1
+            AS BIGINT) AS overlap_days
+FROM iv JOIN win ON iv.s <= win.we AND win.ws <= iv.e
+""",
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP join — the temporal-join shape `join_range`'s
+    docstring warns about, solved the scalable way: both interval sets
+    are EXPLODED TO WEEK BUCKETS (an interval of ≤ d days covers
+    ≤ ⌈d/7⌉+1 buckets — bounded fan-out) and paired by a bucket
+    EQUI-JOIN, with the exact overlap predicate re-checked on the
+    bounded candidates and duplicates (pairs sharing several buckets)
+    collapsed by distinct.  Catalyst's native answer to `a.s <= b.e AND
+    b.s <= a.e` is a broadcast-nested-loop scan — fine for 52 windows,
+    quadratic death when both sides scale; the bucket prejoin stays a
+    hash join at any size (plan-pinned: no BNLJ).  The oracle states
+    the plain overlap join — DuckDB's optimizer handles its own
+    strategy; ours must produce the identical pair set.
+
+    Output: (o_orderkey, window_id, overlap_days), overlap in whole
+    days by exact date arithmetic.
+    """
+    o = table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.expr(
+            f"date_add(to_date(o_orderdate), cast(o_orderkey % {IVL_MAX_DAYS} as int))"
+        ).alias("e"),
+    )
+    win = spark.range(IVL_WINDOWS).select(
+        F.col("id").alias("window_id"),
+        F.expr(f"date_add(date'{IVL_EPOCH}', cast(7 * id as int))").alias("ws"),
+        F.expr(
+            f"date_add(date'{IVL_EPOCH}', cast(7 * id + {IVL_WIN_DAYS} - 1 as int))"
+        ).alias("we"),
+    )
+    wk_s = F.expr(f"floor(datediff(s, date'{IVL_EPOCH}') / 7)")
+    wk_e = F.expr(f"floor(datediff(e, date'{IVL_EPOCH}') / 7)")
+    ivb = iv.select(
+        "o_orderkey", "s", "e",
+        F.explode(F.sequence(wk_s.cast("long"), wk_e.cast("long"))).alias("wk"),
+    )
+    wwk_s = F.expr(f"floor(datediff(ws, date'{IVL_EPOCH}') / 7)")
+    wwk_e = F.expr(f"floor(datediff(we, date'{IVL_EPOCH}') / 7)")
+    winb = win.select(
+        "window_id", "ws", "we",
+        F.explode(F.sequence(wwk_s.cast("long"), wwk_e.cast("long"))).alias("wk"),
+    )
+    overlap = (
+        F.datediff(F.least("e", "we"), F.greatest("s", "ws")) + 1
+    ).cast("long")
+    return (
+        ivb.join(winb, "wk")
+        .filter((F.col("s") <= F.col("we")) & (F.col("ws") <= F.col("e")))
+        .select(
+            "o_orderkey",
+            F.col("window_id").cast("long").alias("window_id"),
+            overlap.alias("overlap_days"),
+        )
+        .distinct()
+    )

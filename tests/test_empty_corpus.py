@@ -107,6 +107,13 @@ RISKY = [
     "dedup_bloom",
     "ts_ohlc",
     "pipeline_audio_curate",
+    # round-8 wave 2: a 1-row merge pivot over an empty pair relation
+    # (agg returns one all-NULL row feeding replace()), sequence
+    # explodes over empty interval sets, and percentile cuts of an
+    # empty user aggregate.
+    "text_bpe_encode",
+    "join_interval",
+    "event_rfm",
 ]
 
 

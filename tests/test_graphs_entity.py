@@ -284,3 +284,69 @@ def test_audio_curate_composes_its_stages(spark):
     for r in out:
         assert r["split"] == ("train" if r["doc_id"] % 100 < 80 else "val")
         assert (r["n_bits"], r["fp"]) == fps[r["doc_id"]]
+
+
+# ------------------------------------------------- round-8 wave 2
+
+
+def test_bpe_encode_compresses_and_bounds(spark):
+    rows = registry.all_queries()["text_bpe_encode"](spark, SF_SMOKE).collect()
+    assert rows
+    total_chars = sum(r["n_chars"] for r in rows)
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        # merges only ever reduce the token count, never below 1/word
+        assert 1 <= r["n_tokens"] <= r["n_chars"]
+    # The top-5 merges must actually fire on the corpus they came from.
+    assert total_tokens < total_chars
+
+
+def test_join_interval_matches_bruteforce(spark):
+    from datetime import date, timedelta
+
+    from piper_spark.operators.joins import (
+        IVL_EPOCH,
+        IVL_MAX_DAYS,
+        IVL_WIN_DAYS,
+        IVL_WINDOWS,
+    )
+    from piper_spark.session import table
+
+    orders = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).collect()
+    epoch = date.fromisoformat(IVL_EPOCH)
+    expect = set()
+    for r in orders:
+        s = r["o_orderdate"].date()
+        e = s + timedelta(days=r["o_orderkey"] % IVL_MAX_DAYS)
+        for w in range(IVL_WINDOWS):
+            ws = epoch + timedelta(days=7 * w)
+            we = epoch + timedelta(days=7 * w + IVL_WIN_DAYS - 1)
+            if s <= we and ws <= e:
+                expect.add(
+                    (r["o_orderkey"], w, (min(e, we) - max(s, ws)).days + 1)
+                )
+    got = {
+        (r["o_orderkey"], r["window_id"], r["overlap_days"])
+        for r in registry.all_queries()["join_interval"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_event_rfm_quintiles_are_consistent(spark):
+    rows = registry.all_queries()["event_rfm"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_q"] <= 5 and 1 <= r["f_q"] <= 5 and 1 <= r["m_q"] <= 5
+    # Monotone: a strictly better value can never land in a lower bucket.
+    by_f = sorted(rows, key=lambda r: r["frequency"])
+    for a, b in zip(by_f, by_f[1:]):
+        assert a["f_q"] <= b["f_q"]
+    by_r = sorted(rows, key=lambda r: r["recency_us"])
+    for a, b in zip(by_r, by_r[1:]):
+        assert a["r_q"] >= b["r_q"]
+    # Every quintile is populated on the uniform fixture.
+    assert {r["f_q"] for r in rows} == {1, 2, 3, 4, 5}

@@ -783,3 +783,27 @@ def test_pipeline_audio_curate_reuses_persisted_fingerprints(spark):
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("LeftAnti") == 1
+
+
+def test_join_interval_is_bucket_equi_join_not_bnlj(spark):
+    # The exact overlap predicate runs ABOVE a week-bucket equi-join;
+    # Catalyst's native plan for the raw range predicate would be a
+    # BroadcastNestedLoopJoin — quadratic when both sides scale.
+    plan = plan_of(spark, "join_interval")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_bpe_encode_merge_table_is_broadcast(spark):
+    # The merge table is ONE broadcast row (bounded pair domain); the
+    # corpus side never shuffles for the apply stage.
+    plan = plan_of(spark, "text_bpe_encode")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_rfm_has_no_global_window(spark):
+    # Quintiles come from a broadcast percentile aggregate, never an
+    # ntile()/rank() window that would single-partition the corpus.
+    plan = plan_of(spark, "event_rfm")
+    assert "Window" not in plan
