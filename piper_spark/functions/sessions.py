@@ -864,6 +864,24 @@ def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def ohlc_aggs() -> list:
+    """The OHLC aggregate list over a (cents, k) projection — ONE
+    definition shared by the batch `ts_ohlc` and the streaming twin
+    `streaming.events.stream_ohlc` (every member is a partial-agg-able
+    DeclarativeAggregate, so both the batch shuffle and the streaming
+    state stay map-side-combining)."""
+    return [
+        F.min_by("cents", "k").alias("open"),
+        F.max("cents").alias("high"),
+        F.min("cents").alias("low"),
+        F.max_by("cents", "k").alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("cents").alias("volume_cents"),
+    ]
+
+
 @register(
     "ts_ohlc",
     oracle="""
@@ -913,14 +931,7 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + event_id"
         ).alias("k"),
     )
-    return e.groupBy("event_type", "bar_ts").agg(
-        F.min_by("cents", "k").alias("open"),
-        F.max("cents").alias("high"),
-        F.min("cents").alias("low"),
-        F.max_by("cents", "k").alias("close"),
-        F.count(F.lit(1)).alias("n_trades"),
-        F.sum("cents").alias("volume_cents"),
-    )
+    return e.groupBy("event_type", "bar_ts").agg(*ohlc_aggs())
 
 
 #: RFM reference instant (end of the fixture's event window).

@@ -764,3 +764,94 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+#: join_geo_grid geometry: deterministic integer positions on a
+#: GEO_GRID_SIZE² grid from the customer key; pairs within Chebyshev
+#: distance GEO_RADIUS found via a 3×3 neighbor-cell probe (cell width
+#: = radius ⇒ a qualifying partner is never more than one cell away).
+GEO_GRID_SIZE, GEO_RADIUS = 10_000, 25
+
+
+@register(
+    "join_geo_grid",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 7919) % {GEO_GRID_SIZE} AS x,
+         (c_custkey * c_custkey % 9973 * 4073 + c_custkey) % {GEO_GRID_SIZE} AS y
+  FROM customer
+)
+SELECT a.id AS id1, b.id AS id2,
+       CAST(greatest(abs(a.x - b.x), abs(a.y - b.y)) AS BIGINT) AS cheb
+FROM pts a JOIN pts b
+  ON a.id < b.id
+WHERE greatest(abs(a.x - b.x), abs(a.y - b.y)) <= {GEO_RADIUS}
+""",
+)
+def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL SELF-JOIN by grid bucketing — `join_interval`'s 2D
+    sibling (proximity pairs instead of overlap pairs): points within
+    Chebyshev distance {GEO_RADIUS} on an integer grid, found by
+    exploding each point to its 3×3 NEIGHBOR CELLS (cell width =
+    radius, so any qualifying partner lies in one of them) on the
+    probe side only, equi-joining on the cell key against unexploded
+    build points, then verifying the exact distance.  A pair is found
+    EXACTLY once (the build point occupies one cell), so no distinct
+    is needed — cheaper than the interval variant's multi-bucket
+    dedup.  The naive form is an O(n²) cross join; this is one keyed
+    equi-join with 9× probe fan-out, the standard uniform-grid spatial
+    index lowered to relational ops (positions synthesized from the
+    key in exact integer arithmetic — the `link_edges` precedent; a
+    real table would bring lat/lon through the same `div`-bucketing).
+
+    Output: (id1, id2, cheb) with the exact Chebyshev distance.
+    """
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % GEO_GRID_SIZE).alias("x"),
+        (
+            (
+                F.col("c_custkey") * F.col("c_custkey") % 9973 * 4073
+                + F.col("c_custkey")
+            )
+            % GEO_GRID_SIZE
+        ).alias("y"),
+    )
+    cx = F.expr(f"x div {GEO_RADIUS}")
+    cy = F.expr(f"y div {GEO_RADIUS}")
+    build = pts.select(
+        F.col("id").alias("id2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        (cx * 100_000 + cy).alias("cell"),
+    )
+    probe = (
+        pts.select(
+            "id",
+            "x",
+            "y",
+            F.explode(
+                F.array(*[F.lit(d) for d in range(9)])
+            ).alias("d"),
+        )
+        .select(
+            F.col("id").alias("id1"),
+            F.col("x").alias("x1"),
+            F.col("y").alias("y1"),
+            (
+                (cx + F.col("d") % 3 - 1) * 100_000
+                + (cy + F.expr("d div 3") - 1)
+            ).alias("cell"),
+        )
+    )
+    cheb = F.greatest(
+        F.abs(F.col("x1") - F.col("x2")), F.abs(F.col("y1") - F.col("y2"))
+    ).cast("long")
+    return (
+        probe.join(build, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cheb.alias("cheb"))
+        .filter(F.col("cheb") <= GEO_RADIUS)
+    )

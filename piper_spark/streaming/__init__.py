@@ -5,6 +5,7 @@ from piper_spark.streaming.events import (  # noqa: F401
     read_event_stream,
     run_available_now,
     stream_dedup,
+    stream_ohlc,
     stream_sessionize,
     stream_sliding,
     stream_tumbling,

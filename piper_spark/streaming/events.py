@@ -78,6 +78,42 @@ def stream_sliding(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     )
 
 
+def stream_ohlc(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Hourly OHLC bars — streaming twin of `ts_ohlc`, sharing its
+    `ohlc_aggs()` fold verbatim (min_by/max_by/min/max/sum/count are
+    all partial-agg-able, so the streaming state per (type, hour) bar
+    is one combiner buffer — sketches and bars are streaming-native
+    the same way `stream_countmin` is).  The open/close keeper key is
+    the same composite rel-microsecond + event_id int64, so a bar's
+    open/close converge to the batch answer from ANY micro-batch
+    arrival order once the watermark closes the window."""
+    from piper_spark.functions.sessions import RFM_ASOF, ohlc_aggs  # noqa: F401
+
+    proj = events.withWatermark("ts", watermark).select(
+        "ts",
+        "event_type",
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            "(unix_micros(ts) - unix_micros(timestamp'2024-01-01 00:00:00'))"
+            " * 1000000 + event_id"
+        ).alias("k"),
+    )
+    return (
+        proj.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(*ohlc_aggs())
+        .select(
+            F.col("w.start").alias("bar_ts"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+            "volume_cents",
+        )
+    )
+
+
 def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "1 hour") -> DataFrame:
     """Session windows per user — native stateful twin of `event_sessions`."""

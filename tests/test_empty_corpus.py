@@ -114,6 +114,7 @@ RISKY = [
     "text_bpe_encode",
     "join_interval",
     "event_rfm",
+    "join_geo_grid",
 ]
 
 

@@ -350,3 +350,31 @@ def test_event_rfm_quintiles_are_consistent(spark):
         assert a["r_q"] >= b["r_q"]
     # Every quintile is populated on the uniform fixture.
     assert {r["f_q"] for r in rows} == {1, 2, 3, 4, 5}
+
+
+def test_join_geo_grid_matches_bruteforce(spark):
+    from piper_spark.operators.joins import GEO_GRID_SIZE, GEO_RADIUS
+    from piper_spark.session import table
+
+    keys = [
+        r["c_custkey"]
+        for r in table(spark, SF_SMOKE, "customer").select("c_custkey").collect()
+    ]
+    pts = {
+        k: ((k * 7919) % GEO_GRID_SIZE, (k * k % 9973 * 4073 + k) % GEO_GRID_SIZE)
+        for k in keys
+    }
+    expect = set()
+    ks = sorted(keys)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1 :]:
+            cheb = max(abs(pts[a][0] - pts[b][0]), abs(pts[a][1] - pts[b][1]))
+            if cheb <= GEO_RADIUS:
+                expect.add((a, b, cheb))
+    got = {
+        (r["id1"], r["id2"], r["cheb"])
+        for r in registry.all_queries()["join_geo_grid"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expect

@@ -807,3 +807,11 @@ def test_event_rfm_has_no_global_window(spark):
     # ntile()/rank() window that would single-partition the corpus.
     plan = plan_of(spark, "event_rfm")
     assert "Window" not in plan
+
+
+def test_join_geo_grid_is_cell_equi_join(spark):
+    # Proximity pairs come from the 3×3 cell equi-join — never the
+    # O(n²) cross/nested-loop plan the raw distance predicate implies.
+    plan = plan_of(spark, "join_geo_grid")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -515,3 +515,28 @@ def test_stream_countmin_matches_batch_counters_and_estimates(spark):
             for r, a, b in CMS_MIXERS
         )
         assert est == row.cms_est, row.word
+
+
+def test_stream_ohlc_matches_batch(spark, events_dir):
+    """Hourly OHLC bars from the drained stream must equal the
+    oracle-checked batch `ts_ohlc` — including the min_by/max_by
+    open/close keepers, whose composite key makes them arrival-order
+    independent (files arrive 2 per trigger, out of original order)."""
+    from piper_spark.functions.sessions import ts_ohlc
+    from piper_spark.streaming import stream_ohlc
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    run_available_now(stream_ohlc(stream), "ohlc_out")
+    got = {
+        (r.bar_ts, r.event_type): (
+            r.open, r.high, r.low, r.close, r.n_trades, r.volume_cents
+        )
+        for r in spark.table("ohlc_out").collect()
+    }
+    want = {
+        (r.bar_ts, r.event_type): (
+            r.open, r.high, r.low, r.close, r.n_trades, r.volume_cents
+        )
+        for r in ts_ohlc(spark, SF_SMOKE).collect()
+    }
+    assert got == want
