@@ -707,3 +707,108 @@ def pipeline_audio_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = pairs.select(F.col("id2").alias("doc_id")).distinct()
     surv = f.join(drops, "doc_id", "left_anti")
     return tag_split(surv).select("doc_id", "split", "n_bits", "fp")
+
+
+def _video_curate_oracle() -> str:
+    """Composed oracle: video signature CTEs → near-dup pairs → drop
+    the higher id → modulo split (the audio-pipeline discipline)."""
+    from piper_spark.sources.multimodal import _VIDEO_PAIRS_SQL, _VIDEO_SIG_CTES
+
+    return (
+        f"WITH {_VIDEO_SIG_CTES}{_VIDEO_PAIRS_SQL}"
+        + """,
+drops AS (SELECT DISTINCT id2 AS doc_id FROM vpairs),
+surv AS (
+  SELECT doc_id, ns, band FROM bb
+  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'val' END AS split,
+       CAST(ns AS BIGINT) AS n_sampled_frames,
+       band
+FROM surv
+"""
+    )
+
+
+@register("pipeline_video_curate", oracle=_video_curate_oracle())
+def pipeline_video_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO modality's curation spine — the fourth column of the
+    pipeline × modality grid (text: pipeline_curate/near_dedup;
+    vectors: pipeline_embed_curate; audio: pipeline_audio_curate;
+    video: this):
+
+      clips → length gate (≥ 2k+1 raw frames from the cheap byte
+               length, inside the producing relation)
+            → per-sampled-frame average-hash signatures
+               (`video_fingerprint`'s exact integer arithmetic)
+            → near-dup removal (`dedup_video`'s derived-width banded
+               pairs; drop the HIGHER doc_id)
+            → deterministic modulo split.
+
+    VALUE-EXACT end-to-end (the oracle composes the video stage CTEs),
+    because every video stage is integer arithmetic — where the image
+    pipeline (`pipeline_image_curate`) is rows-only through its DCT
+    floats.  Same lazy single plan as the audio spine: the band
+    self-join and the bounded drop anti-join are the only key
+    shuffles.
+    """
+    from piper_spark.session import row_count
+    from piper_spark.sources.multimodal import (
+        _video_fh_rel,
+        spread_for_decode,
+        video_band_frames,
+        video_near_dup_pairs,
+    )
+
+    k = video_band_frames(row_count(spark, sf_dir, "documents"))
+    d = spread_for_decode(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    # persist: band self-join (both aliases) + survivor anti-join.
+    f = _video_fh_rel(d, min_nf=2 * k + 1).persist()
+    pairs = video_near_dup_pairs(f, k)
+    drops = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    band = F.aggregate(
+        F.slice("sig", 1, k),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(1 << 24) + x,
+    )
+    surv = f.join(drops, "doc_id", "left_anti").select(
+        "doc_id", F.col("ns").alias("n_sampled_frames"), band.alias("band")
+    )
+    return tag_split(surv).select(
+        "doc_id", "split", "n_sampled_frames", "band"
+    )
+
+
+@register("pipeline_image_curate")
+def pipeline_image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMAGE modality's curation spine — the fifth and final
+    column of the pipeline × modality grid, ⚠ ROWS-ONLY by nature: its
+    near-dup stage is `img_phash` (DCT floats are not reproducible in
+    SQL — the same boundary that makes img_phash itself rows-only).
+    The exact-twin discipline applies at the PIPELINE level too: the
+    value-exact `pipeline_video_curate` runs the identical
+    gate → fingerprint → drop-higher-id → split spine with an
+    integer-arithmetic fingerprint, so the composition logic is
+    oracle-checked there, while THIS key's correctness is carried by
+    property tests (planted perceptually-perturbed copies must be
+    dropped; survivors keep their split tags — tests/test_pipeline.py).
+
+      images → decodable gate (non-empty payload, the `with_payload`
+               projection `img_phash` itself scans)
+             → 64-bit DCT pHash (Arrow mapInPandas)
+             → near-dup removal (img_phash's multi-probe banded pairs;
+               drop the HIGHER doc_id — planted copies sit at
+               PHASH_PLANT_OFFSET above their source, so every planted
+               id drops)
+             → deterministic modulo split.
+    """
+    from piper_spark.sources.multimodal import img_phash, with_payload
+
+    universe = with_payload(table(spark, sf_dir, "documents")).select("doc_id")
+    pairs = img_phash(spark, sf_dir)
+    drops = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    surv = universe.join(drops, "doc_id", "left_anti")
+    return tag_split(surv).select("doc_id", "split")

@@ -2796,17 +2796,18 @@ def video_band_frames(n_docs: int) -> int:
     return max(1, math.ceil(derived_band_bits(n_docs) / 24))
 
 
-@register(
-    "dedup_video",
-    oracle=f"""
-WITH kk AS (
+#: Shared video-signature CTE chain (`kk` = derived band frame count,
+#: `bb` = banded per-doc signatures) + the verified pair CTE — used
+#: verbatim by `dedup_video`'s oracle and composed into
+#: `pipeline_video_curate`'s (the audio-pipeline discipline).
+_VIDEO_SIG_CTES = f"""kk AS (
   SELECT CAST(greatest(1, ceil(
     least(63, greatest(16,
       CAST(ceil(log2(greatest(count(*), 2))) AS INTEGER) + 3)) / 24.0))
     AS INT) AS k
   FROM documents
 ), d AS ({_VIDEO_FH_SQL.format(
-        min_bytes=f"(SELECT (2 * k + 1) * {FRAME_W * FRAME_H * 3} FROM kk)")}
+    min_bytes=f"(SELECT (2 * k + 1) * {FRAME_W * FRAME_H * 3} FROM kk)")}
 ), sig AS (
   SELECT doc_id, ns, list(fhash ORDER BY s) AS sg
   FROM fh GROUP BY doc_id, ns
@@ -2815,17 +2816,71 @@ WITH kk AS (
          list_reduce(sg[1:(SELECT k FROM kk)],
                      (acc, x) -> acc * 16777216 + x) AS band
   FROM sig
-)
-SELECT a.doc_id AS id1, b.doc_id AS id2,
-       CAST(list_sum([bit_count(xor(a.sg[i + 1], b.sg[i + 1]))
-                      FOR i IN range(0, CAST(least(a.ns, b.ns) AS INT))])
-            AS BIGINT) AS hamming
-FROM bb a JOIN bb b
-  ON a.band = b.band AND a.doc_id < b.doc_id
-WHERE abs(a.ns - b.ns) <= {VIDEO_FP_MAX_DNS}
-  AND list_sum([bit_count(xor(a.sg[i + 1], b.sg[i + 1]))
-                FOR i IN range(0, CAST(least(a.ns, b.ns) AS INT))])
-      <= {VIDEO_FP_MAX_HAM}
+)"""
+
+_VIDEO_PAIRS_SQL = f""", vpairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CAST(list_sum([bit_count(xor(a.sg[i + 1], b.sg[i + 1]))
+                        FOR i IN range(0, CAST(least(a.ns, b.ns) AS INT))])
+              AS BIGINT) AS hamming
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE abs(a.ns - b.ns) <= {VIDEO_FP_MAX_DNS}
+    AND list_sum([bit_count(xor(a.sg[i + 1], b.sg[i + 1]))
+                  FOR i IN range(0, CAST(least(a.ns, b.ns) AS INT))])
+        <= {VIDEO_FP_MAX_HAM}
+)"""
+
+
+def video_near_dup_pairs(f: DataFrame, k: int) -> DataFrame:
+    """Verified video near-dup pairs (id1, id2, hamming) from a
+    signature relation — band equi-join on the Horner-packed opening-k
+    frames + aligned-frame Hamming verify, extracted so `dedup_video`
+    and `pipeline_video_curate` share ONE definition (callers pass a
+    PERSISTED relation: the self-join reads both aliases)."""
+    band = F.aggregate(
+        F.slice("sig", 1, k),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(1 << 24) + x,
+    )
+    a = f.select(
+        F.col("doc_id").alias("id1"),
+        F.col("ns").alias("ns1"),
+        F.col("sig").alias("sg1"),
+        band.alias("band"),
+    )
+    b = f.select(
+        F.col("doc_id").alias("id2"),
+        F.col("ns").alias("ns2"),
+        F.col("sig").alias("sg2"),
+        band.alias("band"),
+    )
+    m = F.least(F.col("ns1"), F.col("ns2")).cast("int")
+    ham = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("sg1"), 1, m),
+            F.slice(F.col("sg2"), 1, m),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "band")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.col("ns1") - F.col("ns2")) <= VIDEO_FP_MAX_DNS)
+        )
+        .select("id1", "id2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= VIDEO_FP_MAX_HAM)
+    )
+
+
+@register(
+    "dedup_video",
+    oracle=f"""
+WITH {_VIDEO_SIG_CTES}{_VIDEO_PAIRS_SQL}
+SELECT id1, id2, hamming FROM vpairs
 """,
 )
 def dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2866,39 +2921,4 @@ def dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     f = _video_fh_rel(d, min_nf=2 * k + 1).persist()
-    band = F.aggregate(
-        F.slice("sig", 1, k),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc * F.lit(1 << 24) + x,
-    )
-    a = f.select(
-        F.col("doc_id").alias("id1"),
-        F.col("ns").alias("ns1"),
-        F.col("sig").alias("sg1"),
-        band.alias("band"),
-    )
-    b = f.select(
-        F.col("doc_id").alias("id2"),
-        F.col("ns").alias("ns2"),
-        F.col("sig").alias("sg2"),
-        band.alias("band"),
-    )
-    m = F.least(F.col("ns1"), F.col("ns2")).cast("int")
-    ham = F.aggregate(
-        F.zip_with(
-            F.slice(F.col("sg1"), 1, m),
-            F.slice(F.col("sg2"), 1, m),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, "band")
-        .filter(
-            (F.col("id1") < F.col("id2"))
-            & (F.abs(F.col("ns1") - F.col("ns2")) <= VIDEO_FP_MAX_DNS)
-        )
-        .select("id1", "id2", ham.alias("hamming"))
-        .filter(F.col("hamming") <= VIDEO_FP_MAX_HAM)
-    )
+    return video_near_dup_pairs(f, k)

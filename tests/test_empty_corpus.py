@@ -115,6 +115,8 @@ RISKY = [
     "join_interval",
     "event_rfm",
     "join_geo_grid",
+    "pipeline_video_curate",
+    "pipeline_image_curate",
 ]
 
 

@@ -122,3 +122,34 @@ def test_pipeline_monotone_shrinking(spark):
     assert c0 >= c1 >= c2 >= c3 > 0
     s = tag_split(n)
     assert s.count() == c3
+
+
+def test_video_curate_composes_its_stages(spark):
+    from piper_spark import registry
+
+    qs = registry.all_queries()
+    out = qs["pipeline_video_curate"](spark, SF_SMOKE).collect()
+    kept = {r["doc_id"] for r in out}
+    pairs = qs["dedup_video"](spark, SF_SMOKE).collect()
+    drops = {p["id2"] for p in pairs}
+    assert kept and not (kept & drops)
+    for r in out:
+        assert r["split"] == ("train" if r["doc_id"] % 100 < 80 else "val")
+        assert r["n_sampled_frames"] >= 2
+
+
+def test_image_curate_drops_planted_perceptual_copies(spark):
+    from piper_spark import registry
+    from piper_spark.sources.multimodal import PHASH_PLANT_OFFSET
+
+    out = registry.all_queries()["pipeline_image_curate"](
+        spark, SF_SMOKE
+    ).collect()
+    kept = {r["doc_id"] for r in out}
+    assert kept
+    # Every planted perceptually-perturbed copy (id = source + 2^40)
+    # sits at Hamming ~0 from its source and must be dropped by the
+    # higher-id keep rule; no planted id may survive.
+    assert not any(d >= PHASH_PLANT_OFFSET for d in kept)
+    for r in out:
+        assert r["split"] == ("train" if r["doc_id"] % 100 < 80 else "val")
