@@ -305,3 +305,68 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("common * 1000000 div (dx + dy - common)").alias("jacc_ppm"),
         )
     )
+
+
+#: BFS geometry: multi-source frontier (every BFS_SOURCE_MOD-th doc),
+#: fixed BFS_ROUNDS relaxations (unrolled verbatim in the oracle).
+BFS_SOURCE_MOD, BFS_ROUNDS = 100, 3
+
+
+def _bfs_round_sql(t: int, p: int) -> str:
+    return f"""
+d{t} AS (SELECT id, min(dist) AS dist FROM (
+  SELECT * FROM d{p} UNION ALL
+  SELECT e.dst AS id, d{p}.dist + 1 FROM edges e JOIN d{p} ON d{p}.id = e.src)
+  GROUP BY id)"""
+
+
+@register(
+    "graph_bfs",
+    oracle="WITH "
+    + _EDGES_SQL
+    + f""",
+d0 AS (SELECT doc_id AS id, 0 AS dist FROM documents
+       WHERE doc_id % {BFS_SOURCE_MOD} = 0),"""
+    + ",".join(_bfs_round_sql(t, t - 1) for t in range(1, BFS_ROUNDS + 1))
+    + f"""
+SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist FROM d{BFS_ROUNDS}
+""",
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distances — the traversal member of the graph
+    family (PageRank ranks, triangles count structure, this measures
+    REACH): hop distance ≤ {BFS_ROUNDS} from the source set (every
+    {BFS_SOURCE_MOD}th doc), exact integer levels, the unrolled-CTE
+    oracle mirroring each relaxation.  Fixed rounds keep the key
+    value-exact; production BFS runs to frontier exhaustion with the
+    one-scalar-per-round convergence check of `connected_components`.
+
+    Scale shape: per round ONE src-keyed join (frontier ⋈ edges) + a
+    min-aggregate — frontier-proportional work, the Pregel profile
+    again; distances persisted per generation, previous generation
+    unpersisted, lineage one round deep.  Unreached nodes never enter
+    the relation (no dense |V| state until reached — at 100 TB the
+    early frontiers are tiny and so are the shuffles).
+    """
+    edges = link_edges(spark, sf_dir).persist()
+    d = table(spark, sf_dir, "documents")
+    dist = d.filter(F.col("doc_id") % BFS_SOURCE_MOD == 0).select(
+        F.col("doc_id").alias("id"), F.lit(0).alias("dist")
+    ).persist()
+    for _ in range(BFS_ROUNDS):
+        relaxed = (
+            edges.join(dist, edges["src"] == dist["id"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        new = (
+            dist.unionAll(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        dist.unpersist()
+        dist = new
+    edges.unpersist()
+    return dist.select(
+        F.col("id").alias("doc_id"), F.col("dist").cast("long").alias("dist")
+    )

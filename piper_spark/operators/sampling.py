@@ -455,3 +455,54 @@ def sample_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
         .select("lang", "n_docs", "target_kept", "capped", "n_kept")
     )
+
+
+#: Planted duplication for `sample_soft_dedup`: every 5th doc reappears
+#: shifted (the planted_union precedent) so group sizes are non-trivial
+#: on a corpus whose natural texts are unique.
+SOFT_DEDUP_MOD, SOFT_DEDUP_OFFSET = 5, 5_000_000
+
+
+@register(
+    "sample_soft_dedup",
+    oracle=f"""
+WITH un AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SOFT_DEDUP_OFFSET}, text FROM documents
+  WHERE doc_id % {SOFT_DEDUP_MOD} = 0
+),
+g AS (SELECT md5(text) AS h, count(*) AS s FROM un GROUP BY md5(text))
+SELECT un.doc_id, CAST(g.s AS BIGINT) AS group_size,
+       1000000 // g.s AS weight_ppm
+FROM un JOIN g ON md5(un.text) = g.h
+""",
+)
+def sample_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — the down-weighting alternative to dropping (the
+    SoftDeDup idea: duplicated content contributes 1/s of a copy's
+    sampling mass instead of being removed, preserving rare in-dup
+    phrasing the hard drop loses): every doc keeps a
+    weight_ppm = ⌊10⁶ / group_size⌋ over exact md5 content groups, the
+    statistic a temperature/mixture sampler consumes downstream
+    (`sample_temperature` applies such rates).  The corpus's natural
+    texts are unique, so planted copies (every {SOFT_DEDUP_MOD}th doc,
+    shifted by {SOFT_DEDUP_OFFSET}) make group sizes non-trivial IN
+    BOTH ENGINES.
+
+    Scale: one md5-keyed count aggregate (16-byte keys shuffle, never
+    bodies — the dedup_incremental rule) joined back on the same key;
+    two hash shuffles total, the `dedup_exact_hash` linear profile.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    un = d.unionAll(
+        d.filter(F.col("doc_id") % SOFT_DEDUP_MOD == 0).select(
+            (F.col("doc_id") + SOFT_DEDUP_OFFSET).alias("doc_id"), "text"
+        )
+    ).select("doc_id", F.md5(F.encode("text", "utf-8")).alias("h"))
+    g = un.groupBy("h").agg(F.count(F.lit(1)).alias("s"))
+    return un.join(g, "h").select(
+        "doc_id",
+        F.col("s").cast("long").alias("group_size"),
+        F.expr("1000000 div s").alias("weight_ppm"),
+    )

@@ -812,3 +812,96 @@ def pipeline_image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = pairs.select(F.col("id2").alias("doc_id")).distinct()
     surv = universe.join(drops, "doc_id", "left_anti")
     return tag_split(surv).select("doc_id", "split")
+
+
+@register(
+    "dq_referential",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey FROM customer
+  WHERE c_custkey < (SELECT 9 * count(*) // 10 FROM customer)
+),
+o AS (
+  SELECT 'orders->customer' AS relationship,
+         CAST(count(*) AS BIGINT) AS n_child,
+         CAST(sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM orders LEFT JOIN dim d ON orders.o_custkey = d.c_custkey
+),
+l AS (
+  SELECT 'lineitem->orders' AS relationship,
+         CAST(count(*) AS BIGINT) AS n_child,
+         CAST(sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+    ON lineitem.l_orderkey = ok.o_orderkey
+)
+SELECT relationship, n_child, n_orphans,
+       n_orphans * 1000000 // n_child AS orphan_ppm
+FROM o
+UNION ALL
+SELECT relationship, n_child, n_orphans, n_orphans * 1000000 // n_child
+FROM l
+""",
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit — the dq family's cross-table
+    member (dq_checks gates rows, dq_profile profiles columns,
+    dq_outliers screens values; this audits FOREIGN KEYS): orphan
+    counts per child→parent relationship.  The fixture's keys are
+    fully consistent, so the customer side is audited against a
+    TRUNCATED dimension snapshot (lowest 90 % of keys — the
+    late-arriving-dimension scenario CDC pipelines hit), yielding a
+    real orphan rate, while lineitem→orders audits the intact
+    relationship and must report zero.
+
+    Scale: two left joins that AQE plans by runtime size (dimension
+    snapshot broadcastable here, shuffled at 100 TB — no pinned hint,
+    the fact-join rule), each collapsing to a 1-row count — map-side
+    partial aggregation means the exchange carries counters, not rows.
+    """
+    from piper_spark.session import row_count
+
+    c = table(spark, sf_dir, "customer")
+    # snapshot bound from the parquet footer — no Spark job.
+    n_dim = row_count(spark, sf_dir, "customer")
+    dim = c.filter(F.col("c_custkey") < 9 * n_dim // 10).select("c_custkey")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    o_audit = (
+        o.join(dim, o["o_custkey"] == dim["c_custkey"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .select(
+            F.lit("orders->customer").alias("relationship"),
+            "n_child",
+            "n_orphans",
+        )
+    )
+    ok = o.select("o_orderkey").distinct()
+    l_audit = (
+        li.join(ok, li["l_orderkey"] == ok["o_orderkey"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .select(
+            F.lit("lineitem->orders").alias("relationship"),
+            "n_child",
+            "n_orphans",
+        )
+    )
+    return o_audit.unionAll(l_audit).select(
+        "relationship",
+        "n_child",
+        "n_orphans",
+        F.expr("n_orphans * 1000000 div n_child").alias("orphan_ppm"),
+    )

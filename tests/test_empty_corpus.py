@@ -117,6 +117,9 @@ RISKY = [
     "join_geo_grid",
     "pipeline_video_curate",
     "pipeline_image_curate",
+    "graph_bfs",
+    "sample_soft_dedup",
+    "dq_referential",
 ]
 
 
@@ -134,7 +137,7 @@ def empty_dir(tmp_path_factory):
 
 #: Queries whose output is a FIXED report grid (rows exist even with
 #: zero input): event_funnel always reports its 3 steps (0 users each).
-GRID_ROWS = {"event_funnel": 3, "dq_profile": 4}
+GRID_ROWS = {"event_funnel": 3, "dq_profile": 4, "dq_referential": 2}
 
 
 @pytest.mark.parametrize("name", RISKY)

@@ -378,3 +378,62 @@ def test_join_geo_grid_matches_bruteforce(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_graph_bfs_matches_bruteforce(spark):
+    from collections import deque
+
+    from piper_spark.functions.graphs import (
+        BFS_ROUNDS,
+        BFS_SOURCE_MOD,
+        link_edges,
+    )
+
+    fwd: dict[int, set[int]] = {}
+    for r in link_edges(spark, SF_SMOKE).collect():
+        fwd.setdefault(r["src"], set()).add(r["dst"])
+    sources = [d for d in range(500) if d % BFS_SOURCE_MOD == 0]
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        if dist[u] >= BFS_ROUNDS:
+            continue
+        for v in fwd.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {
+        r["doc_id"]: r["dist"]
+        for r in registry.all_queries()["graph_bfs"](spark, SF_SMOKE).collect()
+    }
+    assert got == dist
+
+
+def test_soft_dedup_weights_partition_unity(spark):
+    rows = registry.all_queries()["sample_soft_dedup"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    # Every planted copy pair carries half weight; uniques carry full.
+    by_size = {}
+    for r in rows:
+        by_size.setdefault(r["group_size"], 0)
+        by_size[r["group_size"]] += 1
+        assert r["weight_ppm"] == 1_000_000 // r["group_size"]
+    assert by_size.get(2, 0) == 2 * (500 // 5)  # both members of each pair
+    assert by_size.get(1, 0) == 400
+
+
+def test_dq_referential_reports_planted_and_clean(spark):
+    rows = {
+        r["relationship"]: (r["n_child"], r["n_orphans"], r["orphan_ppm"])
+        for r in registry.all_queries()["dq_referential"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    # lineitem->orders is intact; orders->customer audits the truncated
+    # dimension snapshot and must report a nonzero orphan rate.
+    assert rows["lineitem->orders"][1] == 0
+    n, orph, ppm = rows["orders->customer"]
+    assert orph > 0 and ppm == orph * 1_000_000 // n
