@@ -1711,7 +1711,11 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("widx")
         .agg(F.bit_or("mask").alias("w"))
     )
-    batch = hp.filter(F.col("doc_id") >= INCR_BOUNDARY)
+    # persist: the batch projection (md5 + 32-char fold + positions)
+    # feeds the keeper aggregate AND the b2 join on different keys —
+    # no exchange reuse applies, so without the persist the fold runs
+    # twice over the (dominant) batch side.
+    batch = hp.filter(F.col("doc_id") >= INCR_BOUNDARY).persist()
     keeper = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     b2 = batch.join(keeper, ["h", "doc_id"])
     w1 = words.select(F.col("widx").alias("wi1"), F.col("w").alias("w1"))

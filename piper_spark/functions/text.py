@@ -1973,12 +1973,17 @@ rk AS (SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b) AS r FROM prs)""
 
 def _bpe_apply_sql(expr: str) -> str:
     """Nested replace() chain applying merges 1..BPE_ENCODE_MERGES in
-    rank order, each pattern a scalar subquery against `rk`."""
+    rank order, each pattern a scalar subquery against `rk`.  Each
+    application is NULL-guarded: a corpus with fewer than
+    BPE_ENCODE_MERGES distinct pairs leaves the missing ranks as
+    no-ops instead of NULL-propagating every document's encoding
+    (replace(e, NULL, NULL) is NULL in both engines)."""
     for r in range(1, BPE_ENCODE_MERGES + 1):
         expr = (
-            f"replace({expr}, "
+            f"CASE WHEN (SELECT a FROM rk WHERE r={r}) IS NULL THEN ({expr}) "
+            f"ELSE replace(({expr}), "
             f"(SELECT ' '||a||' '||b||' ' FROM rk WHERE r={r}), "
-            f"(SELECT ' '||a||b||' ' FROM rk WHERE r={r}))"
+            f"(SELECT ' '||a||b||' ' FROM rk WHERE r={r})) END"
         )
     return expr
 
@@ -2056,13 +2061,16 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc0 = words.select(
         "doc_id",
         F.length("w").alias("n_chars_w"),
-        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("e"),
+        F.concat(F.lit(" "), F.regexp_replace("w", "(?s)(.)", "$1 ")).alias("e"),
     )
     apply_expr = "e"
     for r in range(1, BPE_ENCODE_MERGES + 1):
+        # NULL-guarded like the oracle: a missing rank is a no-op, not
+        # a NULL-propagating replace.
         apply_expr = (
-            f"replace({apply_expr}, concat(' ', a{r}, ' ', b{r}, ' '), "
-            f"concat(' ', a{r}, b{r}, ' '))"
+            f"CASE WHEN a{r} IS NULL THEN ({apply_expr}) "
+            f"ELSE replace(({apply_expr}), concat(' ', a{r}, ' ', b{r}, ' '), "
+            f"concat(' ', a{r}, b{r}, ' ')) END"
         )
     enc = enc0.crossJoin(F.broadcast(merges)).select(
         "doc_id", "n_chars_w", F.expr(apply_expr).alias("e")

@@ -495,11 +495,15 @@ def sample_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two hash shuffles total, the `dedup_exact_hash` linear profile.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # persist: the md5 projection feeds BOTH the group-size aggregate
+    # and the join-back side — without it the full scan + hashing runs
+    # twice (the multi-consumer re-evaluation trap; caller owns the
+    # cache lifetime).
     un = d.unionAll(
         d.filter(F.col("doc_id") % SOFT_DEDUP_MOD == 0).select(
             (F.col("doc_id") + SOFT_DEDUP_OFFSET).alias("doc_id"), "text"
         )
-    ).select("doc_id", F.md5(F.encode("text", "utf-8")).alias("h"))
+    ).select("doc_id", F.md5(F.encode("text", "utf-8")).alias("h")).persist()
     g = un.groupBy("h").agg(F.count(F.lit(1)).alias("s"))
     return un.join(g, "h").select(
         "doc_id",

@@ -757,6 +757,7 @@ def pipeline_video_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piper_spark.sources.multimodal import (
         _video_fh_rel,
         spread_for_decode,
+        video_band_col,
         video_band_frames,
         video_near_dup_pairs,
     )
@@ -769,11 +770,7 @@ def pipeline_video_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = _video_fh_rel(d, min_nf=2 * k + 1).persist()
     pairs = video_near_dup_pairs(f, k)
     drops = pairs.select(F.col("id2").alias("doc_id")).distinct()
-    band = F.aggregate(
-        F.slice("sig", 1, k),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc * F.lit(1 << 24) + x,
-    )
+    band = video_band_col(k)
     surv = f.join(drops, "doc_id", "left_anti").select(
         "doc_id", F.col("ns").alias("n_sampled_frames"), band.alias("band")
     )

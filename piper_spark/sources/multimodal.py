@@ -2832,17 +2832,25 @@ _VIDEO_PAIRS_SQL = f""", vpairs AS (
 )"""
 
 
+def video_band_col(k: int) -> Column:
+    """Horner-packed opening-k-frames band over a `sig` column — ONE
+    definition shared by `video_near_dup_pairs` and
+    `pipeline_video_curate`'s survivor projection, so the band
+    geometry cannot silently desynchronize between them."""
+    return F.aggregate(
+        F.slice("sig", 1, k),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(1 << 24) + x,
+    )
+
+
 def video_near_dup_pairs(f: DataFrame, k: int) -> DataFrame:
     """Verified video near-dup pairs (id1, id2, hamming) from a
     signature relation — band equi-join on the Horner-packed opening-k
     frames + aligned-frame Hamming verify, extracted so `dedup_video`
     and `pipeline_video_curate` share ONE definition (callers pass a
     PERSISTED relation: the self-join reads both aliases)."""
-    band = F.aggregate(
-        F.slice("sig", 1, k),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc * F.lit(1 << 24) + x,
-    )
+    band = video_band_col(k)
     a = f.select(
         F.col("doc_id").alias("id1"),
         F.col("ns").alias("ns1"),

@@ -87,7 +87,7 @@ def stream_ohlc(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     the same composite rel-microsecond + event_id int64, so a bar's
     open/close converge to the batch answer from ANY micro-batch
     arrival order once the watermark closes the window."""
-    from piper_spark.functions.sessions import RFM_ASOF, ohlc_aggs  # noqa: F401
+    from piper_spark.functions.sessions import ohlc_aggs
 
     proj = events.withWatermark("ts", watermark).select(
         "ts",

@@ -437,3 +437,60 @@ def test_dq_referential_reports_planted_and_clean(spark):
     assert rows["lineitem->orders"][1] == 0
     n, orph, ppm = rows["orders->customer"]
     assert orph > 0 and ppm == orph * 1_000_000 // n
+
+
+def test_bpe_encode_handles_merge_starved_corpus(spark, tmp_path):
+    """Fewer distinct adjacent pairs than BPE_ENCODE_MERGES must leave
+    the missing ranks as NO-OPS — before the NULL guard, the all-NULL
+    merge slots NULL-propagated every document's token count through
+    replace() in BOTH engines, so the oracle couldn't catch it."""
+    import duckdb
+
+    from piper_spark import registry
+
+    base = str(tmp_path)
+    # Single-character words only: zero adjacent pairs exist at all.
+    duckdb.connect().execute(
+        f"""
+        COPY (
+          SELECT doc_id, 'a b a' AS text, lang, source, 5 AS n_chars
+          FROM '{SF_SMOKE}/documents.parquet' WHERE doc_id < 10
+        ) TO '{base}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    rows = registry.all_queries()["text_bpe_encode"](spark, base).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_chars"] == 3 and r["n_tokens"] == 3  # no merges, no NULLs
+
+
+def test_bpe_encode_newline_chars_stay_cross_engine_exact(spark, tmp_path):
+    """Words can carry embedded newlines (words_col splits on single
+    spaces only); Java regex '.' excludes line terminators, so the char
+    split needs (?s) to match the oracle's per-character list
+    comprehension — this pins the dotall flag with a direct
+    Spark-vs-DuckDB comparison on a newline-bearing corpus."""
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.check_oracle import compare
+
+    from piper_spark import registry
+
+    base = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id, 'ab' || chr(10) || 'cd ab ab' AS text, lang,
+                 source, 8 AS n_chars
+          FROM '{SF_SMOKE}/documents.parquet' WHERE doc_id < 10
+        ) TO '{base}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    sdf = registry.all_queries()["text_bpe_encode"](spark, base).toPandas()
+    for t in ("documents",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{base}/{t}.parquet'")
+    odf = con.execute(registry.all_oracles()["text_bpe_encode"]).df()
+    assert compare("bpe_newline", sdf, odf) == []

@@ -138,18 +138,51 @@ def test_video_curate_composes_its_stages(spark):
         assert r["n_sampled_frames"] >= 2
 
 
-def test_image_curate_drops_planted_perceptual_copies(spark):
-    from piper_spark import registry
-    from piper_spark.sources.multimodal import PHASH_PLANT_OFFSET
+def test_image_curate_drops_planted_perceptual_copies(spark, tmp_path):
+    """Non-vacuous drop check: img_phash's own planted copies live at
+    +2^40, OUTSIDE the pipeline's with_payload universe, so asserting
+    their absence can never fail.  Instead plant byte-identical copies
+    INSIDE the universe (higher real doc_ids) — pHash lands them at
+    Hamming 0, and the drop stage must remove exactly the higher ids
+    while the consistency check ties kept to the pair relation."""
+    import duckdb
 
-    out = registry.all_queries()["pipeline_image_curate"](
-        spark, SF_SMOKE
-    ).collect()
+    from piper_spark import registry
+
+    base = str(tmp_path)
+    con = duckdb.connect()
+    # Copies of docs 3/6/9 reappear at 490/493/496 (same text ⇒ same
+    # payload ⇒ identical pHash), still inside the 0..499 universe.
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SF_SMOKE}/documents.parquet' WHERE doc_id < 490
+          UNION ALL
+          SELECT doc_id + 487, text, lang, source, n_chars
+          FROM '{SF_SMOKE}/documents.parquet' WHERE doc_id IN (3, 6, 9)
+        ) TO '{base}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    qs = registry.all_queries()
+    out = qs["pipeline_image_curate"](spark, base).collect()
     kept = {r["doc_id"] for r in out}
     assert kept
-    # Every planted perceptually-perturbed copy (id = source + 2^40)
-    # sits at Hamming ~0 from its source and must be dropped by the
-    # higher-id keep rule; no planted id may survive.
-    assert not any(d >= PHASH_PLANT_OFFSET for d in kept)
+    # The in-universe byte-identical copies MUST be dropped (they are
+    # the higher id of a Hamming-0 pair) and their sources kept.
+    assert not (kept & {490, 493, 496})
+    assert {3, 6, 9} <= kept
+    # Full consistency with the pair stage: kept = universe − {id2}.
+    pairs = qs["img_phash"](spark, base).collect()
+    drops = {p["id2"] for p in pairs}
+    from piper_spark.sources.multimodal import with_payload
+    from piper_spark.session import table as _table
+
+    payload_universe = {
+        r["doc_id"]
+        for r in with_payload(_table(spark, base, "documents"))
+        .select("doc_id")
+        .collect()
+    }
+    assert kept == payload_universe - drops
     for r in out:
         assert r["split"] == ("train" if r["doc_id"] % 100 < 80 else "val")
