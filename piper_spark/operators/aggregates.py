@@ -698,3 +698,81 @@ def cms_counters(words: DataFrame) -> DataFrame:
         .groupBy("r", "bkt")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+#: Shared (dialect-common) skewness / excess-kurtosis finish over the
+#: exact integer power sums n, s1..s4 — the SAME text runs in Spark SQL
+#: and DuckDB, so the float operation SEQUENCE is identical and the
+#: doubles agree bit-for-bit before the defensive round(…, 6).
+_MOMENTS_FINISH_SQL = """
+       round((CAST(s3 AS DOUBLE)/n
+              - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+              + 2.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+             / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+                * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))), 6)
+         AS skewness,
+       round((CAST(s4 AS DOUBLE)/n
+              - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+              + 6.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+              - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+             / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+                * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3.0, 6)
+         AS excess_kurtosis"""
+
+
+@register(
+    "agg_moments",
+    oracle=f"""
+WITH m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+         CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+         CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+  FROM documents GROUP BY lang
+)
+SELECT lang, n, s1, s2, s3, s4,{_MOMENTS_FINISH_SQL}
+FROM m
+""",
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher distribution MOMENTS — per-language skewness and excess
+    kurtosis of document length, the tail-shape statistic a curation
+    pipeline reads before setting length gates (`agg_stats` stops at
+    variance; a right-skewed length distribution with fat tails wants
+    a different truncation than a symmetric one).
+
+    Built the exact-twin way instead of calling engine `skewness()` /
+    `kurtosis()` builtins, whose SAMPLE-vs-population correction
+    conventions differ across engines: the integer POWER SUMS
+    n, Σv..Σv⁴ are exact int64 (v = n_chars ≤ ~600, so Σv⁴ stays
+    < 10¹⁹ headroom at any fixture scale), and the float finish is the
+    SAME expression text run by both engines — an identical IEEE
+    operation sequence on identical integers is bit-identical, the
+    sample_temperature sqrt argument extended to a whole formula.
+
+    Scale: one lang-keyed partial-agg shuffle; the four power sums all
+    combine map-side.  The raw sums are returned alongside the derived
+    stats: they are mergeable across shards/streams (moments add),
+    which is how a 100 TB profile accumulates incrementally.
+    """
+    d = table(spark, sf_dir, "documents")
+    v = F.col("n_chars").cast("long")
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    return m.selectExpr("lang", "n", "s1", "s2", "s3", "s4",
+                        *[c.strip() for c in _split_moments_exprs()])
+
+
+def _split_moments_exprs() -> list[str]:
+    """The two finish expressions from _MOMENTS_FINISH_SQL as separate
+    selectExpr strings (Spark needs them individually)."""
+    parts = _MOMENTS_FINISH_SQL.split("AS skewness,")
+    skew = parts[0].strip().rstrip() + " AS skewness"
+    kurt = parts[1].strip()
+    return [skew, kurt]

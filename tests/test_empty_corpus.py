@@ -120,6 +120,7 @@ RISKY = [
     "graph_bfs",
     "sample_soft_dedup",
     "dq_referential",
+    "agg_moments",
 ]
 
 

@@ -494,3 +494,25 @@ def test_bpe_encode_newline_chars_stay_cross_engine_exact(spark, tmp_path):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{base}/{t}.parquet'")
     odf = con.execute(registry.all_oracles()["text_bpe_encode"]).df()
     assert compare("bpe_newline", sdf, odf) == []
+
+
+def test_agg_moments_matches_numpy(spark):
+    """The skew/kurtosis finish must agree with an independent numpy
+    population-moment computation (not just the mirrored SQL)."""
+    import numpy as np
+
+    from piper_spark.session import table
+
+    rows = registry.all_queries()["agg_moments"](spark, SF_SMOKE).collect()
+    docs = table(spark, SF_SMOKE, "documents").select("lang", "n_chars").collect()
+    by_lang: dict[str, list[int]] = {}
+    for d in docs:
+        by_lang.setdefault(d["lang"], []).append(d["n_chars"])
+    assert rows
+    for r in rows:
+        v = np.array(by_lang[r["lang"]], dtype=np.float64)
+        mu, sd = v.mean(), v.std()  # population
+        skew = ((v - mu) ** 3).mean() / sd**3
+        kurt = ((v - mu) ** 4).mean() / sd**4 - 3.0
+        assert abs(r["skewness"] - skew) < 1e-4
+        assert abs(r["excess_kurtosis"] - kurt) < 1e-4
