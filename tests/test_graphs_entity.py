@@ -516,3 +516,31 @@ def test_agg_moments_matches_numpy(spark):
         kurt = ((v - mu) ** 4).mean() / sd**4 - 3.0
         assert abs(r["skewness"] - skew) < 1e-4
         assert abs(r["excess_kurtosis"] - kurt) < 1e-4
+
+
+def test_pagerank_matches_bruteforce_recurrence(spark):
+    """Exact parity with a pure-Python replay of the integer
+    recurrence over the collected edge list — independent of both the
+    Spark plan and the SQL oracle (the triangles/BFS discipline)."""
+    from piper_spark.functions.graphs import PR_ITERS, PR_SCALE, link_edges
+
+    edges = [(r["src"], r["dst"]) for r in link_edges(spark, SF_SMOKE).collect()]
+    outdeg: dict[int, int] = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    n = 500
+    rank = {i: PR_SCALE for i in range(n)}
+    for _ in range(PR_ITERS):
+        contrib: dict[int, int] = {}
+        for u, v in edges:
+            contrib[v] = contrib.get(v, 0) + rank[u] // outdeg[u]
+        rank = {
+            i: (15 * PR_SCALE + 85 * contrib.get(i, 0)) // 100 for i in range(n)
+        }
+    got = {
+        r["doc_id"]: r["pagerank"]
+        for r in registry.all_queries()["graph_pagerank"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == rank
