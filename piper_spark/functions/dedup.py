@@ -1618,7 +1618,7 @@ def derived_bloom_bits(n_keys: int) -> int:
     "dedup_bloom",
     oracle=f"""
 WITH hashed AS (
-  SELECT doc_id, n_chars,
+  SELECT doc_id, n_chars, md5(text) AS m5,
          list_reduce(list_prepend(0::BIGINT,
            list_transform(range(1, 33),
              i -> CAST(ord(substring(md5(text), CAST(i AS INT), 1)) AS BIGINT))),
@@ -1628,24 +1628,24 @@ WITH hashed AS (
 nc AS (SELECT count(*) AS n FROM documents WHERE doc_id < {INCR_BOUNDARY}),
 m AS (SELECT min(p) AS m FROM (VALUES {_BLOOM_POWERS}) t(p) CROSS JOIN nc
       WHERE p >= {BLOOM_BITS_PER_KEY} * nc.n),
-hp AS (SELECT doc_id, n_chars, h, h % m.m AS p1,
+hp AS (SELECT doc_id, n_chars, m5, h, h % m.m AS p1,
               (h * {BLOOM_MIX_A}) % {BLOOM_MIX_MOD} % m.m AS p2
        FROM hashed CROSS JOIN m),
 corpus AS (SELECT * FROM hp WHERE doc_id < {INCR_BOUNDARY}),
 posset AS (SELECT p1 AS p FROM corpus UNION SELECT p2 FROM corpus),
 batch AS (SELECT * FROM hp WHERE doc_id >= {INCR_BOUNDARY}),
-keeper AS (SELECT h, min(doc_id) AS doc_id FROM batch GROUP BY h),
-b2 AS (SELECT b.doc_id, b.h, b.n_chars, b.p1, b.p2
-       FROM batch b JOIN keeper k ON b.h = k.h AND b.doc_id = k.doc_id),
+keeper AS (SELECT m5, min(doc_id) AS doc_id FROM batch GROUP BY m5),
+b2 AS (SELECT b.doc_id, b.m5, b.h, b.n_chars, b.p1, b.p2
+       FROM batch b JOIN keeper k ON b.m5 = k.m5 AND b.doc_id = k.doc_id),
 flagged AS (
-  SELECT doc_id, h, CAST(n_chars AS BIGINT) AS n_chars,
+  SELECT doc_id, m5, h, CAST(n_chars AS BIGINT) AS n_chars,
          CASE WHEN p1 IN (SELECT p FROM posset)
                AND p2 IN (SELECT p FROM posset)
               THEN 1::BIGINT ELSE 0::BIGINT END AS probed
   FROM b2
 )
 SELECT doc_id, h, n_chars, probed FROM flagged
-WHERE probed = 0 OR h NOT IN (SELECT h FROM corpus)
+WHERE probed = 0 OR m5 NOT IN (SELECT m5 FROM corpus)
 """,
 )
 def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1667,17 +1667,24 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                hash anti-join against the corpus index.
 
     No false negatives by construction, so kept-set semantics are
-    EXACTLY `dedup_incremental`'s — and the oracle checks the `probed`
-    flag too, because a position-set IN test is the unpacked bit
-    array: the bloom arithmetic itself is value-exact cross-engine.
-    m derives from the corpus count in BOTH engines (Spark: parquet
-    footer via `derived_bloom_bits`, exploiting the fixture's
-    contiguous doc_ids; SQL: the same smallest-power-of-2 lookup), so
-    the filter scales with the corpus and the FP rate stays flat.
+    EXACTLY `dedup_incremental`'s: document IDENTITY is the full
+    md5 digest everywhere a keep/drop decision is made — the
+    within-batch keeper groups on md5 and the exact-verify anti-join
+    runs on md5 — while the ~30-bit fold of the digest is used ONLY
+    to derive bloom bit positions, where a collision is just a false
+    positive the exact verify absorbs (fold-as-identity would silently
+    drop new docs at birthday-collision rates, ~n²/2·10⁹).  The oracle
+    checks the `probed` flag too, because a position-set IN test is
+    the unpacked bit array: the bloom arithmetic itself is value-exact
+    cross-engine.  m derives from the corpus count in BOTH engines
+    (Spark: parquet footer via `derived_bloom_bits`, exploiting the
+    fixture's contiguous doc_ids; SQL: the same smallest-power-of-2
+    lookup), so the filter scales with the corpus and the FP rate
+    stays flat.
 
-    Content hash = the engine-shared char fold OVER md5(text): md5 is
-    identical text in both engines and the 32-hex-char fold is O(1)
-    per doc (the full-text fold would be O(doc length)).
+    Position hash = the engine-shared char fold OVER md5(text): md5
+    is identical text in both engines and the 32-hex-char fold is
+    O(1) per doc (the full-text fold would be O(doc length)).
     """
     from piper_spark.functions.text import _winnow_word_hash
     from piper_spark.session import row_count
@@ -1685,14 +1692,19 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = row_count(spark, sf_dir, "documents")
     m = derived_bloom_bits(min(INCR_BOUNDARY, n_total))
     d = table(spark, sf_dir, "documents")
-    h = _winnow_word_hash(F.md5(F.encode("text", "utf-8")))
     hp = d.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
-        h.alias("h"),
+        F.md5(F.encode("text", "utf-8")).alias("m5"),
     ).select(
         "doc_id",
         "n_chars",
+        "m5",
+        _winnow_word_hash(F.col("m5")).alias("h"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "m5",
         "h",
         (F.col("h") % m).alias("p1"),
         (F.col("h") * BLOOM_MIX_A % BLOOM_MIX_MOD % m).alias("p2"),
@@ -1716,8 +1728,8 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no exchange reuse applies, so without the persist the fold runs
     # twice over the (dominant) batch side.
     batch = hp.filter(F.col("doc_id") >= INCR_BOUNDARY).persist()
-    keeper = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    b2 = batch.join(keeper, ["h", "doc_id"])
+    keeper = batch.groupBy("m5").agg(F.min("doc_id").alias("doc_id"))
+    b2 = batch.join(keeper, ["m5", "doc_id"])
     w1 = words.select(F.col("widx").alias("wi1"), F.col("w").alias("w1"))
     w2 = words.select(F.col("widx").alias("wi2"), F.col("w").alias("w2"))
     probed = (
@@ -1725,6 +1737,7 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(w2), F.expr("p2 div 64") == F.col("wi2"), "left")
         .select(
             "doc_id",
+            "m5",
             "h",
             "n_chars",
             F.when(
@@ -1741,6 +1754,6 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fresh = probed.filter(F.col("probed") == 0)
     maybe = probed.filter(F.col("probed") == 1).join(
-        corpus.select("h"), "h", "left_anti"
+        corpus.select("m5"), "m5", "left_anti"
     )
-    return fresh.unionByName(maybe.select("doc_id", "h", "n_chars", "probed"))
+    return fresh.unionByName(maybe).select("doc_id", "h", "n_chars", "probed")

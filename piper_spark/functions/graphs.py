@@ -145,15 +145,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst-keyed shuffle of (dst, contrib) partial aggregates — map-side
     combine applies because contrib sums — plus one node-keyed left
     join for dangling/no-inlink nodes.  The edge⋈degree relation is
-    computed once and persisted ({PR_ITERS} iterations read it); rank
-    state is persisted per generation and the previous generation
-    unpersisted, keeping lineage one round deep.  No broadcast of
-    anything corpus-sized; nothing driver-side.
+    persisted AND MATERIALIZED (an eager `count()`) before the loop —
+    persist alone is lazy, so without an action the cache would be
+    built and torn down inside one job and every iteration would
+    recompute the join — and each rank generation is materialized the
+    same way before the previous one is unpersisted, keeping lineage
+    one round deep for real.  The {PR_ITERS} materializing counts are
+    the iterative-algorithm tax (same shape as connected_components'
+    one scalar per round).  The FINAL generation stays cached —
+    repo convention: the caller owns the returned relation's cache
+    lifetime (unpersisting it here would force the collect to replay
+    all {PR_ITERS} rounds from the unpersisted intermediates).  No
+    broadcast of anything corpus-sized; nothing driver-side.
     """
     edges = link_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # persist: read once per iteration from the contribution join.
+    # persist + eager count: read once per iteration from the
+    # contribution join (the count also materializes the cache —
+    # a lazy persist never fills before a lazy unpersist drops it).
     ed = edges.join(deg, "src").persist()
+    ed.count()
     nodes = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     ranks = nodes.select("id", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
@@ -174,6 +185,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
+        new.count()
         ranks.unpersist()
         ranks = new
     ed.unpersist()
@@ -343,12 +355,16 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per round ONE src-keyed join (frontier ⋈ edges) + a
     min-aggregate — frontier-proportional work, the Pregel profile
-    again; distances persisted per generation, previous generation
-    unpersisted, lineage one round deep.  Unreached nodes never enter
+    again; distances persisted AND materialized per generation (eager
+    `count()` — a lazy persist never fills before a lazy unpersist
+    drops it), previous generation unpersisted, lineage one round
+    deep.  The final generation stays cached (caller-owned lifetime,
+    the `graph_pagerank` convention).  Unreached nodes never enter
     the relation (no dense |V| state until reached — at 100 TB the
     early frontiers are tiny and so are the shuffles).
     """
     edges = link_edges(spark, sf_dir).persist()
+    edges.count()
     d = table(spark, sf_dir, "documents")
     dist = d.filter(F.col("doc_id") % BFS_SOURCE_MOD == 0).select(
         F.col("doc_id").alias("id"), F.lit(0).alias("dist")
@@ -364,6 +380,7 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             .persist()
         )
+        new.count()
         dist.unpersist()
         dist = new
     edges.unpersist()

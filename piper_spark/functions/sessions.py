@@ -866,6 +866,25 @@ def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: Open/close keeper-key multiplier: k = rel_us · OHLC_ID_MULT +
+#: event_id is the lexicographic (timestamp, id) order as ONE number.
+#: 10¹⁵ ids of headroom — but the product overflows int64 (rel_us
+#: alone is ~2.7·10¹² on the fixture window), so BOTH engines compute
+#: k in wide integer arithmetic: Spark DECIMAL(38,0), DuckDB HUGEINT
+#: (2.7·10¹²·10¹⁵ ≈ 10²⁸ ≪ 10³⁸ — no bound a real corpus hits, unlike
+#: the old int64 k whose implicit event_id < 10⁶ assumption the repo's
+#: own 10M-row scale corpus violated).  `ts_ohlc` additionally asserts
+#: the id bound from the parquet footer count (ids are contiguous).
+OHLC_ID_MULT = 10**15
+
+#: The shared k projection text (dialect-common except the epoch-us
+#: function and the wide-type cast, interpolated per engine).
+_OHLC_K_SPARK = (
+    "CAST(unix_micros(ts) - unix_micros(timestamp'2024-01-01 00:00:00')"
+    f" AS DECIMAL(38,0)) * {OHLC_ID_MULT} + event_id"
+)
+
+
 def ohlc_aggs() -> list:
     """The OHLC aggregate list over a (cents, k) projection — ONE
     definition shared by the batch `ts_ohlc` and the streaming twin
@@ -884,12 +903,12 @@ def ohlc_aggs() -> list:
 
 @register(
     "ts_ohlc",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_ts,
          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
-         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) * 1000000
-           + event_id AS k
+         CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+              AS HUGEINT) * {OHLC_ID_MULT} + event_id AS k
   FROM events
 )
 SELECT event_type, bar_ts,
@@ -907,14 +926,16 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     low / close / trade count / volume per (series, hour) bucket) that
     rounds out the time-series family: `ts_gapfill` densifies,
     `ts_interp` fills, this DOWNSAMPLES.  Open/close are `min_by` /
-    `max_by` on a composite microsecond+event_id key (both engines
-    compare the same int64), because `first()`-style keepers are
-    nondeterministic under parallel scan order — the SURVEY §7 rule.
-    The key is exact: event timestamps sit within epoch-relative
-    microseconds (< 2.7·10¹² for the 30-day fixture window) so
-    rel_us · 10⁶ + event_id < 2.7·10¹⁸ fits int64 (the fixture bounds
-    event_id < 10⁶; a production key would pack (ts, id) as a struct
-    ordering — Spark supports it, the oracle dialect does not).
+    `max_by` on a composite microsecond+event_id key, because
+    `first()`-style keepers are nondeterministic under parallel scan
+    order — the SURVEY §7 rule.  The key is exact WIDE-integer
+    arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT — see
+    `OHLC_ID_MULT`): rel_us · 10¹⁵ + event_id compares identically in
+    both engines with ~10¹⁰ digits of headroom, where the old int64
+    key silently assumed event_id < 10⁶ (violated by the repo's own
+    10M-row scale corpus, making open/close selection collide).  The
+    id bound that remains (event_id < 10¹⁵) is ASSERTED from the
+    parquet footer count — ids are contiguous — not assumed.
 
     Scale shape: ONE partial-aggregatable keyed shuffle on
     (event_type, bar) — min/max/min_by/max_by/sum/count all combine
@@ -922,14 +943,19 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange.  Values are scaled cents (`floor(x·100 + 0.5)`, the
     win_rangeframe idiom) so every aggregate is integer-exact.
     """
+    from piper_spark.session import row_count
+
+    n_events = row_count(spark, sf_dir, "events")
+    if n_events > OHLC_ID_MULT:  # pragma: no cover - 10^15 rows
+        raise ValueError(
+            f"ts_ohlc keeper key needs event_id < {OHLC_ID_MULT}; "
+            f"corpus has {n_events} events"
+        )
     e = table(spark, sf_dir, "events").select(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
         F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
-        F.expr(
-            "(unix_micros(ts) - unix_micros(timestamp'2024-01-01 00:00:00'))"
-            " * 1000000 + event_id"
-        ).alias("k"),
+        F.expr(_OHLC_K_SPARK).alias("k"),
     )
     return e.groupBy("event_type", "bar_ts").agg(*ohlc_aggs())
 

@@ -704,20 +704,30 @@ def cms_counters(words: DataFrame) -> DataFrame:
 #: exact integer power sums n, s1..s4 — the SAME text runs in Spark SQL
 #: and DuckDB, so the float operation SEQUENCE is identical and the
 #: doubles agree bit-for-bit before the defensive round(…, 6).
+#: Degenerate groups (n = 1, or every value equal) have population
+#: variance EXACTLY 0.0 (s1/n and s2/n are exact doubles for integer
+#: inputs, so s2/n − (s1/n)² is an exact 0): without a guard the two
+#: dialects then DIVERGE — DuckDB double x/0.0 yields NULL, Spark
+#: yields NaN/±Infinity — so both moments are guarded to NULL by the
+#: SAME CASE text (moments are undefined at zero variance anyway).
 _MOMENTS_FINISH_SQL = """
+       CASE WHEN CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) <= 0.0
+            THEN NULL ELSE
        round((CAST(s3 AS DOUBLE)/n
               - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
               + 2.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
              / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
                 * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))), 6)
-         AS skewness,
+       END AS skewness,
+       CASE WHEN CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) <= 0.0
+            THEN NULL ELSE
        round((CAST(s4 AS DOUBLE)/n
               - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
               + 6.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
               - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
              / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
                 * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3.0, 6)
-         AS excess_kurtosis"""
+       END AS excess_kurtosis"""
 
 
 @register(

@@ -84,19 +84,18 @@ def stream_ohlc(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     all partial-agg-able, so the streaming state per (type, hour) bar
     is one combiner buffer — sketches and bars are streaming-native
     the same way `stream_countmin` is).  The open/close keeper key is
-    the same composite rel-microsecond + event_id int64, so a bar's
-    open/close converge to the batch answer from ANY micro-batch
-    arrival order once the watermark closes the window."""
-    from piper_spark.functions.sessions import ohlc_aggs
+    the same composite rel-microsecond + event_id DECIMAL(38,0) as the
+    batch projection (`_OHLC_K_SPARK`, shared text — wide arithmetic,
+    so no id-range assumption; a stream has no footer to assert from),
+    so a bar's open/close converge to the batch answer from ANY
+    micro-batch arrival order once the watermark closes the window."""
+    from piper_spark.functions.sessions import _OHLC_K_SPARK, ohlc_aggs
 
     proj = events.withWatermark("ts", watermark).select(
         "ts",
         "event_type",
         F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
-        F.expr(
-            "(unix_micros(ts) - unix_micros(timestamp'2024-01-01 00:00:00'))"
-            " * 1000000 + event_id"
-        ).alias("k"),
+        F.expr(_OHLC_K_SPARK).alias("k"),
     )
     return (
         proj.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

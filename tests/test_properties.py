@@ -1281,3 +1281,110 @@ def test_dq_profile_reacts_to_planted_defects(spark):
     assert (got["lang"].n_null, got["lang"].n_distinct) == (1, 2)
     assert (got["source"].n_null, got["source"].n_distinct) == (1, 2)
     assert (got["n_chars"].n_null, got["n_chars"].min_len, got["n_chars"].max_len) == (1, 2, 4)
+
+
+def test_dedup_bloom_fold_collision_is_not_identity(spark):
+    """Round-9 advice pin: the ~30-bit md5 FOLD positions bloom bits,
+    but document IDENTITY is the full md5 — a batch doc whose fold
+    collides with a corpus doc (different text, same fold) must probe
+    positive (the bloom can't tell) yet SURVIVE the exact verify.
+    Fold-as-identity would silently drop it (birthday collisions at
+    ~n²/2·10⁹ — ~125 lost docs per 500k batch)."""
+    import hashlib
+    from unittest import mock
+
+    from piper_spark import session as S
+    from piper_spark.functions import dedup as D
+
+    def fold(text: str) -> int:
+        acc = 0
+        for c in hashlib.md5(text.encode()).hexdigest():
+            acc = (acc * 31 + ord(c)) % 1_000_000_007
+        return acc
+
+    seen: dict[int, str] = {}
+    pair = None
+    for i in range(500_000):
+        t = f"probe-{i}"
+        h = fold(t)
+        if h in seen:
+            pair = (seen[h], t)
+            break
+        seen[h] = t
+    assert pair, "no fold collision in 500k probes (fold changed?)"
+    a, b = pair
+    rows = [(0, a, len(a)), (300, b, len(b)), (301, a, len(a))]
+    d = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    with mock.patch.object(D, "table", lambda s, sf, name: d), \
+         mock.patch.object(S, "row_count", lambda s, sf, name: len(rows)):
+        got = {r.doc_id: r for r in D.dedup_bloom(spark, "_").collect()}
+    # the collider probes positive (same bloom positions) but is NEW
+    assert 300 in got and got[300].probed == 1, got
+    # the true duplicate of the corpus doc is dropped
+    assert 301 not in got, got
+
+
+def test_ts_ohlc_keeper_key_survives_large_event_ids(spark):
+    """Round-9 advice pin: with event_id ≥ 10⁶ (the repo's own 10M-row
+    scale corpus reaches 9,999,999) the OLD int64 key rel_us·10⁶+id
+    stops being lexicographic — an id of 2·10⁶ outweighs a 1 µs
+    timestamp lead and steals the open.  The DECIMAL(38,0)/HUGEINT
+    key must pick the true earliest/latest event."""
+    import datetime as dt
+    from unittest import mock
+
+    from piper_spark import session as S
+    from piper_spark.functions import sessions as SS
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 0)
+    rows = [
+        ("trade", t0, 10.0, 2_000_000),                          # true open
+        ("trade", t0 + dt.timedelta(microseconds=1), 20.0, 500), # mid
+        ("trade", t0 + dt.timedelta(seconds=5), 30.0, 7_777_777),# true close
+    ]
+    d = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    with mock.patch.object(SS, "table", lambda s, sf, name: d), \
+         mock.patch.object(S, "row_count", lambda s, sf, name: len(rows)):
+        bars = SS.ts_ohlc(spark, "_").collect()
+    assert len(bars) == 1
+    assert (bars[0].open, bars[0].close) == (1000, 3000), bars[0]
+
+
+def test_agg_moments_degenerate_groups_agree_cross_engine(spark):
+    """Round-9 advice pin: a zero-variance group (n=1, or all values
+    equal) hits x/0.0 — DuckDB yields NULL, Spark NaN/±Inf — so both
+    finishes are guarded to NULL by the same CASE text.  Checked
+    CROSS-ENGINE on an injected degenerate corpus (the oracle corpus
+    has no degenerate language groups to catch this)."""
+    from unittest import mock
+
+    import duckdb
+
+    from piper_spark import registry
+    from piper_spark.operators import aggregates as A
+    from scripts.check_oracle import compare
+
+    rows = [
+        (0, "xx", 7),            # n=1 group
+        (1, "yy", 5), (2, "yy", 5),  # all-equal group
+        (3, "zz", 1), (4, "zz", 4), (5, "zz", 9), (6, "zz", 20),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    with mock.patch.object(A, "table", lambda s, sf, name: d):
+        sdf = A.agg_moments(spark, "_").toPandas()
+    import pandas as pd
+
+    by_lang = dict(zip(sdf["lang"], sdf["skewness"]))
+    assert pd.isna(by_lang["xx"]) and pd.isna(by_lang["yy"])
+    assert not pd.isna(by_lang["zz"])
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars"]),
+    )
+    ddf = con.execute(registry.all_oracles()["agg_moments"]).df()
+    con.close()
+    errs = compare("agg_moments", sdf, ddf)
+    assert not errs, errs
