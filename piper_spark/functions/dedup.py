@@ -1246,7 +1246,9 @@ FROM pairs
 GROUP BY id2, cluster
 """,
 )
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic(
+    spark: SparkSession, sf_dir: str, seeds: DataFrame | None = None
+) -> DataFrame:
     """SemDeDup: cluster-scoped embedding dedup (Abbas et al. 2023).
 
     The headline modern semantic-dedup shape: partition the corpus into
@@ -1263,9 +1265,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties to the lowest seed, decided on bit-identical doubles in both
     engines — the sequential-fold dot product matches DuckDB's
     list_sum(list_transform(...)) bit-for-bit, the `dedup_embed`
-    discipline). Production would train them with the bounded-sample
-    Lloyd from `sim_ann_ivf` (functions/similarity.py) — swapping the
-    seeds relation is the only change, the join shapes stay.
+    discipline). Pass `seeds` (sid, sed array<double>) to swap in a
+    trained representative set — `kmeans_codebook` supplies the
+    DISTRIBUTED full-corpus Lloyd fit (`cluster_kmeans`), and the
+    bounded-sample `train_codebook` works too; the join shapes stay
+    (exercised in tests/test_properties.py).
 
     Scale shape: seeds are a k-row broadcast; assignment is one
     narrow pass (n·k fold-dot-products, no shuffle); the pair stage
@@ -1286,11 +1290,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "ed", _vec_norm(F.col("ed")).alias("nrm"))
         .persist()
     )
-    seeds = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("sid"),
-        F.col("ed").alias("sed"),
-        F.col("nrm").alias("snorm"),
-    )
+    if seeds is None:  # default: pinned first-k representatives
+        seeds = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+            F.col("vec_id").alias("sid"),
+            F.col("ed").alias("sed"),
+            F.col("nrm").alias("snorm"),
+        )
+    else:  # trained representatives (sid, sed) — norm derived here
+        seeds = seeds.select(
+            "sid", "sed", _vec_norm(F.col("sed")).alias("snorm")
+        )
     cos_to_seed = _fold_dot(F.col("ed"), F.col("sed")) / (
         F.col("nrm") * F.col("snorm")
     )

@@ -412,7 +412,9 @@ def score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("sim_ann_ivf")  # approximate path → rows-only check
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivf(
+    spark: SparkSession, sf_dir: str, codebook: DataFrame | None = None
+) -> DataFrame:
     """IVF approximate top-10 for the vec_id=0 query, probing 2 of 8 cells.
 
     Codebook = k-means fit by `train_codebook` (driver-side numpy Lloyd,
@@ -426,11 +428,22 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtime) — it is a deterministic model artifact, so repeat
     invocations pay only the probe/search cost. Recall@10 vs the exact
     `sim_topk` is asserted in tests/test_properties.py.
+
+    Pass `codebook` (cid, cd array<double>) to swap in a different
+    fit — `kmeans_codebook` supplies the DISTRIBUTED full-corpus Lloyd
+    (`cluster_kmeans`), the production path when even the sample split
+    is unwanted; probe/assign/search shapes are codebook-agnostic
+    (recall under the swapped codebook is asserted in
+    tests/test_properties.py).
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ed")
     )
-    cents = _fitted_codebook(spark, sf_dir, NUM_CENTROIDS, iters=2)
+    cents = (
+        codebook
+        if codebook is not None
+        else _fitted_codebook(spark, sf_dir, NUM_CENTROIDS, iters=2)
+    )
     assigned = assign_cells(e, cents)
 
     q = e.filter(F.col("vec_id") == 0).select(F.col("ed").alias("qd"))
@@ -774,3 +787,225 @@ def embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ws.append(col.alias(w_cols[k - 1]))
     return proj.select("vec_id", *ws)
+
+
+# ---------------------------------------------------------------------------
+# cluster_kmeans — DISTRIBUTED fixed-iteration integer Lloyd
+# ---------------------------------------------------------------------------
+
+#: Lloyd geometry: KMEANS_K centroids, KMEANS_ITERS update rounds, the
+#: assignment grid = embeddings quantized to the score_linear 10⁶
+#: fixed-point grid SHIFTED by KM_OFFSET so every coordinate is
+#: strictly positive (|x| < 0.6 on this corpus ⇒ |q| < 6·10⁵ < 2²⁰).
+#: The shift makes every per-dimension SUM positive, so the centroid
+#: update's integer division agrees across engines by construction
+#: (Spark `div` truncates toward zero, DuckDB `//` floors — identical
+#: on non-negatives) — and squared distances are translation-invariant,
+#: so the shift changes no assignment.
+KMEANS_K, KMEANS_ITERS = 8, 3
+KM_SCALE, KM_OFFSET = 1_000_000.0, 1 << 20
+KM_DIMS = 64
+
+
+def _km_xq_col() -> Column:
+    """embedding → positive int64 grid (see KM_OFFSET note)."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5)).cast(
+            "long"
+        )
+        + F.lit(KM_OFFSET).cast("long"),
+    )
+
+
+def _km_kk_sql(k: int) -> str:
+    """argmin-with-tiebreak as ONE integer: kk = dist²·k + cid, minimised
+    over the broadcast codebook column `cb` (array of (cid, c) structs)
+    — a pure map-side projection over a 1-row broadcast cross join.
+    dist² ≤ 64·(2.1·10⁶)² ≈ 2.8·10¹⁴ and k ≤ 8 ⇒ kk < 2.3·10¹⁵, exact
+    int64.
+
+    The codebook rides as DATA, not literals, so every iteration
+    reuses the IDENTICAL analyzed/compiled plan (k·dims `F.lit`
+    literals per round were measured at ~2.5 s/round of pure
+    driver-side expression construction + re-analysis at k=8, d=64 —
+    the classic iterative-algorithm driver tax, same family as the
+    graph_pagerank lineage discipline)."""
+    return (
+        "array_min(transform(cb, s -> "
+        "aggregate(zip_with(xq, s.c, (x, c) -> (x - c) * (x - c)),"
+        f" 0L, (acc, x) -> acc + x) * {k}L + s.cid))"
+    )
+
+
+def _km_cb_df(spark: SparkSession, cents: list[list[int]]) -> DataFrame:
+    """The centroid model state as a ONE-row broadcastable frame."""
+    return spark.createDataFrame(
+        [([{"cid": j, "c": c} for j, c in enumerate(cents)],)],
+        "cb array<struct<cid:long,c:array<long>>>",
+    )
+
+
+def lloyd_centroids(vecs: DataFrame, dims: int = KM_DIMS) -> list[list[int]]:
+    """Fixed-iteration Lloyd over the FULL (vec_id, xq) relation — the
+    distributed production path `train_codebook`'s docstring promised:
+    nothing corpus-sized ever reaches the driver.
+
+    Per iteration exactly ONE cluster-keyed partial-agg shuffle: the
+    map side assigns every vector with `_km_kk_col` (projection, no
+    exchange) and pre-combines the per-dimension sums, so the exchange
+    carries ≤ k·(dims+2) int64s per map partition regardless of corpus
+    size; the k-row reduced sums land on the driver (the bounded
+    model-artifact collect, same contract as connected_components' one
+    scalar per round) and become the next round's 1-row broadcast
+    codebook — lineage is cut to zero each generation because the new
+    plan embeds a local relation, the strongest form of the
+    graph_pagerank persist discipline, and every round reuses the
+    IDENTICAL compiled plan (see `_km_kk_sql`).
+    Init = the k lowest-vec_id vectors (train_codebook's
+    convention); ties → lowest cid (the kk encoding); empty cells keep
+    their previous centroid.  All arithmetic exact int64 on the
+    KM_OFFSET-shifted grid, so the unrolled-CTE oracle matches
+    bit-for-bit.
+    """
+    spark = vecs.sparkSession
+    seeds = vecs.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = [[int(v) for v in r["xq"]] for r in seeds]
+    if not cents:
+        return cents
+    k = len(cents)
+    sum_aggs = [
+        F.sum(F.element_at("xq", i + 1)).alias(f"s{i}") for i in range(dims)
+    ]
+    for _ in range(KMEANS_ITERS):
+        rows = (
+            vecs.crossJoin(F.broadcast(_km_cb_df(spark, cents)))
+            .select((F.expr(_km_kk_sql(k)) % k).alias("cid"), "xq")
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), *sum_aggs)
+            .collect()  # bounded: ≤ k rows × (dims + 2)
+        )
+        by_cid = {int(r["cid"]): r for r in rows}
+        cents = [
+            [int(by_cid[j][f"s{i}"]) // int(by_cid[j]["n"]) for i in range(dims)]
+            if j in by_cid
+            else cents[j]  # empty cell keeps its previous centroid
+            for j in range(k)
+        ]
+    return cents
+
+
+def _kmeans_oracle() -> str:
+    sums = ", ".join(f"sum(xq[{i + 1}]) AS s{i}" for i in range(KM_DIMS))
+    newc = ", ".join(f"s.s{i} // s.n" for i in range(KM_DIMS))
+
+    def assign(t: int) -> str:
+        return f"""
+a{t} AS (
+  SELECT v.vec_id, v.xq,
+         min(CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+               i -> (v.xq[i] - c.c[i]) * (v.xq[i] - c.c[i]))) AS BIGINT)
+             * kn.k + c.cid) AS kk
+  FROM v, c{t} c, kn GROUP BY v.vec_id, v.xq)"""
+
+    def update(t: int) -> str:
+        return f"""
+s{t} AS (SELECT a.kk % kn.k AS cid, count(*) AS n, {sums}
+         FROM a{t} a, kn GROUP BY 1),
+c{t + 1} AS (SELECT c.cid, CASE WHEN s.cid IS NULL THEN c.c
+                           ELSE [{newc}] END AS c
+             FROM c{t} c LEFT JOIN s{t} s ON s.cid = c.cid)"""
+
+    body = ",".join(assign(t) + "," + update(t) for t in range(KMEANS_ITERS))
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE!r} + 0.5) AS BIGINT)
+                + {KM_OFFSET}) AS xq
+  FROM embeddings
+),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+              xq AS c
+       FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT {KMEANS_K})),
+kn AS (SELECT count(*) AS k FROM c0),{body},{assign(KMEANS_ITERS)}
+SELECT a.vec_id, CAST(a.kk % kn.k AS BIGINT) AS cluster,
+       CAST(a.kk // kn.k AS BIGINT) AS dist2
+FROM a{KMEANS_ITERS} a, kn
+"""
+
+
+@register("cluster_kmeans", oracle=_kmeans_oracle())
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd 1982) over the FULL embeddings
+    relation — {KMEANS_K} clusters, {KMEANS_ITERS} fixed update rounds,
+    then a final assignment pass: (vec_id, cluster, dist²).  This is
+    the corpus-scale iterative fit the engine previously only promised
+    in prose (`sim_ann_ivf`/`dedup_semantic` train on bounded SAMPLES
+    driver-side — the faiss `train()` split); here training itself is
+    distributed, the MLlib shape: broadcast-as-literals assign +
+    map-side-combined per-cluster sums, one k·(dims+2)-value reduction
+    per round.
+
+    Exactness discipline = `graph_pagerank`'s: fixed iterations,
+    integer arithmetic on the shifted 10⁶ grid (see KM_OFFSET), floor
+    divisions mirrored, deterministic init and tie-breaks — so the
+    unrolled-CTE DuckDB oracle matches bit-for-bit where a float Lloyd
+    would drift with summation order.
+
+    Scale: the vector relation is scanned {KMEANS_ITERS}+2 times
+    (seeds, {KMEANS_ITERS} sum rounds, final assign) but persisted
+    once; per-round traffic is k·(dims+2) int64s per map partition
+    after partial agg — independent of corpus rows.  The final assign
+    is a pure projection, so the output inherits the input's
+    partitioning (cluster_id then becomes the natural bucket key for
+    IVF layouts, the `sim_ann_ivf` note).
+    """
+    # persist + eager count: seeds, the sum rounds, and the final
+    # assign all read this relation (caller owns the cache lifetime,
+    # the graph_pagerank convention).
+    vecs = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", _km_xq_col().alias("xq"))
+        .persist()
+    )
+    vecs.count()
+    cents = lloyd_centroids(vecs)
+    if not cents:  # empty corpus → empty, well-typed relation
+        return spark.createDataFrame([], "vec_id long, cluster long, dist2 long")
+    k = len(cents)
+    return (
+        vecs.crossJoin(F.broadcast(_km_cb_df(spark, cents)))
+        .select("vec_id", F.expr(_km_kk_sql(k)).alias("kk"))
+        .select(
+            "vec_id",
+            F.expr(f"kk % {k}").cast("long").alias("cluster"),
+            F.expr(f"kk div {k}").cast("long").alias("dist2"),
+        )
+    )
+
+
+def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-Lloyd centroids as an IVF codebook
+    (cid, cd array<double>) — the opt-in swap `sim_ann_ivf` /
+    `dedup_semantic` take instead of their bounded-sample /
+    pinned-seed fits when the full-corpus fit is wanted: descale the
+    `cluster_kmeans` integer centroids back off the shifted 10⁶ grid.
+    Same k-row model-artifact contract as `train_codebook`, so every
+    downstream shape (assign_cells' matmul, the probe join) is
+    unchanged."""
+    vecs = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", _km_xq_col().alias("xq"))
+        .persist()
+    )
+    vecs.count()
+    cents = lloyd_centroids(vecs)
+    vecs.unpersist()  # fully consumed: the centroids are driver-side
+    return spark.createDataFrame(
+        [
+            (j, [(v - KM_OFFSET) / KM_SCALE for v in c])
+            for j, c in enumerate(cents)
+        ],
+        "cid long, cd array<double>",
+    )

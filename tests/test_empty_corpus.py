@@ -121,6 +121,9 @@ RISKY = [
     "sample_soft_dedup",
     "dq_referential",
     "agg_moments",
+    # round-9: the distributed Lloyd loop (empty seed collect must
+    # short-circuit to an empty typed relation before any iteration).
+    "cluster_kmeans",
 ]
 
 

@@ -1388,3 +1388,34 @@ def test_agg_moments_degenerate_groups_agree_cross_engine(spark):
     con.close()
     errs = compare("agg_moments", sdf, ddf)
     assert not errs, errs
+
+
+def test_cluster_kmeans_codebook_powers_both_optins(spark):
+    """Round-9: the distributed-Lloyd codebook (`kmeans_codebook`, the
+    descaled `cluster_kmeans` centroids) must be consumable by BOTH
+    promised downstream opt-ins with no shape change: `sim_ann_ivf`
+    keeps the ≥0.7 recall@10 contract under the swapped codebook, and
+    `dedup_semantic` under trained seeds still reports only valid
+    drops (a lower-id partner in the dropped vec's own cluster)."""
+    from piper_spark.functions.dedup import dedup_semantic
+    from piper_spark.functions.similarity import (
+        KMEANS_K,
+        kmeans_codebook,
+        sim_ann_ivf,
+        sim_topk,
+    )
+
+    cb = kmeans_codebook(spark, SF_SMOKE)
+    assert cb.count() == KMEANS_K
+    exact = {r.vec_id for r in sim_topk(spark, SF_SMOKE).collect()}
+    approx = {
+        r.vec_id for r in sim_ann_ivf(spark, SF_SMOKE, codebook=cb).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) / len(exact) >= 0.7
+
+    seeds = cb.selectExpr("cid AS sid", "cd AS sed")
+    rows = dedup_semantic(spark, SF_SMOKE, seeds=seeds).collect()
+    assert rows, "planted semantic dups must survive a seed swap"
+    assert all(r.dup_of < r.vec_id for r in rows)
+    assert all(0 <= r.cluster < KMEANS_K for r in rows)
