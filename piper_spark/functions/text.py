@@ -13,6 +13,7 @@ DuckDB `list_transform` a 1-based one — Spark side uses (i+1).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1584,9 +1585,10 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     leading/trailing/multiple spaces — every rule is exercised on
     every row and the byte-exact oracle proves the whole chain.
     Regexes stay in the POSIX character-class subset where Java regex
-    and DuckDB's RE2 agree; Unicode NFC/accent folding is the
-    documented production extension (ICU/transliterate UDF) — a no-op
-    on this ASCII corpus, deliberately omitted rather than faked.
+    and DuckDB's RE2 agree; Unicode NFC + lowercase folding is the
+    companion key `text_nfc` (this chain strips to [a-z0-9 ], which
+    would erase any non-ASCII evidence — the two passes compose:
+    NFC-fold first, then this ASCII canonicalization).
     Pure per-row codegen: no shuffle, free rider on any scan."""
     d = table(spark, sf_dir, "documents")
     t = F.concat(
@@ -1607,6 +1609,97 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(t).cast("long").alias("n_chars_raw"),
         F.length(norm).cast("long").alias("n_chars_norm"),
         norm.alias("normalized"),
+    )
+
+
+#: Deterministic NON-ASCII injection for `text_nfc` (the text_pii
+#: convention): four suffix variants — two logical strings, each in a
+#: PRECOMPOSED and a fully DECOMPOSED (combining-mark) spelling — so
+#: NFC provably collapses byte-distinct inputs to byte-equal outputs
+#: on every corpus, ASCII or not.  Escapes keep the source reviewable.
+NFC_VARIANTS = [
+    "Caf\u00e9 D\u00c9J\u00c0 Vu",              # precomposed
+    "Cafe\u0301 DE\u0301JA\u0300 Vu",           # same text, decomposed
+    "M\u00dcNCHEN \u00c7A \u00d1O\u00cbL",     # precomposed
+    "MU\u0308NCHEN C\u0327A N\u0303OE\u0308L", # same text, decomposed
+]
+
+
+def nfc_fold_udf():
+    """Vectorized Arrow UDF: Unicode NFC of the lowercased string —
+    `unicodedata.normalize` is the stdlib's UCD-exact implementation
+    and matches DuckDB's `nfc_normalize(lower(…))` byte-for-byte
+    (Spark has no NFC builtin, so this is a justified Python crossing:
+    one Arrow batch in, one out, no per-row Python objects beyond the
+    string map)."""
+
+    @F.pandas_udf("string")
+    def nfc_lower(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None
+            if t is None
+            else unicodedata.normalize("NFC", t.lower())
+        )
+
+    return nfc_lower
+
+
+@register(
+    "text_nfc",
+    oracle=f"""
+WITH v AS (SELECT {NFC_VARIANTS!r}::VARCHAR[] AS vs),
+aug AS (
+  SELECT doc_id, text || ' ' || vs[CAST(doc_id % 4 AS INT) + 1] AS t
+  FROM documents, v
+),
+norm AS (SELECT doc_id, t, nfc_normalize(lower(t)) AS normalized FROM aug)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars_aug,
+       CAST(length(normalized) AS BIGINT) AS n_chars_nfc,
+       normalized
+FROM norm
+""",
+)
+def text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE NFC + case folding — the canonicalization real crawl
+    text needs BEFORE hash dedup (`text_normalize` handles the ASCII
+    chain; this key closes its documented production extension): the
+    same logical text arrives precomposed on one page and as
+    base+combining-mark sequences on another, and a byte hash treats
+    them as distinct documents unless NFC composes them first
+    (Unicode UAX #15; CCNet/ccnet-style pipelines fold case the same
+    pass).
+
+    The synthetic corpus is ASCII, so deterministic non-ASCII is
+    injected IN BOTH ENGINES (the `text_pii` convention): each doc
+    gets one of four suffixes — two logical strings, each in
+    precomposed AND fully decomposed spelling (`NFC_VARIANTS`) — so
+    the oracle's byte-exact hash proves (a) NFC composed the
+    decomposed rows (n_chars_nfc < n_chars_aug exactly there) and
+    (b) variant pairs land byte-EQUAL post-fold, the property hash
+    dedup depends on.  Idempotence is property-tested.
+
+    Spark side = a vectorized Arrow `pandas_udf` over stdlib
+    `unicodedata` (no NFC builtin exists; lower() alone is applied
+    JVM-side by DuckDB and inside the same UDF here so the op ORDER
+    matches the oracle text).  Scale: pure per-row map, no shuffle —
+    the UDF is the only Python crossing and rides whatever scan feeds
+    the downstream dedup."""
+    d = table(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(v) for v in NFC_VARIANTS]),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    t = F.concat(F.col("text"), F.lit(" "), suffix)
+    aug = d.select("doc_id", t.alias("t"))
+    norm = aug.select("doc_id", "t", nfc_fold_udf()(F.col("t")).alias("normalized"))
+    return norm.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_chars_aug"),
+        F.length("normalized").cast("long").alias("n_chars_nfc"),
+        "normalized",
     )
 
 

@@ -122,8 +122,10 @@ RISKY = [
     "dq_referential",
     "agg_moments",
     # round-9: the distributed Lloyd loop (empty seed collect must
-    # short-circuit to an empty typed relation before any iteration).
+    # short-circuit to an empty typed relation before any iteration)
+    # and an Arrow string-fold UDF over zero rows.
     "cluster_kmeans",
+    "text_nfc",
 ]
 
 

@@ -1419,3 +1419,33 @@ def test_cluster_kmeans_codebook_powers_both_optins(spark):
     assert rows, "planted semantic dups must survive a seed swap"
     assert all(r.dup_of < r.vec_id for r in rows)
     assert all(0 <= r.cluster < KMEANS_K for r in rows)
+
+
+def test_text_nfc_idempotent_and_collapses_variant_pairs(spark):
+    """Round-9: NFC+lower must be idempotent (reapplying the fold to
+    its own output is a byte no-op) and must collapse the planted
+    precomposed/decomposed variant PAIRS to byte-equal suffixes — the
+    property hash dedup depends on. Decomposed rows must actually
+    shrink (composition happened); precomposed rows must not."""
+    import unicodedata
+
+    from piper_spark.functions.text import NFC_VARIANTS, nfc_fold_udf, text_nfc
+
+    fold = lambda s: unicodedata.normalize("NFC", s.lower())  # noqa: E731
+    assert NFC_VARIANTS[0] != NFC_VARIANTS[1]
+    assert NFC_VARIANTS[2] != NFC_VARIANTS[3]
+    assert fold(NFC_VARIANTS[0]) == fold(NFC_VARIANTS[1])
+    assert fold(NFC_VARIANTS[2]) == fold(NFC_VARIANTS[3])
+
+    out = text_nfc(spark, SF_SMOKE).withColumn(
+        "n2", nfc_fold_udf()(F.col("normalized"))
+    )
+    rows = out.collect()
+    assert rows
+    assert all(r.normalized == r.n2 for r in rows)  # idempotent
+    for r in rows:
+        assert r.normalized.endswith(fold(NFC_VARIANTS[r.doc_id % 4]))
+        if r.doc_id % 4 in (1, 3):  # decomposed suffix composed away
+            assert r.n_chars_nfc < r.n_chars_aug
+        else:  # precomposed: fold changes case only, never length
+            assert r.n_chars_nfc == r.n_chars_aug
