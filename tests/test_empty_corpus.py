@@ -126,6 +126,7 @@ RISKY = [
     # and an Arrow string-fold UDF over zero rows.
     "cluster_kmeans",
     "text_nfc",
+    "graph_kcore",
 ]
 
 

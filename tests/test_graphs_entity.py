@@ -544,3 +544,30 @@ def test_pagerank_matches_bruteforce_recurrence(spark):
         ).collect()
     }
     assert got == rank
+
+
+def test_kcore_matches_bruteforce_peel(spark, adjacency):
+    """Round-9: the fixed-round k-core peel must equal a direct Python
+    peel of the same adjacency — same survivor set, same last-round
+    degrees — and the peel must still be shrinking at the last round
+    (the iteration is load-bearing, not converged-trivial)."""
+    from piper_spark.functions.graphs import KCORE_K, KCORE_ROUNDS
+
+    out = {
+        r["doc_id"]: r["deg"]
+        for r in registry.all_queries()["graph_kcore"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    alive = set(adjacency)
+    sizes = [len(alive)]
+    deg: dict[int, int] = {}
+    for _ in range(KCORE_ROUNDS):
+        deg = {
+            u: sum(1 for v in adjacency[u] if v in alive)
+            for u in alive
+        }
+        alive = {u for u, d in deg.items() if d >= KCORE_K}
+        sizes.append(len(alive))
+    assert out == {u: deg[u] for u in alive}
+    assert sizes[-1] < sizes[-2], sizes  # still peeling at the last round
