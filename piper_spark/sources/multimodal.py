@@ -1990,41 +1990,127 @@ def img_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Audio framing: 16-bit little-endian PCM, 64 samples per frame.
 AUDIO_FRAME_SAMPLES = 64
 
+#: Canonical-WAV geometry for the `audio_wav_*` ingest path: 44-byte
+#: RIFF header (the classic fmt-then-data layout), PCM16 mono.
+WAV_SAMPLE_RATE, WAV_HEADER_LEN = 16_000, 44
+
+
+def encode_wav(pcm: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Wrap raw little-endian PCM16 mono bytes in the canonical 44-byte
+    RIFF/WAVE header (RIFF size, `fmt ` chunk: PCM, 1 channel, 16 bits,
+    byte rate = rate·2, block align 2, then `data` + size).  Odd-length
+    input is truncated to whole samples.  Round-trips `decode_wav`
+    byte-exactly (unit-tested)."""
+    import struct
+
+    pcm = pcm[: len(pcm) - (len(pcm) % 2)]
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(wav: bytes) -> bytes:
+    """STRICT canonical-WAV parse → the raw PCM16 mono data bytes.
+
+    Validates every header field it depends on (magics, RIFF/data
+    sizes vs the actual payload, fmt chunk length, PCM format code,
+    mono, 16-bit, byte-rate/block-align consistency) and raises on any
+    violation — real ingest must reject malformed containers loudly,
+    not mis-frame samples (the image-codec discipline: see
+    `decode_png`'s CRC/shape checks).  Extended/multi-chunk WAV
+    (LIST/fact chunks, 24-bit, multi-channel) is out of scope and
+    rejected, mirroring the reference's single-format decoders."""
+    import struct
+
+    if len(wav) < WAV_HEADER_LEN:
+        raise ValueError("WAV payload shorter than the canonical header")
+    if wav[0:4] != b"RIFF" or wav[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_len,) = struct.unpack("<I", wav[4:8])
+    if riff_len != len(wav) - 8:
+        raise ValueError("RIFF size field disagrees with payload length")
+    if wav[12:16] != b"fmt ":
+        raise ValueError("first chunk is not fmt ")
+    fmt_len, afmt, ch, sr, br, ba, bits = struct.unpack("<IHHIIHH", wav[16:36])
+    if fmt_len != 16 or afmt != 1:
+        raise ValueError("not canonical uncompressed PCM")
+    if ch != 1 or bits != 16:
+        raise ValueError("PCM16 mono only")
+    if ba != 2 or br != sr * ba:
+        raise ValueError("inconsistent block align / byte rate")
+    if wav[36:40] != b"data":
+        raise ValueError("second chunk is not data")
+    (data_len,) = struct.unpack("<I", wav[40:44])
+    if data_len != len(wav) - WAV_HEADER_LEN:
+        raise ValueError("data size field disagrees with payload length")
+    return wav[WAV_HEADER_LEN:]
+
+
+def _pcm_energy_row(doc_id: int, pcm: bytes):
+    """(doc_id, n_frames, total, peak) framed-energy row, or None for
+    sub-frame clips — exact int64 arithmetic end to end."""
+    n_samp = len(pcm) // 2
+    n_frames = n_samp // AUDIO_FRAME_SAMPLES
+    if n_frames < 1:
+        return None
+    used = n_frames * AUDIO_FRAME_SAMPLES
+    s = (
+        np.frombuffer(pcm[: used * 2], dtype="<i2")
+        .astype(np.int64)
+        .reshape(n_frames, AUDIO_FRAME_SAMPLES)
+    )
+    energy = (s * s).sum(axis=1)
+    return (
+        int(doc_id),
+        n_frames,
+        int(energy.sum(dtype=np.int64)),
+        int(energy.max()),
+    )
+
+
+_AUDIO_ENERGY_COLS = ["doc_id", "n_frames", "total_energy", "peak_energy"]
+
 
 def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: payload → int16 PCM samples → framed energy
-    (sum of squares per frame) — exact int64 arithmetic end to end."""
-    rows = []
+    """mapInPandas worker: headerless-PCM payload → framed energies."""
     for pdf in batches:
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n_samp = len(payload) // 2
-            n_frames = n_samp // AUDIO_FRAME_SAMPLES
-            if n_frames < 1:
-                continue
-            used = n_frames * AUDIO_FRAME_SAMPLES
-            s = (
-                np.frombuffer(payload[: used * 2], dtype="<i2")
-                .astype(np.int64)
-                .reshape(n_frames, AUDIO_FRAME_SAMPLES)
-            )
-            energy = (s * s).sum(axis=1)
-            rows.append(
-                (
-                    int(doc_id),
-                    n_frames,
-                    int(energy.sum(dtype=np.int64)),
-                    int(energy.max()),
-                )
-            )
-        yield pd.DataFrame(
-            rows, columns=["doc_id", "n_frames", "total_energy", "peak_energy"]
-        )
         rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            row = _pcm_energy_row(doc_id, payload)
+            if row is not None:
+                rows.append(row)
+        yield pd.DataFrame(rows, columns=_AUDIO_ENERGY_COLS)
 
 
-@register(
-    "audio_energy",
-    oracle=f"""
+def _wav_audio_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: WAV payload → STRICT header parse → framed
+    energies over exactly the data chunk the header declared."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            row = _pcm_energy_row(doc_id, decode_wav(payload))
+            if row is not None:
+                rows.append(row)
+        yield pd.DataFrame(rows, columns=_AUDIO_ENERGY_COLS)
+
+
+#: Shared framed-energy oracle: identical for the headerless-PCM and
+#: the WAV-framed key, because `encode_wav` wraps EXACTLY the
+#: even-truncated text bytes as the data chunk — so if `decode_wav`
+#: mis-framed by even one byte (wrong offset, wrong declared size),
+#: every energy would mismatch.  The header synthesis itself is
+#: round-trip + strict-rejection unit-tested.
+_AUDIO_ENERGY_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, text,
          (octet_length(encode(text)) // 2) // {AUDIO_FRAME_SAMPLES} AS n_frames
@@ -2049,8 +2135,10 @@ SELECT doc_id,
        CAST(sum(energy) AS BIGINT) AS total_energy,
        CAST(max(energy) AS BIGINT) AS peak_energy
 FROM e GROUP BY doc_id, n_frames
-""",
-)
+"""
+
+
+@register("audio_energy", oracle=_AUDIO_ENERGY_ORACLE)
 def audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column analogue of `video_frames`, completing the
     image/audio/video multimodal trio: an opaque binary payload is
@@ -2070,6 +2158,49 @@ def audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.mapInPandas(
         _audio_batches,
+        schema="doc_id long, n_frames long, total_energy long, peak_energy long",
+    )
+
+
+def _wav_wrap_udf():
+    """Fixture synthesis for the WAV ingest path: wrap each payload in
+    the canonical header (vectorized Arrow pass — test plumbing, the
+    multimodal STUB convention; a real corpus arrives already
+    WAV-framed from `binaryFile`/parquet binary).  Built lazily — a
+    module-level `pandas_udf` decorator needs a live session at import
+    time."""
+
+    @F.pandas_udf("binary")
+    def wrap(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: None if b is None else encode_wav(bytes(b))
+        )
+
+    return wrap
+
+
+@register("audio_wav_energy", oracle=_AUDIO_ENERGY_ORACLE)
+def audio_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`audio_energy` over CONTAINER-framed payloads — the RIFF/WAV
+    ingest the round-8 verdict asked for (the audio twin of the image
+    side's literal PNG/JPEG decoders): each payload is a canonical
+    44-byte-header PCM16-mono WAV (synthesized in the fixture pass,
+    exactly as the image keys synthesize encoded images), and the
+    decode step is the STRICT `decode_wav` parser — magic, size, and
+    fmt consistency checks, loud rejection of anything non-canonical.
+
+    The oracle is the SAME framed-energy SQL as `audio_energy`: the
+    data chunk wraps exactly the even-truncated text bytes, so a
+    single-byte mis-frame in the parser (wrong offset, wrong declared
+    size honored) would shift every 16-bit sample and mismatch every
+    energy — the parse is what's under test.  Scale shape unchanged:
+    one Arrow pass, `spread_for_decode` parallelism, no shuffle.
+    """
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    ).select("doc_id", _wav_wrap_udf()(F.col("payload")).alias("payload"))
+    return d.mapInPandas(
+        _wav_audio_batches,
         schema="doc_id long, n_frames long, total_energy long, peak_energy long",
     )
 

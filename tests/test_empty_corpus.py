@@ -127,6 +127,7 @@ RISKY = [
     "cluster_kmeans",
     "text_nfc",
     "graph_kcore",
+    "audio_wav_energy",
 ]
 
 

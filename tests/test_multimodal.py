@@ -670,3 +670,53 @@ def test_source_image_struct_registered_query(spark):
         assert img.height > 0 and img.width > 0
         assert len(img.data) == img.height * img.width * img.nChannels
         assert img.origin.startswith("file://")
+
+
+# ------------------------------------------------------------ WAV container
+
+
+def test_wav_round_trip_and_truncation():
+    """encode_wav → decode_wav is byte-exact on the PCM; odd-length
+    input loses exactly its trailing half-sample."""
+    from piper_spark.sources.multimodal import decode_wav, encode_wav
+
+    pcm = bytes(range(256)) * 3
+    assert decode_wav(encode_wav(pcm)) == pcm
+    assert decode_wav(encode_wav(pcm + b"\x7f")) == pcm  # odd byte dropped
+    assert decode_wav(encode_wav(b"")) == b""  # header-only clip
+
+
+def test_wav_strict_parser_rejects_malformed_containers():
+    """Every header field the parser depends on must be validated —
+    ingest rejects malformed containers loudly instead of mis-framing
+    samples."""
+    import struct
+
+    import pytest
+
+    from piper_spark.sources.multimodal import decode_wav, encode_wav
+
+    good = bytearray(encode_wav(b"ab" * 50))
+
+    def corrupt(off, val):
+        bad = bytearray(good)
+        bad[off : off + len(val)] = val
+        return bytes(bad)
+
+    cases = [
+        good[: 43],                                 # shorter than header
+        corrupt(0, b"RIFX"),                        # bad RIFF magic
+        corrupt(8, b"WEVA"),                        # bad WAVE magic
+        corrupt(4, struct.pack("<I", 999)),         # RIFF size lies
+        corrupt(12, b"LIST"),                       # not a canonical fmt
+        corrupt(20, struct.pack("<H", 3)),          # IEEE-float format
+        corrupt(22, struct.pack("<H", 2)),          # stereo
+        corrupt(34, struct.pack("<H", 24)),         # 24-bit
+        corrupt(32, struct.pack("<H", 4)),          # block align off
+        corrupt(36, b"fact"),                       # not a data chunk
+        corrupt(40, struct.pack("<I", 7)),          # data size lies
+        bytes(good) + b"x",                         # trailing garbage
+    ]
+    for bad in cases:
+        with pytest.raises(ValueError):
+            decode_wav(bytes(bad))
