@@ -393,10 +393,19 @@ def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended IN BOTH ENGINES first; the query then counts and redacts
     emails / phone numbers / IPv4s with anchored character-class
     regexes (kept inside the POSIX-compatible subset so Java regex and
-    DuckDB's RE2 agree). Pure per-row codegen'd expressions — no
-    shuffle at all; at 100 TB this is a free rider on any scan.
+    DuckDB's RE2 agree). Pure per-row expressions — but six regex
+    passes per doc are CPU-heavy enough that the work must not be
+    hostage to the input file layout (the `spread_for_decode` lesson:
+    this fixture arrives as ONE parquet split, serializing every regex
+    on a single core — the round-8 pinned +35% was exactly that
+    single task; measured 0.54 s → 0.29 s at sf0.1 with the spread).
+    At 100 TB the scan has thousands of splits and a real pipeline
+    fuses the scrub onto an existing shuffle boundary instead; the
+    streaming twin (`pii_facts` shared verbatim) never repartitions.
     """
-    return pii_facts(table(spark, sf_dir, "documents"))
+    d = table(spark, sf_dir, "documents")
+    spread = d.repartition(spark.sparkContext.defaultParallelism)
+    return pii_facts(spread)
 
 
 #: Broadcast gate for the decontamination semi-join (round-6 VERDICT

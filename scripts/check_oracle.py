@@ -225,7 +225,26 @@ def main() -> int:
     if out:
         import json
 
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        def _git(*args: str) -> str:
+            return subprocess.run(
+                ["git", "-C", repo, *args],
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.strip()
+
+        # Provenance: the sweep is only evidence for the tree it ran
+        # against — record the HEAD sha (and whether the worktree was
+        # dirty, i.e. the sweep ran on about-to-be-committed changes);
+        # tests/test_catalog.py verifies the newest committed artifact
+        # points into this repo's history (round-8 verdict item 7).
         summary = {
+            "git_head": _git("rev-parse", "HEAD"),
+            "git_dirty": bool(_git("status", "--porcelain")),
             "sf_dir": sf_dir,
             "n_keys": len(record),
             "n_ok": sum(1 for r in record.values() if r["status"] == "ok"),

@@ -36,3 +36,35 @@ def test_row_count_footer_path_matches_spark_count(spark):
         n = row_count(spark, SF_SMOKE, name)
         assert n == table(spark, SF_SMOKE, name).count()
         assert _ROW_COUNT_MEMO[(SF_SMOKE, name)] == n
+
+
+def test_newest_sweep_artifact_records_head_provenance():
+    """Round-9 (verdict item 7): the committed full-sweep artifact
+    (CHECK_LOCAL_r*_*.json) must carry the git SHA it was generated
+    at, and that SHA must lie in THIS repo's history — a sweep is only
+    evidence for the tree it actually ran against.  Artifacts from
+    rounds before the field existed (< r9) are exempt."""
+    import glob
+    import json
+    import os
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = glob.glob(os.path.join(repo, "CHECK_LOCAL_r*.json"))
+    assert arts, "no committed sweep artifacts found"
+
+    def round_no(p: str) -> int:
+        return int(re.search(r"CHECK_LOCAL_r(\d+)", os.path.basename(p)).group(1))
+
+    newest = max(arts, key=round_no)
+    if round_no(newest) < 9:  # pre-provenance rounds
+        return
+    meta = json.load(open(newest))
+    sha = meta.get("git_head", "")
+    assert re.fullmatch(r"[0-9a-f]{40}", sha), (newest, sha)
+    ok = subprocess.run(
+        ["git", "-C", repo, "merge-base", "--is-ancestor", sha, "HEAD"],
+        capture_output=True,
+    )
+    assert ok.returncode == 0, f"{newest} was generated at {sha}, not in history"
