@@ -752,6 +752,24 @@ def pipeline_video_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats.  Same lazy single plan as the audio spine: the band
     self-join and the bounded drop anti-join are the only key
     shuffles.
+
+    Round-9 scale fix — EXACT-SIGNATURE COLLAPSE before the band
+    join: the 100× corpus plants large exact-duplicate clip groups,
+    and feeding them to the pair join costs |group|² band candidates
+    (measured 28.8M candidates, max bucket 2,333 docs, 10.3 s at 500k
+    docs — the 6.7× SCALING step).  Collapsing each (sig, ns) group
+    to its min-doc_id
+    representative first is LOSSLESS for the drop set: every non-rep
+    member is a hamming-0 pair with its rep (drops, as before), and a
+    rep r₂ drops iff ANY lower doc x verifies against it — in which
+    case x's own rep r_x ≤ x < r₂ has x's exact signature, so the
+    rep-level pair (r_x, r₂) verifies identically (same hamming, same
+    Δns).  The oracle is UNCHANGED — same drop set by the argument
+    above — and the heavy groups now cost one map-side-combined
+    groupBy row instead of a quadratic bucket (measured 28.8M → 11.8M
+    candidates and 10.3 s → 5.4 s at 100×, the 6.7× step down to
+    2.9×; exact dedup BEFORE near-dup, the hash-first production
+    order).
     """
     from piper_spark.session import row_count
     from piper_spark.sources.multimodal import (
@@ -766,12 +784,19 @@ def pipeline_video_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_for_decode(
         table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    # persist: band self-join (both aliases) + survivor anti-join.
-    f = _video_fh_rel(d, min_nf=2 * k + 1).persist()
-    pairs = video_near_dup_pairs(f, k)
+    f = _video_fh_rel(d, min_nf=2 * k + 1)
+    # persist: the rep relation feeds the band self-join (both
+    # aliases) AND the survivor anti-join.
+    reps = (
+        f.groupBy("sig", "ns")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "ns", "sig")
+        .persist()
+    )
+    pairs = video_near_dup_pairs(reps, k)
     drops = pairs.select(F.col("id2").alias("doc_id")).distinct()
     band = video_band_col(k)
-    surv = f.join(drops, "doc_id", "left_anti").select(
+    surv = reps.join(drops, "doc_id", "left_anti").select(
         "doc_id", F.col("ns").alias("n_sampled_frames"), band.alias("band")
     )
     return tag_split(surv).select(
