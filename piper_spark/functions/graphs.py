@@ -471,3 +471,81 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.filter(F.col("d") >= KCORE_K).select(
         F.col("u").alias("doc_id"), F.col("d").cast("long").alias("deg")
     )
+
+
+#: Label-propagation geometry: fixed LPA_ROUNDS synchronous rounds,
+#: unrolled verbatim in the oracle.  The deterministic update rule is
+#: "adopt the most frequent neighbor label, ties to the SMALLEST
+#: label" — argmax made total, so the key stays value-exact where
+#: classic randomized LPA is not reproducible.  R=3 on the fixture
+#: leaves 97 communities (still coarsening: 114 at R=2, 83 at R=4),
+#: so the iteration is provably load-bearing.
+LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(t: int) -> str:
+    return f"""
+v{t} AS (SELECT s.u AS id, l.lab, count(*) AS c
+         FROM sym s JOIN l{t - 1} l ON l.id = s.v GROUP BY s.u, l.lab),
+l{t} AS (SELECT id, CAST(min(lab) FILTER (WHERE c = mc) AS BIGINT) AS lab
+         FROM (SELECT id, lab, c, max(c) OVER (PARTITION BY id) AS mc
+               FROM v{t})
+         GROUP BY id)"""
+
+
+@register(
+    "graph_lpa",
+    oracle="WITH "
+    + _EDGES_SQL
+    + ","
+    + _UND_SQL
+    + """,
+l0 AS (SELECT DISTINCT u AS id, u AS lab FROM sym),"""
+    + ",".join(_lpa_round_sql(t) for t in range(1, LPA_ROUNDS + 1))
+    + f"""
+SELECT id AS doc_id, lab AS community FROM l{LPA_ROUNDS}
+""",
+)
+def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    et al. 2007, made deterministic): every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors, ties to the smallest — {LPA_ROUNDS} fixed rounds,
+    unrolled verbatim in the oracle.  Completes the graph family's
+    GROUPING axis (k-core finds the dense backbone, this partitions
+    the whole graph; connected_components in functions/dedup.py is
+    the degenerate always-adopt-min rule).
+
+    Scale shape: per round one v-keyed join (labels ⋈ edges) feeding
+    a (node, label) partial-agg count, then one node-keyed argmax
+    reduce — the argmax is a single `max(struct(count, -label))`
+    aggregate, partial-agg-able, NOT a per-node window (the oracle's
+    window form is the same math; the engine keeps the combiner
+    shape).  Label generations persisted + materialized (eager count,
+    the graph_pagerank lazy-persist lesson), previous unpersisted,
+    final cached caller-owned.
+    """
+    sym = undirected(link_edges(spark, sf_dir)).persist()
+    sym.count()
+    labels = sym.select(F.col("u").alias("id"), F.col("u").alias("lab")).distinct().persist()
+    labels.count()
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .select(F.col("u"), F.col("lab"))
+            .groupBy("u", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        new = (
+            votes.groupBy("u")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select(F.col("u").alias("id"), (-F.col("m.nl")).cast("long").alias("lab"))
+            .persist()
+        )
+        new.count()
+        labels.unpersist()
+        labels = new
+    sym.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lab").cast("long").alias("community")
+    )

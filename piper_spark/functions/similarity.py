@@ -1009,3 +1009,117 @@ def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "cid long, cd array<double>",
     )
+
+
+# ---------------------------------------------------------------------------
+# embed_pq — product quantization (codes + reconstruction error)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: M subspaces × SUB dims (M·SUB = the 64-dim embedding),
+#: K codes per subspace → a 64-dim float32 vector compresses to
+#: M·log2(K) = 24 bits (10⁶× smaller than raw at 100 TB scale — the
+#: standard ANN storage layout, Jégou et al. 2011).  Codebooks here
+#: are PINNED to the first K vectors' subvectors (the dedup_semantic
+#: pinned-seed convention) so the key is oracle-checkable end-to-end;
+#: the production fit is `cluster_kmeans` run per subspace — swapping
+#: the codebook literals is the only change, the assign shape stays.
+PQ_M, PQ_SUB, PQ_K = 8, 8, 8
+
+
+def _pq_kk_sql(m: int, seeds: list[list[int]]) -> str:
+    """Subspace-m argmin-with-tiebreak as ONE integer (the _km_kk_sql
+    encoding): kk = subdist²·K + code over the K seed subvectors —
+    one SQL parse, no per-literal py4j traffic."""
+    terms = []
+    for code, full in enumerate(seeds):
+        c = full[m * PQ_SUB : (m + 1) * PQ_SUB]
+        lits = ", ".join(f"{v}L" for v in c)
+        terms.append(
+            f"(aggregate(zip_with(slice(xq, {m * PQ_SUB + 1}, {PQ_SUB}),"
+            f" array({lits}), (x, c) -> (x - c) * (x - c)),"
+            f" 0L, (acc, x) -> acc + x) * {len(seeds)}L + {code}L)"
+        )
+    return terms[0] if len(terms) == 1 else f"least({', '.join(terms)})"
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+         xq AS c
+  FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT {PQ_K})
+),
+kn AS (SELECT count(*) AS k FROM seeds),
+asg AS (
+  SELECT v.vec_id, m.m,
+         min(CAST(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (v.xq[{PQ_SUB} * m.m + i] - s.c[{PQ_SUB} * m.m + i])
+                    * (v.xq[{PQ_SUB} * m.m + i] - s.c[{PQ_SUB} * m.m + i])))
+             AS BIGINT) * kn.k + s.code) AS kk
+  FROM v, seeds s, kn, range(0, {PQ_M}) m(m)
+  GROUP BY v.vec_id, m.m
+)
+SELECT a.vec_id,
+       CAST(sum((a.kk % kn.k) * power({PQ_K}, a.m)) AS BIGINT) AS codes_packed,
+       CAST(sum(a.kk // kn.k) AS BIGINT) AS recon_err
+FROM asg a, kn GROUP BY a.vec_id
+"""
+
+
+@register("embed_pq", oracle=_pq_oracle())
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION (Jégou et al. 2011) — the vector-storage
+    step between `embed_quantize`'s int8 (64 bytes/vec) and real
+    100 TB ANN serving: each embedding splits into {PQ_M} subvectors,
+    each assigned to its nearest of {PQ_K} codebook entries → the
+    whole vector becomes {PQ_M}·log2({PQ_K}) = 24 bits plus an exact
+    integer reconstruction error (the Σ per-subspace residual an ADC
+    scan accumulates).  Codes are Horner-packed into ONE int64
+    (`codes_packed`) so the output is all-scalar and the oracle hash
+    is bit-exact.
+
+    Arithmetic discipline = `cluster_kmeans`: the 10⁶ fixed-point
+    grid, argmin-with-tiebreak as kk = dist²·K + code, every sum
+    int64.  Codebooks are the first {PQ_K} vectors' subvectors
+    (bounded seed collect, the dedup_semantic pinned convention);
+    production trains each subspace with `cluster_kmeans` — the
+    assign expression is codebook-agnostic.
+
+    Scale: assignment is ONE map-side projection (codebook literals
+    in a single parsed expression, {PQ_M}·{PQ_K} zip_with folds per
+    row, no shuffle, no Python) — the output inherits the scan's
+    partitioning, exactly how a PQ index builds in one pass.
+    """
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1_000_000.0 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("xq"),
+    )
+    seed_rows = vecs.orderBy("vec_id").limit(PQ_K).collect()
+    seeds = [[int(v) for v in r["xq"]] for r in seed_rows]
+    if not seeds:
+        return spark.createDataFrame(
+            [], "vec_id long, codes_packed long, recon_err long"
+        )
+    k = len(seeds)
+    kk_cols = [
+        F.expr(_pq_kk_sql(m, seeds)).alias(f"kk{m}") for m in range(PQ_M)
+    ]
+    asg = vecs.select("vec_id", *kk_cols)
+    packed = " + ".join(f"(kk{m} % {k}L) * {PQ_K ** m}L" for m in range(PQ_M))
+    err = " + ".join(f"kk{m} div {k}L" for m in range(PQ_M))
+    return asg.select(
+        "vec_id",
+        F.expr(packed).cast("long").alias("codes_packed"),
+        F.expr(err).cast("long").alias("recon_err"),
+    )

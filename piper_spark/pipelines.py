@@ -927,3 +927,81 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orphans",
         F.expr("n_orphans * 1000000 div n_child").alias("orphan_ppm"),
     )
+
+
+#: Drift-audit geometry: fixed-width length bins (64 chars, capped at
+#: bin 9) over a deterministic snapshot split (even doc_ids = the
+#: reference snapshot, odd = the current one).
+DRIFT_BIN_WIDTH, DRIFT_MAX_BIN = 64, 9
+
+
+@register(
+    "dq_drift",
+    oracle=f"""
+WITH b AS (
+  SELECT least({DRIFT_MAX_BIN}, n_chars // {DRIFT_BIN_WIDTH}) AS bin,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+  FROM documents
+),
+cnt AS (
+  SELECT bin,
+         CAST(sum(is_ref) AS BIGINT) AS ref_n,
+         CAST(sum(1 - is_ref) AS BIGINT) AS cur_n
+  FROM b GROUP BY bin
+),
+tot AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM cnt)
+SELECT bin, ref_n, cur_n,
+       CAST(ref_n * 1000000 // rt AS BIGINT) AS ref_ppm,
+       CAST(cur_n * 1000000 // ct AS BIGINT) AS cur_ppm,
+       CAST(abs(ref_n * 1000000 // rt - cur_n * 1000000 // ct) AS BIGINT)
+         AS delta_ppm
+FROM cnt, tot
+""",
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-DRIFT audit — the monitoring statistic a recurring
+    ingest compares snapshots with before admitting a new crawl batch
+    (the PSI/KS family; `dq_profile` describes ONE snapshot, this
+    DIFFS two): document-length histogram of the reference snapshot
+    (even doc_ids) vs the current one (odd doc_ids), per-bin shares in
+    exact integer ppm and their absolute delta.  Σ delta_ppm / 2 is
+    total-variation drift in ppm — the alert threshold a pipeline
+    gates on.
+
+    Kept FULLY integer (counts, floor-div ppm shares, |Δ|) instead of
+    the textbook PSI's Σ(p−q)·ln(p/q): libm `ln` differs across
+    engines in the last ulp (the text_tfidf ratio lesson), while the
+    TV form is the same monotone drift signal with a bit-exact
+    cross-engine hash.  Scale: one scan → bin-keyed conditional
+    partial-agg counts (≤ {DRIFT_MAX_BIN + 1} groups) + a broadcast
+    1-row total — nothing driver-side, free at any corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        F.least(
+            F.lit(DRIFT_MAX_BIN), F.expr(f"n_chars div {DRIFT_BIN_WIDTH}")
+        ).alias("bin"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+    )
+    cnt = b.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("cur_n"),
+    )
+    tot = cnt.agg(
+        F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "ref_n",
+            "cur_n",
+            F.expr("ref_n * 1000000 div rt").cast("long").alias("ref_ppm"),
+            F.expr("cur_n * 1000000 div ct").cast("long").alias("cur_ppm"),
+            F.expr(
+                "abs(ref_n * 1000000 div rt - cur_n * 1000000 div ct)"
+            )
+            .cast("long")
+            .alias("delta_ppm"),
+        )
+    )

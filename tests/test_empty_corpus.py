@@ -128,6 +128,9 @@ RISKY = [
     "text_nfc",
     "graph_kcore",
     "audio_wav_energy",
+    "graph_lpa",
+    "embed_pq",
+    "dq_drift",
 ]
 
 

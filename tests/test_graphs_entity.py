@@ -571,3 +571,33 @@ def test_kcore_matches_bruteforce_peel(spark, adjacency):
         sizes.append(len(alive))
     assert out == {u: deg[u] for u in alive}
     assert sizes[-1] < sizes[-2], sizes  # still peeling at the last round
+
+
+def test_lpa_matches_bruteforce_propagation(spark, adjacency):
+    """Round-9: deterministic LPA (most-frequent neighbor label, ties
+    to the smallest) must equal a direct Python propagation over the
+    same adjacency, and must still be coarsening at the last round."""
+    from collections import Counter
+
+    from piper_spark.functions.graphs import LPA_ROUNDS
+
+    out = {
+        r["doc_id"]: r["community"]
+        for r in registry.all_queries()["graph_lpa"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    lab = {u: u for u in adjacency}
+    k_prev = len(set(lab.values()))
+    for _ in range(LPA_ROUNDS):
+        k_prev = len(set(lab.values()))
+        lab = {
+            u: min(
+                l
+                for l, c in Counter(lab[v] for v in adjacency[u]).items()
+                if c == max(Counter(lab[v] for v in adjacency[u]).values())
+            )
+            for u in adjacency
+        }
+    assert out == lab
+    assert len(set(lab.values())) < k_prev  # still coarsening

@@ -1449,3 +1449,42 @@ def test_text_nfc_idempotent_and_collapses_variant_pairs(spark):
             assert r.n_chars_nfc < r.n_chars_aug
         else:  # precomposed: fold changes case only, never length
             assert r.n_chars_nfc == r.n_chars_aug
+
+
+def test_embed_pq_matches_numpy_and_seeds_reconstruct_exactly(spark):
+    """Round-9: PQ codes/error must equal a direct numpy product
+    quantization on the same integer grid, and the codebook seeds
+    must reconstruct themselves exactly (err 0, code = own index)."""
+    import numpy as np
+
+    from piper_spark.functions.similarity import PQ_K, PQ_M, PQ_SUB, embed_pq
+    from piper_spark.session import table
+
+    rows = (
+        table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1e6 + 0.5
+    ).astype(np.int64)
+    C = X[:PQ_K]
+    expect = {}
+    for rid, x in zip((r["vec_id"] for r in rows), X):
+        packed, err = 0, 0
+        for m in range(PQ_M):
+            sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+            d = ((C[:, sl] - x[sl]) ** 2).sum(axis=1)
+            code = int(np.argmin(d))  # first min = lowest code
+            packed += code * PQ_K**m
+            err += int(d[code])
+        expect[rid] = (packed, err)
+    got = {
+        r.vec_id: (r.codes_packed, r.recon_err)
+        for r in embed_pq(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    for j in range(PQ_K):
+        packed_j = sum(j * PQ_K**m for m in range(PQ_M))
+        assert got[j] == (packed_j, 0)
