@@ -818,32 +818,37 @@ def _km_xq_col() -> Column:
     )
 
 
-def _km_kk_sql(k: int) -> str:
-    """argmin-with-tiebreak as ONE integer: kk = dist²·k + cid, minimised
-    over the broadcast codebook column `cb` (array of (cid, c) structs)
-    — a pure map-side projection over a 1-row broadcast cross join.
-    dist² ≤ 64·(2.1·10⁶)² ≈ 2.8·10¹⁴ and k ≤ 8 ⇒ kk < 2.3·10¹⁵, exact
-    int64.
+def _km_kk_udf(cents: list[list[int]]):
+    """argmin-with-tiebreak as ONE integer: kk = dist²·k + cid,
+    minimised over the k centroids — an Arrow `pandas_udf` whose batch
+    body is ONE exact int64 matmul (‖x‖² − 2XCᵀ + ‖c‖², the
+    `assign_cells` kernel on the integer grid; np.argmin-first-min =
+    the lowest-cid tie rule, encoded identically to the oracle's
+    min(dist·k + cid)).  dist² ≤ 64·(2.1·10⁶)² ≈ 2.8·10¹⁴ and k ≤ 8 ⇒
+    kk < 2.3·10¹⁵, exact int64 throughout — no float enters.
 
-    The codebook rides as DATA, not literals, so every iteration
-    reuses the IDENTICAL analyzed/compiled plan (k·dims `F.lit`
-    literals per round were measured at ~2.5 s/round of pure
-    driver-side expression construction + re-analysis at k=8, d=64 —
-    the classic iterative-algorithm driver tax, same family as the
-    graph_pagerank lineage discipline)."""
-    return (
-        "array_min(transform(cb, s -> "
-        "aggregate(zip_with(xq, s.c, (x, c) -> (x - c) * (x - c)),"
-        f" 0L, (acc, x) -> acc + x) * {k}L + s.cid))"
-    )
+    The vectorized kernel replaces the first-cut zip_with/aggregate
+    fold expression: interpreted HOFs cost ~8 µs/row/pass at k=8,
+    d=64 (measured 17.9 s for 4 passes over 500k vectors) while the
+    matmul batch is ~4× faster end-to-end — the `score_linear` lesson;
+    the centroids ride in the UDF closure, so there is also no
+    k·dims-literal Catalyst re-analysis per iteration."""
+    import numpy as np
 
+    C = np.array(cents, dtype=np.int64)
+    k = len(cents)
+    c_sq = (C * C).sum(axis=1)
+    codes = np.arange(k, dtype=np.int64)
 
-def _km_cb_df(spark: SparkSession, cents: list[list[int]]) -> DataFrame:
-    """The centroid model state as a ONE-row broadcastable frame."""
-    return spark.createDataFrame(
-        [([{"cid": j, "c": c} for j, c in enumerate(cents)],)],
-        "cb array<struct<cid:long,c:array<long>>>",
-    )
+    @F.pandas_udf("long")
+    def kk(xq: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.stack(xq.to_numpy()).astype(np.int64)
+        d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + c_sq[None, :]
+        return pd.Series((d2 * k + codes[None, :]).min(axis=1))
+
+    return kk
 
 
 def lloyd_centroids(vecs: DataFrame, dims: int = KM_DIMS) -> list[list[int]]:
@@ -852,23 +857,21 @@ def lloyd_centroids(vecs: DataFrame, dims: int = KM_DIMS) -> list[list[int]]:
     nothing corpus-sized ever reaches the driver.
 
     Per iteration exactly ONE cluster-keyed partial-agg shuffle: the
-    map side assigns every vector with `_km_kk_col` (projection, no
-    exchange) and pre-combines the per-dimension sums, so the exchange
-    carries ≤ k·(dims+2) int64s per map partition regardless of corpus
-    size; the k-row reduced sums land on the driver (the bounded
-    model-artifact collect, same contract as connected_components' one
-    scalar per round) and become the next round's 1-row broadcast
-    codebook — lineage is cut to zero each generation because the new
-    plan embeds a local relation, the strongest form of the
-    graph_pagerank persist discipline, and every round reuses the
-    IDENTICAL compiled plan (see `_km_kk_sql`).
+    map side assigns every vector with `_km_kk_udf` (an Arrow-batched
+    exact-int64 matmul projection, no exchange) and pre-combines the
+    per-dimension sums, so the exchange carries ≤ k·(dims+2) int64s
+    per map partition regardless of corpus size; the k-row reduced
+    sums land on the driver (the bounded model-artifact collect, same
+    contract as connected_components' one scalar per round) and ride
+    into the next round's UDF closure — lineage is cut to zero each
+    generation because the new plan embeds only constants, the
+    strongest form of the graph_pagerank persist discipline.
     Init = the k lowest-vec_id vectors (train_codebook's
     convention); ties → lowest cid (the kk encoding); empty cells keep
     their previous centroid.  All arithmetic exact int64 on the
     KM_OFFSET-shifted grid, so the unrolled-CTE oracle matches
     bit-for-bit.
     """
-    spark = vecs.sparkSession
     seeds = vecs.orderBy("vec_id").limit(KMEANS_K).collect()
     cents = [[int(v) for v in r["xq"]] for r in seeds]
     if not cents:
@@ -879,8 +882,7 @@ def lloyd_centroids(vecs: DataFrame, dims: int = KM_DIMS) -> list[list[int]]:
     ]
     for _ in range(KMEANS_ITERS):
         rows = (
-            vecs.crossJoin(F.broadcast(_km_cb_df(spark, cents)))
-            .select((F.expr(_km_kk_sql(k)) % k).alias("cid"), "xq")
+            vecs.select((_km_kk_udf(cents)(F.col("xq")) % k).alias("cid"), "xq")
             .groupBy("cid")
             .agg(F.count(F.lit(1)).alias("n"), *sum_aggs)
             .collect()  # bounded: ≤ k rows × (dims + 2)
@@ -974,14 +976,12 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cents:  # empty corpus → empty, well-typed relation
         return spark.createDataFrame([], "vec_id long, cluster long, dist2 long")
     k = len(cents)
-    return (
-        vecs.crossJoin(F.broadcast(_km_cb_df(spark, cents)))
-        .select("vec_id", F.expr(_km_kk_sql(k)).alias("kk"))
-        .select(
-            "vec_id",
-            F.expr(f"kk % {k}").cast("long").alias("cluster"),
-            F.expr(f"kk div {k}").cast("long").alias("dist2"),
-        )
+    return vecs.select(
+        "vec_id", _km_kk_udf(cents)(F.col("xq")).alias("kk")
+    ).select(
+        "vec_id",
+        F.expr(f"kk % {k}").cast("long").alias("cluster"),
+        F.expr(f"kk div {k}").cast("long").alias("dist2"),
     )
 
 
