@@ -455,9 +455,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        if t == KCORE_ROUNDS:  # final degrees feed the output too
+        if t == KCORE_ROUNDS:
+            # Final round: only the degree relation is needed (the
+            # output filters it directly) — building and eagerly
+            # counting one more alive generation would be a wasted
+            # job + cache fill.
             deg = deg.persist()
             deg.count()
+            alive.unpersist()
+            break
         new_alive = (
             deg.filter(F.col("d") >= KCORE_K)
             .select(F.col("u").alias("id"))
@@ -466,7 +472,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_alive.count()
         alive.unpersist()
         alive = new_alive
-    alive.unpersist()  # the output derives from the cached final deg
     sym.unpersist()
     return deg.filter(F.col("d") >= KCORE_K).select(
         F.col("u").alias("doc_id"), F.col("d").cast("long").alias("deg")

@@ -963,17 +963,9 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (cluster_id then becomes the natural bucket key for
     IVF layouts, the `sim_ann_ivf` note).
     """
-    # persist + eager count: seeds, the sum rounds, and the final
-    # assign all read this relation (caller owns the cache lifetime,
-    # the graph_pagerank convention).
-    vecs = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", _km_xq_col().alias("xq"))
-        .persist()
-    )
-    vecs.count()
-    cents = lloyd_centroids(vecs)
+    vecs, cents = _km_fit(spark, sf_dir)
     if not cents:  # empty corpus → empty, well-typed relation
+        vecs.unpersist()  # nothing downstream references the cache
         return spark.createDataFrame([], "vec_id long, cluster long, dist2 long")
     k = len(cents)
     return vecs.select(
@@ -985,6 +977,21 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _km_fit(spark: SparkSession, sf_dir: str):
+    """Shared Lloyd preamble: the quantized vector relation (persisted
+    + eagerly counted — seeds, the sum rounds, and any downstream
+    assign all read it; the non-empty `cluster_kmeans` return keeps
+    referencing it, so the cache lifetime is caller-owned per the
+    graph_pagerank convention) and the fitted centroids."""
+    vecs = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", _km_xq_col().alias("xq"))
+        .persist()
+    )
+    vecs.count()
+    return vecs, lloyd_centroids(vecs)
+
+
 def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed-Lloyd centroids as an IVF codebook
     (cid, cd array<double>) — the opt-in swap `sim_ann_ivf` /
@@ -994,13 +1001,7 @@ def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same k-row model-artifact contract as `train_codebook`, so every
     downstream shape (assign_cells' matmul, the probe join) is
     unchanged."""
-    vecs = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", _km_xq_col().alias("xq"))
-        .persist()
-    )
-    vecs.count()
-    cents = lloyd_centroids(vecs)
+    vecs, cents = _km_fit(spark, sf_dir)
     vecs.unpersist()  # fully consumed: the centroids are driver-side
     return spark.createDataFrame(
         [

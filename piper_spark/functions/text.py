@@ -403,9 +403,9 @@ def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuses the scrub onto an existing shuffle boundary instead; the
     streaming twin (`pii_facts` shared verbatim) never repartitions.
     """
-    d = table(spark, sf_dir, "documents")
-    spread = d.repartition(spark.sparkContext.defaultParallelism)
-    return pii_facts(spread)
+    from piper_spark.sources.multimodal import spread_for_decode
+
+    return pii_facts(spread_for_decode(table(spark, sf_dir, "documents")))
 
 
 #: Broadcast gate for the decontamination semi-join (round-6 VERDICT

@@ -238,13 +238,23 @@ def main() -> int:
             ).stdout.strip()
 
         # Provenance: the sweep is only evidence for the tree it ran
-        # against — record the HEAD sha (and whether the worktree was
-        # dirty, i.e. the sweep ran on about-to-be-committed changes);
-        # tests/test_catalog.py verifies the newest committed artifact
-        # points into this repo's history (round-8 verdict item 7).
+        # against — record the HEAD sha and whether any TRACKED file
+        # differed from it (CHECK_LOCAL_r*.json artifacts themselves
+        # are excluded: the sweep that writes the artifact must be able
+        # to run post-commit without dirtying its own provenance).
+        # tests/test_catalog.py asserts the newest committed artifact
+        # points into this repo's history AND was generated on a clean
+        # tree (round-8 verdict item 7).
+        dirty_lines = [
+            ln
+            for ln in _git(
+                "status", "--porcelain", "--untracked-files=no"
+            ).splitlines()
+            if "CHECK_LOCAL_r" not in ln
+        ]
         summary = {
             "git_head": _git("rev-parse", "HEAD"),
-            "git_dirty": bool(_git("status", "--porcelain")),
+            "git_dirty": bool(dirty_lines),
             "sf_dir": sf_dir,
             "n_keys": len(record),
             "n_ok": sum(1 for r in record.values() if r["status"] == "ok"),

@@ -68,3 +68,7 @@ def test_newest_sweep_artifact_records_head_provenance():
         capture_output=True,
     )
     assert ok.returncode == 0, f"{newest} was generated at {sha}, not in history"
+    # Evidence-for-the-tree: the sweep must have run with every TRACKED
+    # source file matching that sha (the artifact itself is excluded by
+    # the recorder), not on uncommitted code.
+    assert meta.get("git_dirty") is False, f"{newest} ran on a dirty tree"
