@@ -897,7 +897,11 @@ def lloyd_centroids(vecs: DataFrame, dims: int = KM_DIMS) -> list[list[int]]:
     return cents
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> str:
+    """The unrolled Lloyd CTE chain (quantize → seeds → {KMEANS_ITERS}
+    assign/update rounds → final assign a{KMEANS_ITERS}) — shared by
+    `cluster_kmeans`'s oracle and `sim_ann_kmeans`'s (which probes the
+    SAME fitted cells)."""
     sums = ", ".join(f"sum(xq[{i + 1}]) AS s{i}" for i in range(KM_DIMS))
     newc = ", ".join(f"s.s{i} // s.n" for i in range(KM_DIMS))
 
@@ -919,7 +923,7 @@ c{t + 1} AS (SELECT c.cid, CASE WHEN s.cid IS NULL THEN c.c
              FROM c{t} c LEFT JOIN s{t} s ON s.cid = c.cid)"""
 
     body = ",".join(assign(t) + "," + update(t) for t in range(KMEANS_ITERS))
-    return f"""
+    ctes = f"""
 WITH v AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -930,7 +934,12 @@ WITH v AS (
 c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
               xq AS c
        FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT {KMEANS_K})),
-kn AS (SELECT count(*) AS k FROM c0),{body},{assign(KMEANS_ITERS)}
+kn AS (SELECT count(*) AS k FROM c0),{body},{assign(KMEANS_ITERS)}"""
+    return ctes
+
+
+def _kmeans_oracle() -> str:
+    return f"""{_kmeans_ctes()}
 SELECT a.vec_id, CAST(a.kk % kn.k AS BIGINT) AS cluster,
        CAST(a.kk // kn.k AS BIGINT) AS dist2
 FROM a{KMEANS_ITERS} a, kn
@@ -1123,4 +1132,86 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr(packed).cast("long").alias("codes_packed"),
         F.expr(err).cast("long").alias("recon_err"),
+    )
+
+
+def _ann_kmeans_oracle() -> str:
+    t = KMEANS_ITERS
+    return f"""{_kmeans_ctes()},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+qi AS (SELECT xq AS qx FROM v WHERE vec_id = 0),
+qd AS (SELECT ed AS qd FROM e WHERE vec_id = 0),
+pr AS (SELECT fc.cid FROM c{t} fc, qi, kn
+       ORDER BY CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+                 i -> (qi.qx[i] - fc.c[i]) * (qi.qx[i] - fc.c[i])))
+               AS BIGINT) * kn.k + fc.cid
+       LIMIT {NUM_PROBES}),
+cand AS (SELECT a.vec_id FROM a{t} a, kn
+         WHERE a.kk % kn.k IN (SELECT cid FROM pr) AND a.vec_id <> 0)
+SELECT e.vec_id,
+       round(list_sum(list_transform(e.ed, (x, i) -> x * qd.qd[i]))
+             / (sqrt(list_sum(list_transform(e.ed, x -> x * x)))
+                * sqrt(list_sum(list_transform(qd.qd, x -> x * x)))), 4)
+         AS cos_sim
+FROM e JOIN cand USING (vec_id), qd
+ORDER BY cos_sim DESC, vec_id
+LIMIT {10}
+"""
+
+
+@register("sim_ann_kmeans", oracle=_ann_kmeans_oracle())
+def sim_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 on the DISTRIBUTED-Lloyd codebook — the
+    first fully ORACLE-EXACT member of the ANN-probe family
+    (`sim_ann_ivf`'s float Lloyd is rows-only; here cells, probe
+    order, and candidates are all exact integer arithmetic on the
+    `cluster_kmeans` fit, and only the final sim_topk-style cosine
+    ranking is float — bit-identical folds in both engines, the
+    `sim_topk` precedent).  Probes = the {NUM_PROBES} cells nearest
+    the vec_id=0 query by the same kk = dist²·k + cid order the
+    assignment uses.
+
+    Scale shape: the fit is `cluster_kmeans`'s (one partial-agg
+    shuffle per fixed round); assignment + candidate filter are one
+    map-side pass (`cluster IN probes` — on a cluster-bucketed layout
+    this is partition pruning: cluster_id is the natural bucket key,
+    so a 2-of-8 probe reads a quarter of the files); ranking scans
+    only the probed cells' candidates against a 1-row broadcast
+    query.  Recall@10 vs exact `sim_topk` is asserted in tests.
+    """
+    vecs, cents = _km_fit(spark, sf_dir)
+    if not cents:
+        vecs.unpersist()
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    k = len(cents)
+    q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
+    if q_row is None:  # no query vector in a degenerate corpus
+        vecs.unpersist()
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    qx = [int(v) for v in q_row["xq"]]
+
+    def d2(c: list[int]) -> int:
+        return sum((a - b) * (a - b) for a, b in zip(qx, c))
+
+    probes = [
+        j
+        for j, _ in sorted(enumerate(cents), key=lambda t: d2(t[1]) * k + t[0])[
+            :NUM_PROBES
+        ]
+    ]
+    cand = vecs.select(
+        "vec_id", (_km_kk_udf(cents)(F.col("xq")) % k).alias("cluster")
+    ).filter(F.col("cluster").isin(probes) & (F.col("vec_id") != 0))
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    qd = e.filter(F.col("vec_id") == 0).select(F.col("ed").alias("qd"))
+    return (
+        e.join(cand.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(qd))
+        .select(
+            "vec_id", F.round(cosine(F.col("ed"), F.col("qd")), 4).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
     )

@@ -131,6 +131,7 @@ RISKY = [
     "graph_lpa",
     "embed_pq",
     "dq_drift",
+    "sim_ann_kmeans",
 ]
 
 

@@ -1488,3 +1488,26 @@ def test_embed_pq_matches_numpy_and_seeds_reconstruct_exactly(spark):
     for j in range(PQ_K):
         packed_j = sum(j * PQ_K**m for m in range(PQ_M))
         assert got[j] == (packed_j, 0)
+
+
+def test_sim_ann_kmeans_recall_and_probe_subset(spark):
+    """Round-9: the oracle-exact kmeans-IVF key must keep the ANN
+    recall contract vs exact sim_topk, and every result must genuinely
+    come from the probed cells (a candidate outside them would mean
+    the filter is not the plan's pruning predicate)."""
+    from piper_spark.functions.similarity import (
+        NUM_PROBES,
+        cluster_kmeans,
+        sim_ann_kmeans,
+        sim_topk,
+    )
+
+    exact = {r.vec_id for r in sim_topk(spark, SF_SMOKE).collect()}
+    got = sim_ann_kmeans(spark, SF_SMOKE).collect()
+    assert len(got) == 10
+    assert len(exact & {r.vec_id for r in got}) / 10 >= 0.7
+    clusters = {
+        r.vec_id: r.cluster for r in cluster_kmeans(spark, SF_SMOKE).collect()
+    }
+    probed = {clusters[r.vec_id] for r in got}
+    assert len(probed) <= NUM_PROBES
