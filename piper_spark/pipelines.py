@@ -935,6 +935,26 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIFT_BIN_WIDTH, DRIFT_MAX_BIN = 64, 9
 
 
+def drift_counts(docs: DataFrame) -> DataFrame:
+    """(bin, ref_n, cur_n) conditional counts over a (doc_id, n_chars)
+    relation — ONE definition shared by the batch `dq_drift` (which
+    adds the ppm finish) and the streaming twin
+    `streaming.events.stream_drift`: the key space is FIXED at
+    ≤ DRIFT_MAX_BIN+1 bins, so streaming state is histogram-sized
+    forever and counts merge by addition across micro-batches exactly
+    as they do across shards."""
+    b = docs.select(
+        F.least(
+            F.lit(DRIFT_MAX_BIN), F.expr(f"n_chars div {DRIFT_BIN_WIDTH}")
+        ).alias("bin"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+    )
+    return b.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("cur_n"),
+    )
+
+
 @register(
     "dq_drift",
     oracle=f"""
@@ -976,17 +996,7 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg counts (≤ {DRIFT_MAX_BIN + 1} groups) + a broadcast
     1-row total — nothing driver-side, free at any corpus size.
     """
-    d = table(spark, sf_dir, "documents")
-    b = d.select(
-        F.least(
-            F.lit(DRIFT_MAX_BIN), F.expr(f"n_chars div {DRIFT_BIN_WIDTH}")
-        ).alias("bin"),
-        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
-    )
-    cnt = b.groupBy("bin").agg(
-        F.sum("is_ref").cast("long").alias("ref_n"),
-        F.sum(1 - F.col("is_ref")).cast("long").alias("cur_n"),
-    )
+    cnt = drift_counts(table(spark, sf_dir, "documents"))
     tot = cnt.agg(
         F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct")
     )

@@ -546,3 +546,18 @@ def stream_countmin(docs: DataFrame) -> DataFrame:
     from piper_spark.operators.aggregates import cms_counters
 
     return cms_counters(docs.select(F.explode(words_col()).alias("word")))
+
+
+def stream_drift(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `dq_drift` audit's count stage —
+    the SAME `pipelines.drift_counts` fold applied to a document
+    stream: per-length-bin reference/current counts as an update-mode
+    aggregation whose key space is FIXED (≤ 10 bins), so state is
+    histogram-sized forever and counts merge by addition across
+    micro-batches exactly as across shards (the `stream_countmin`
+    argument — bounded-key statistics are streaming-native).  The ppm
+    shares and total-variation delta are a finish the CONSUMER derives
+    from the counts snapshot, exactly as the batch key does."""
+    from piper_spark.pipelines import drift_counts
+
+    return drift_counts(docs)

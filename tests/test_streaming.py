@@ -540,3 +540,31 @@ def test_stream_ohlc_matches_batch(spark, events_dir):
         for r in ts_ohlc(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_stream_drift_matches_batch_counts(spark):
+    """Round-9: the drift audit's count stage must converge to the
+    batch histogram from a stream drained in any micro-batch order
+    (fixed ≤10-bin key space — update-mode state never grows)."""
+    import tempfile as _tf
+
+    from piper_spark.pipelines import drift_counts
+    from piper_spark.streaming.events import read_document_stream, stream_drift
+
+    d = _tf.mkdtemp(prefix="piper_docs_")
+    table(spark, SF_SMOKE, "documents").repartition(5).write.mode(
+        "overwrite"
+    ).parquet(d)
+    run_available_now(
+        stream_drift(read_document_stream(spark, d)),
+        "drift_out",
+        output_mode="complete",
+    )
+    got = {
+        r.bin: (r.ref_n, r.cur_n) for r in spark.table("drift_out").collect()
+    }
+    want = {
+        r.bin: (r.ref_n, r.cur_n)
+        for r in drift_counts(table(spark, SF_SMOKE, "documents")).collect()
+    }
+    assert got == want
