@@ -1511,3 +1511,51 @@ def test_sim_ann_kmeans_recall_and_probe_subset(spark):
     }
     probed = {clusters[r.vec_id] for r in got}
     assert len(probed) <= NUM_PROBES
+
+
+def test_embed_pq_trained_subspace_codebook_improves_objective(spark):
+    """Round-9: the docstring's production path — training a subspace
+    codebook with the distributed Lloyd instead of pinning seeds —
+    must be EXECUTABLE with the existing machinery and must not
+    worsen the quantization objective: Lloyd's update never increases
+    within-cell SSE, so the trained subspace-0 codebook's total
+    reconstruction error is <= the pinned-seed one."""
+    from piper_spark.functions.similarity import (
+        PQ_K,
+        PQ_SUB,
+        _km_kk_udf,
+        _pq_kk_sql,
+        lloyd_centroids,
+    )
+    from piper_spark.session import table
+
+    vecs = (
+        table(spark, SF_SMOKE, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1_000_000.0 + F.lit(0.5))
+                .cast("long"),
+            ).alias("xq"),
+        )
+        .persist()
+    )
+    vecs.count()
+    sub0 = vecs.select("vec_id", F.slice("xq", 1, PQ_SUB).alias("xq")).persist()
+    sub0.count()
+    pinned = [list(r["xq"]) for r in sub0.orderBy("vec_id").limit(PQ_K).collect()]
+    trained = lloyd_centroids(sub0, dims=PQ_SUB)
+    assert len(trained) == PQ_K
+
+    def sse(cents):
+        k = len(cents)
+        return (
+            sub0.select(_km_kk_udf(cents)(F.col("xq")).alias("kk"))
+            .selectExpr(f"sum(kk div {k}) AS s")
+            .collect()[0]["s"]
+        )
+
+    assert sse(trained) <= sse(pinned)
+    sub0.unpersist()
+    vecs.unpersist()
