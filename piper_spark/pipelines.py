@@ -996,12 +996,20 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg counts (≤ {DRIFT_MAX_BIN + 1} groups) + a broadcast
     1-row total — nothing driver-side, free at any corpus size.
     """
+    from pyspark.sql import Window
+
     cnt = drift_counts(table(spark, sf_dir, "documents"))
-    tot = cnt.agg(
-        F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct")
+    # Totals via an unpartitioned window over the BOUNDED count
+    # relation (≤ DRIFT_MAX_BIN+1 rows — the sample_unimax documented-
+    # bounded pattern): a totals AGGREGATE branch would re-scan the
+    # corpus a second time (measured in the plan: two FileScans), while
+    # the window reuses the single aggregated histogram.
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        cnt.crossJoin(F.broadcast(tot))
+        cnt.withColumn("rt", F.sum("ref_n").over(w))
+        .withColumn("ct", F.sum("cur_n").over(w))
         .select(
             "bin",
             "ref_n",

@@ -815,3 +815,81 @@ def test_join_geo_grid_is_cell_equi_join(spark):
     plan = plan_of(spark, "join_geo_grid")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_kmeans_final_assign_is_mapside_over_cache(spark):
+    # The returned relation is the FINAL assignment only: one Arrow
+    # batch kernel over the persisted quantized vectors — no join, no
+    # exchange (the fit's shuffles ran eagerly inside the call).
+    plan = plan_of(spark, "cluster_kmeans")
+    assert "InMemoryTableScan" in plan
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_graph_kcore_output_reads_cached_final_degrees(spark):
+    # All peel rounds materialize eagerly; the returned relation is a
+    # filter over the cached final degree relation — nothing else runs
+    # at collect time (the executedPlan string nests the CACHED
+    # subtree's joins under InMemoryRelation, so assert on the OUTER
+    # plan above it).
+    plan = plan_of(spark, "graph_kcore")
+    outer = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in outer
+    assert "Join" not in outer
+    assert "Exchange" not in outer
+
+
+def test_graph_lpa_output_reads_cached_final_labels(spark):
+    plan = plan_of(spark, "graph_lpa")
+    outer = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in outer
+    assert "Join" not in outer
+    assert "Exchange" not in outer
+
+
+def test_embed_pq_is_single_jvm_projection(spark):
+    # PQ assignment is one map-side codegen projection: no shuffle, no
+    # join, and NO Python crossing (the codebook is parsed literals).
+    plan = plan_of(spark, "embed_pq")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_sim_ann_kmeans_is_probe_filtered_topk(spark):
+    # Candidates come from the cluster-IN-probes filter over the Arrow
+    # assignment; ranking is a top-k (TakeOrdered), never a global
+    # sort, and no cartesian pairing anywhere (the 1-row query rides a
+    # broadcast).
+    plan = plan_of(spark, "sim_ann_kmeans")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_dq_drift_is_one_scan(spark):
+    # ONE corpus scan: the totals come from a window over the bounded
+    # (≤10-row) histogram, not a second aggregate branch re-reading
+    # the file (the round-9 plan audit caught exactly that).
+    plan = plan_of(spark, "dq_drift")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_text_nfc_is_shuffle_free_arrow_map(spark):
+    plan = plan_of(spark, "text_nfc")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan
+
+
+def test_audio_wav_energy_is_spread_then_arrow(spark):
+    # One round-robin spread (decode parallelism), then the wrap UDF +
+    # the strict-parse energy fold — no keyed shuffle, no join.
+    plan = plan_of(spark, "audio_wav_energy")
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
