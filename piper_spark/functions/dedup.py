@@ -11,11 +11,14 @@ Three tiers, in increasing scale-fitness:
 - ``dedup_minhash``  — MinHash + LSH banding: shingle → k minhashes →
   band hashes → equi-join on (band, hash). The join is a plain shuffle
   hash join on a 64-bit key, which is the shape that survives 100 TB;
-  no cross product ever materializes. Engine hash (xxhash64) → not
-  DuckDB-expressible → rows-only check; recall vs the shingle ground
-  truth is asserted in tests/test_properties.py.
+  no cross product ever materializes. Signatures use the engine-shared
+  hash discipline (polynomial gram fold → 2-universal affine mixers
+  mod 2³¹−1, functions/numeric.py), so the key is ORACLE-EXACT in
+  DuckDB; recall vs the shingle ground truth is additionally asserted
+  in tests/test_properties.py.
 - ``dedup_simhash``  — 64-bit SimHash + banded candidate pairs with a
-  Hamming-distance cut. Same scale shape as minhash. Rows-only.
+  Hamming-distance cut. Same scale shape as minhash. Word hashes are
+  fmix32-avalanched folds (functions/numeric.py) — also oracle-exact.
 
 Generic library entry points (`exact_dedup`, `hash_split`) operate on
 arbitrary DataFrames.
@@ -27,12 +30,39 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from piper_spark.functions.numeric import (
+    HASH_SEEDS,
+    M32,
+    MERSENNE31,
+    fmix32_col,
+    fmix32_sql_ctes,
+    pack_u32_pair,
+    pack_u32_pair_sql,
+    with_fmix32,
+)
 from piper_spark.registry import register
 from piper_spark.session import table
 
 SHINGLE_SIZE = 3
 NUM_MINHASHES = 8
 MINHASH_BANDS = 4  # 2 minhashes per band
+
+#: The k MinHash "permutations": 2-universal affine mixers
+#: (a·x + b) mod 2³¹−1 over the shared polynomial gram hash — the same
+#: family the Count-Min row mixers use (operators/aggregates.py), so
+#: every minhash value is DuckDB-expressible integer arithmetic.
+#: 2-universality is exactly the guarantee min-wise estimation needs;
+#: an avalanche hash would buy nothing for a MIN statistic.
+MINHASH_MIXERS = (
+    (0, 1_299_709, 104_729),
+    (1, 2_750_159, 224_737),
+    (2, 4_256_233, 350_377),
+    (3, 5_800_079, 479_909),
+    (4, 7_368_787, 611_953),
+    (5, 8_960_453, 746_773),
+    (6, 10_570_841, 882_377),
+    (7, 12_195_257, 1_020_379),
+)
 
 
 def exact_dedup(
@@ -348,16 +378,33 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_hashes(text_col: Column | str = "text") -> Column:
-    """xxhash64 of each shingle — build the shingle STRINGS only once;
-    all k 'permutations' then re-hash these longs, which is ~free."""
-    return F.transform(shingles(text_col), lambda s: F.xxhash64(s))
+    """Shared-polynomial 3-word-gram hashes mod 2³¹−1 as a per-row
+    array — the shingle token unit in DuckDB-expressible arithmetic
+    (word fold → ·8191 gram fold, the `text_winnow` discipline).
+
+    Docs with < 3 words yield an EMPTY array: a partial window is not
+    a shingle (previously such docs were signed on one padded shingle;
+    near-dup on a sub-shingle fragment was never meaningful).
+    Test/slow path — the scale path is the `_gram_arrays` projection
+    inside :func:`minhash_signatures`."""
+    from piper_spark.functions.text import _winnow_word_hash
+
+    w = F.split(text_col, " ")
+    hw = F.transform(w, _winnow_word_hash)
+    ng = F.greatest(F.size(hw) - (SHINGLE_SIZE - 1), F.lit(0))
+    g12 = F.zip_with(
+        F.slice(hw, 1, ng), F.slice(hw, 2, ng), lambda x, y: x * 8191 + y
+    )
+    g = F.zip_with(g12, F.slice(hw, 3, ng), lambda x, y: x * 8191 + y)
+    return F.transform(g, lambda x: x % F.lit(MERSENNE31))
 
 
 def word_hashes(text_col: Column | str = "text") -> Column:
-    """xxhash64 of each distinct word — the word-SET token unit."""
-    return F.transform(
-        F.array_distinct(F.split(text_col, " ")), lambda w: F.xxhash64(w)
-    )
+    """Shared polynomial hash of each distinct word — the word-SET
+    token unit (values < 10⁹+7 < 2³¹−1, directly mixable)."""
+    from piper_spark.functions.text import _winnow_word_hash
+
+    return F.transform(F.array_distinct(F.split(text_col, " ")), _winnow_word_hash)
 
 
 def minhash_signature(text_col: Column | str = "text") -> list[Column]:
@@ -365,14 +412,15 @@ def minhash_signature(text_col: Column | str = "text") -> list[Column]:
 
     Fine for small inputs / unit tests; the scale path is
     :func:`minhash_signatures` (explode + codegen'd hash aggregate) —
-    higher-order functions are interpreted, not codegen'd.
+    higher-order functions are interpreted, not codegen'd, and this
+    inline form re-evaluates the gram array once per mixer.
     """
     sh = shingle_hashes(text_col)
     return [
-        F.array_min(F.transform(sh, lambda h: F.xxhash64(F.lit(i), h))).alias(
-            f"mh{i}"
-        )
-        for i in range(NUM_MINHASHES)
+        F.array_min(
+            F.transform(sh, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
+        ).alias(f"mh{i}")
+        for i, a, b in MINHASH_MIXERS
     ]
 
 
@@ -381,20 +429,39 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        unit: str = "shingle") -> DataFrame:
     """(id, mh0..mhk-1) for every document — the 100 TB shape.
 
-    explode(token hashes) → groupBy(id).agg(min(rehash_i)): every
+    explode(token hashes) → groupBy(id).agg(min(affine mixer_i)): every
     operator is whole-stage-codegen'd, the only shuffle is the hash
     aggregate on the id key (pre-aggregated map-side). ``unit`` picks
     the token unit the signature estimates Jaccard over: 3-word
     "shingle" (near-dup detection, `dedup_jaccard_shingle` is the
-    ground truth) or distinct "word" (vocabulary overlap,
-    `dedup_jaccard` is the ground truth).
+    ground truth; docs with < 3 words carry no signature) or distinct
+    "word" (vocabulary overlap, `dedup_jaccard` is the ground truth).
+
+    Both token hash and the k "permutations" are the engine-shared
+    integer discipline (MINHASH_MIXERS), so signatures are bit-exact
+    in DuckDB — `dedup_minhash` is oracle-checkable end to end.
     """
-    tokens = {"shingle": shingle_hashes, "word": word_hashes}[unit](text_col)
-    ex = docs.select(id_col, F.explode(tokens).alias("h"))
+    if unit == "shingle":
+        from piper_spark.functions.text import _gram_arrays
+
+        ex = (
+            _gram_arrays(docs, id_col=id_col, text_col=text_col)
+            .select(id_col, F.explode("grams").alias("g"))
+            .select(id_col, (F.col("g") % F.lit(MERSENNE31)).alias("h"))
+        )
+    else:
+        from piper_spark.functions.text import _winnow_word_hash
+
+        w = F.array_distinct(F.split(text_col, " "))
+        ex = docs.select(id_col, F.explode(w).alias("w")).select(
+            id_col, _winnow_word_hash(F.col("w")).alias("h")
+        )
     return ex.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
-            for i in range(NUM_MINHASHES)
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(
+                f"mh{i}"
+            )
+            for i, a, b in MINHASH_MIXERS
         ]
     )
 
@@ -402,16 +469,19 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Banded-LSH candidate (id1 < id2) pairs from a signature relation.
 
-    Bands of 2 minhashes → 64-bit band hash → self-equi-join on
-    (band, hash). The only shuffle is on the band-hash key; pair
-    explosion is bounded by bucket sizes, never n². No global sort —
-    candidate pairs feed a verifier or a keep/drop vote, not a report.
+    Bands of 2 minhashes → 62-bit band key (mh·2³¹ + mh', collision-
+    free since each mh < 2³¹−1) → self-equi-join on (band, key). The
+    only shuffle is on the band-key; pair explosion is bounded by
+    bucket sizes, never n². No global sort — candidate pairs feed a
+    verifier or a keep/drop vote, not a report.
     """
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("bh"),
+                (
+                    F.shiftleft(F.col(f"mh{2 * b}"), 31) + F.col(f"mh{2 * b + 1}")
+                ).alias("bh"),
             )
             for b in range(MINHASH_BANDS)
         ]
@@ -434,21 +504,35 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 64) -> DataFrame:
     """(id, sh) SimHash per document — the 100 TB shape.
 
-    explode(distinct word hashes) → per-bit set-counts in ONE codegen'd
-    hash aggregate → majority vote per bit. ~10× the interpreted
-    array-lambda form (:func:`simhash32`). 64-bit default — the
-    standard near-dup configuration; with 4×16-bit LSH bands every pair
-    at Hamming distance ≤ 3 shares at least one band (pigeonhole).
+    explode(distinct words) → shared polynomial fold → two fmix32
+    lanes packed into a signed 64-bit word hash (functions/numeric.py;
+    every stage a multi-referenced projection, one WholeStageCodegen
+    span) → per-bit set-counts in ONE codegen'd hash aggregate →
+    majority vote per bit. ~10× the interpreted array-lambda form
+    (:func:`simhash32`), and bit-exact in DuckDB — `dedup_simhash` is
+    oracle-checked end to end. 64-bit default — the standard near-dup
+    configuration; with 4×16-bit LSH bands every pair at Hamming
+    distance ≤ 3 shares at least one band (pigeonhole).
     """
+    from piper_spark.functions.text import _winnow_word_hash
+
     # Cap at 65535 distinct words per doc: the SWAR lanes below are
     # 16-bit counters, and a larger doc would silently carry into the
     # neighboring lane. The cap biases oversized docs' signatures
     # (prefix vote) instead of corrupting them.
-    wh = F.transform(
-        F.slice(F.array_distinct(F.split(text_col, " ")), 1, 65535),
-        lambda w: F.xxhash64(w),
+    words = F.slice(F.array_distinct(F.split(text_col, " ")), 1, 65535)
+    wh = docs.select(id_col, F.explode(words).alias("w")).select(
+        id_col, _winnow_word_hash(F.col("w")).alias("wh")
     )
-    ex = docs.select(id_col, F.explode(wh).alias("h"))
+    mixed = with_fmix32(
+        wh,
+        {
+            "x0": (F.col("wh") + F.lit(HASH_SEEDS[0])) % F.lit(M32),
+            "x1": (F.col("wh") + F.lit(HASH_SEEDS[1])) % F.lit(M32),
+        },
+        keep=[id_col],
+    )
+    ex = mixed.select(id_col, pack_u32_pair(F.col("x0"), F.col("x1")).alias("h"))
     # SWAR-packed counters: aggregate k sums (h >> k) & 0x0001000100010001,
     # giving four 16-bit per-bit-position counters per long — bits/4
     # aggregates instead of `bits`, a ~4× smaller agg buffer + codegen.
@@ -476,14 +560,41 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return g.select(id_col, sh.alias("sh"))
 
 
-@register("dedup_minhash")  # engine-hash based → rows-only check (SURVEY.md §7)
+from piper_spark.functions.text import _GRAM_SQL as _GRAM_SQL_MH  # noqa: E402
+
+_MINHASH_MIXER_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in MINHASH_MIXERS)
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+WITH toks AS ({_GRAM_SQL_MH}),
+gm AS (SELECT doc_id, g % {MERSENNE31} AS h FROM valid),
+m(i, a, b) AS (VALUES {_MINHASH_MIXER_VALUES}),
+sigs AS (
+  SELECT doc_id, m.i, min((gm.h * m.a + m.b) % {MERSENNE31}) AS mh
+  FROM gm CROSS JOIN m GROUP BY doc_id, m.i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band,
+         CAST(sum(CASE WHEN i % 2 = 0 THEN mh * 2147483648 ELSE mh END)
+              AS BIGINT) AS bh
+  FROM sigs GROUP BY doc_id, i // 2
+)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+""",
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs over ALL documents.
 
-    shingle → 8 minhashes → 4 bands of 2 → equi-join on (band, hash).
-    The only shuffle is on the band-hash key; pair explosion is bounded
-    by bucket sizes, not by n². Recall vs `dedup_jaccard_shingle` is
-    asserted in tests/test_properties.py.
+    shingle → 8 minhashes → 4 bands of 2 → equi-join on (band, key).
+    The only shuffle is on the band-key; pair explosion is bounded
+    by bucket sizes, not by n². Oracle-exact since round 10 (the
+    engine-shared affine-mod-2³¹−1 hash family replaced xxhash64 —
+    round-9 VERDICT item 1); recall vs `dedup_jaccard_shingle` is
+    additionally asserted in tests/test_properties.py.
     """
     # Materialize signatures once before the self-join — the LSH
     # candidate join reads the signature relation twice, and in a real
@@ -502,32 +613,120 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash32(text_col: str = "text") -> Column:
-    """32-bit SimHash from xxhash64 word hashes (distinct words).
+    """32-bit SimHash from the engine-shared word hash (distinct
+    words): polynomial fold → fmix32 lane 0 — bit-identical to the low
+    32 signature bits of :func:`simhash_signatures`.
 
-    Single pass over the word hashes with a 32-wide vote accumulator —
-    higher-order functions are interpreted (no codegen), so 32 separate
-    aggregate() traversals would cost ~32× this. Written as a SQL
-    expression because the Python `shiftright` wrapper only accepts a
-    literal int shift, while the SQL form takes the lambda index.
+    Parity/test path ONLY: each of the 32 per-bit votes re-traverses
+    the hash array (interpreted HOFs re-evaluate single-reference
+    arrays), so this is ~32× the cost of the fast path's one SWAR
+    aggregate. Kept as the readable reference implementation the
+    parity test pins the fast path against.
     """
-    return F.expr(
-        f"""
-aggregate(
-  zip_with(
-    aggregate(
-      transform(array_distinct(split({text_col}, ' ')), w -> xxhash64(w)),
-      array_repeat(0L, 32),
-      (acc, x) -> transform(acc, (v, j) -> v + (shiftright(x, j) & 1L) * 2 - 1)
-    ),
-    sequence(0, 31),
-    (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)
-  ),
-  0L, (acc, x) -> acc + x)
-"""
+    from piper_spark.functions.text import _winnow_word_hash
+
+    words = F.slice(F.array_distinct(F.split(text_col, " ")), 1, 65535)
+    h32 = F.transform(
+        words,
+        lambda w: fmix32_col(
+            (_winnow_word_hash(w) + F.lit(HASH_SEEDS[0])) % F.lit(M32)
+        ),
     )
+    n = F.size(h32)
+    sh = F.lit(0).cast("long")
+
+    def bit_adder(j: int):
+        # factory, not a default arg: pyspark derives the HOF's arity
+        # from the lambda signature, so a 3-param lambda would break it
+        return lambda acc, x: acc + F.shiftright(x, j).bitwiseAND(F.lit(1))
+
+    for j in range(32):
+        cnt = F.aggregate(h32, F.lit(0).cast("long"), bit_adder(j))
+        sh = sh + F.when(
+            cnt * 2 > n, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return sh
 
 
-@register("dedup_simhash")  # engine-hash based → rows-only check
+def _simhash_sig_sql(lanes: int) -> str:
+    """Shared DuckDB CTE chain computing the fmix32-packed SimHash
+    signature(s): `sig(doc_id, sh)` for lanes=2 (64-bit) or
+    `sig(doc_id, sh_lo, sh_hi)` for lanes=4 (128-bit). Mirrors
+    :func:`simhash_signatures` / :func:`simhash128_signatures`
+    stage-for-stage (fold → seed → fmix32 → signed pack → majority
+    vote); the vote is per-bit here instead of SWAR-packed — same
+    counts, clearer SQL."""
+    from piper_spark.functions.text import word_fold_sql
+
+    fm_ctes, fm_final = fmix32_sql_ctes(
+        "wh",
+        "doc_id",
+        {f"x{i}": f"(h + {HASH_SEEDS[i]}) % {M32}" for i in range(lanes)},
+    )
+    nbits = lanes * 32
+    if lanes == 2:
+        hv = f"SELECT doc_id, {pack_u32_pair_sql('x0', 'x1')} AS h FROM {fm_final}"
+        bit = "(h >> CAST(j.range AS INT)) & 1"
+        sig_cols = f"""
+         CAST(sum(CASE WHEN b.cnt * 2 > n.n THEN
+                CASE WHEN b.bit = 63 THEN -9223372036854775808
+                     ELSE (1::BIGINT << CAST(b.bit AS INT)) END
+              ELSE 0 END) AS BIGINT) AS sh"""
+    else:
+        hv = (
+            f"SELECT doc_id, {pack_u32_pair_sql('x0', 'x1')} AS h0, "
+            f"{pack_u32_pair_sql('x2', 'x3')} AS h1 FROM {fm_final}"
+        )
+        bit = (
+            "CASE WHEN j.range < 64 THEN (h0 >> CAST(j.range AS INT)) & 1 "
+            "ELSE (h1 >> CAST(j.range - 64 AS INT)) & 1 END"
+        )
+        sig_cols = f"""
+         CAST(sum(CASE WHEN b.bit < 64 AND b.cnt * 2 > n.n THEN
+                CASE WHEN b.bit = 63 THEN -9223372036854775808
+                     ELSE (1::BIGINT << CAST(b.bit AS INT)) END
+              ELSE 0 END) AS BIGINT) AS sh_lo,
+         CAST(sum(CASE WHEN b.bit >= 64 AND b.cnt * 2 > n.n THEN
+                CASE WHEN b.bit = 127 THEN -9223372036854775808
+                     ELSE (1::BIGINT << CAST(b.bit - 64 AS INT)) END
+              ELSE 0 END) AS BIGINT) AS sh_hi"""
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), wh AS (
+  SELECT doc_id, {word_fold_sql('word')} AS h FROM words
+), n AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id)
+{fm_ctes},
+hv AS ({hv}),
+bits AS (
+  SELECT doc_id, j.range AS bit, sum({bit}) AS cnt
+  FROM hv CROSS JOIN range(0, {nbits}) j
+  GROUP BY doc_id, j.range
+),
+sig AS (
+  SELECT b.doc_id,{sig_cols}
+  FROM bits b JOIN n ON b.doc_id = n.doc_id
+  GROUP BY b.doc_id
+)"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_sig_sql(2)
+    + """,
+buckets AS (
+  SELECT doc_id, sh, rb.range AS band,
+         (sh >> CAST(16 * rb.range AS INT)) & 65535 AS bh
+  FROM sig CROSS JOIN range(0, 4) rb
+)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, 4 bands of 16 bits,
     Hamming ≤ 3 cut (every such pair is guaranteed a band collision).
@@ -583,10 +782,10 @@ def simhash128_signatures(
 
     Same plan shape as :func:`simhash_signatures` (explode distinct
     word hashes → SWAR-packed codegen hash aggregate → majority vote),
-    with TWO independent 64-bit word hashes: ``xxhash64(w)`` for the
-    low half and ``xxhash64(w, 1)`` (the word hashed together with a
-    constant discriminator column — a different 64 output bits) for the
-    high half. 32 SWAR sums instead of 16; everything else identical,
+    with TWO independent 64-bit word hashes from the shared fmix32
+    discipline: seed lanes 0/1 for the low half (bit-identical to the
+    64-bit signature) and lanes 2/3 for the high half — 64 genuinely
+    new bits. 32 SWAR sums instead of 16; everything else identical,
     so the aggregate stays one codegen pass and the shuffle carries two
     longs per doc instead of one.
 
@@ -598,11 +797,24 @@ def simhash128_signatures(
     physical corpus. Bands widen 16→32 bits with the COUNT fixed at 4,
     so the pigeonhole guarantee (Hamming ≤ 3 ⇒ ≥1 untouched band) is
     preserved, and random BAND collisions fall from n²/2¹⁶ to n²/2³²."""
-    wh = F.slice(F.array_distinct(F.split(text_col, " ")), 1, 65535)
-    ex = docs.select(id_col, F.explode(wh).alias("w")).select(
+    from piper_spark.functions.text import _winnow_word_hash
+
+    words = F.slice(F.array_distinct(F.split(text_col, " ")), 1, 65535)
+    wh = docs.select(id_col, F.explode(words).alias("w")).select(
+        id_col, _winnow_word_hash(F.col("w")).alias("wh")
+    )
+    mixed = with_fmix32(
+        wh,
+        {
+            f"x{i}": (F.col("wh") + F.lit(HASH_SEEDS[i])) % F.lit(M32)
+            for i in range(4)
+        },
+        keep=[id_col],
+    )
+    ex = mixed.select(
         id_col,
-        F.xxhash64("w").alias("h0"),
-        F.xxhash64("w", F.lit(1)).alias("h1"),
+        pack_u32_pair(F.col("x0"), F.col("x1")).alias("h0"),
+        pack_u32_pair(F.col("x2"), F.col("x3")).alias("h1"),
     )
     mask = 0x0001000100010001
     g = ex.groupBy(id_col).agg(
@@ -632,7 +844,28 @@ def simhash128_signatures(
     return g.select(id_col, vote(0).alias("sh_lo"), vote(1).alias("sh_hi"))
 
 
-@register("dedup_simhash128")  # engine-hash based → rows-only check
+@register(
+    "dedup_simhash128",
+    oracle=_simhash_sig_sql(4)
+    + """,
+buckets AS (
+  SELECT doc_id, sh_lo, sh_hi, rb.range AS band,
+         CASE rb.range
+           WHEN 0 THEN sh_lo & 4294967295
+           WHEN 1 THEN (sh_lo >> 32) & 4294967295
+           WHEN 2 THEN sh_hi & 4294967295
+           ELSE (sh_hi >> 32) & 4294967295
+         END AS bh
+  FROM sig CROSS JOIN range(0, 4) rb
+)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.sh_lo, b.sh_lo)) AS INT)
+         + CAST(bit_count(xor(a.sh_hi, b.sh_hi)) AS INT) AS hamming
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+""",
+)
 def dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-bit SimHash near-dup pairs: 4 bands of 32 bits, Hamming ≤ 3
     over the full 128-bit signature (`bit_count(xor(lo)) +

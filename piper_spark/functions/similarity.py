@@ -977,21 +977,34 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.unpersist()  # nothing downstream references the cache
         return spark.createDataFrame([], "vec_id long, cluster long, dist2 long")
     k = len(cents)
-    return vecs.select(
-        "vec_id", _km_kk_udf(cents)(F.col("xq")).alias("kk")
-    ).select(
-        "vec_id",
-        F.expr(f"kk % {k}").cast("long").alias("cluster"),
-        F.expr(f"kk div {k}").cast("long").alias("dist2"),
+    out = (
+        vecs.select("vec_id", _km_kk_udf(cents)(F.col("xq")).alias("kk"))
+        .select(
+            "vec_id",
+            F.expr(f"kk % {k}").cast("long").alias("cluster"),
+            F.expr(f"kk div {k}").cast("long").alias("dist2"),
+        )
+        .persist()
     )
+    # Round-10 (ADVICE 2): the quantized corpus cache must not outlive
+    # the fit — materialize the (3-longs-per-row, far smaller) result,
+    # release vecs, and return the persisted handle itself so the
+    # caller OWNS a cache it can actually unpersist (the graph_pagerank
+    # convention; previously the caller got a projection of a cache it
+    # had no handle on, leaking one corpus-sized relation per call).
+    out.count()
+    vecs.unpersist()
+    return out
 
 
 def _km_fit(spark: SparkSession, sf_dir: str):
     """Shared Lloyd preamble: the quantized vector relation (persisted
-    + eagerly counted — seeds, the sum rounds, and any downstream
-    assign all read it; the non-empty `cluster_kmeans` return keeps
-    referencing it, so the cache lifetime is caller-owned per the
-    graph_pagerank convention) and the fitted centroids."""
+    + eagerly counted — seeds, the sum rounds, and the downstream
+    assign all read it) and the fitted centroids.  EVERY caller must
+    unpersist `vecs` before returning: either immediately (codebook
+    consumers — the centroids are driver-side) or after materializing
+    its own, smaller result to hand the caller as the owned cache
+    (cluster_kmeans / sim_ann_kmeans, round-10 ADVICE 2)."""
     vecs = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", _km_xq_col().alias("xq"))
@@ -1037,9 +1050,11 @@ PQ_M, PQ_SUB, PQ_K = 8, 8, 8
 
 
 def _pq_kk_sql(m: int, seeds: list[list[int]]) -> str:
-    """Subspace-m argmin-with-tiebreak as ONE integer (the _km_kk_sql
-    encoding): kk = subdist²·K + code over the K seed subvectors —
-    one SQL parse, no per-literal py4j traffic."""
+    """Subspace-m argmin-with-tiebreak as ONE integer — the same
+    kk = dist²·K + code encoding the k-means Arrow kernel
+    (`_km_kk_udf`) computes, here as SQL text: kk = subdist²·K + code
+    over the K seed subvectors — one SQL parse, no per-literal py4j
+    traffic."""
     terms = []
     for code, full in enumerate(seeds):
         c = full[m * PQ_SUB : (m + 1) * PQ_SUB]
@@ -1206,7 +1221,7 @@ def sim_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("ed")
     )
     qd = e.filter(F.col("vec_id") == 0).select(F.col("ed").alias("qd"))
-    return (
+    out = (
         e.join(cand.select("vec_id"), "vec_id")
         .crossJoin(F.broadcast(qd))
         .select(
@@ -1214,4 +1229,10 @@ def sim_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
+        .persist()
     )
+    # Round-10 (ADVICE 2): materialize the 10-row answer, release the
+    # corpus-sized quantized cache, return the handle the caller owns.
+    out.count()
+    vecs.unpersist()
+    return out

@@ -913,9 +913,24 @@ def _winnow_word_hash(x: Column) -> Column:
     ).otherwise(F.lit(0).cast("long"))
 
 
-def _gram_arrays(d: DataFrame) -> DataFrame:
-    """(doc_id, grams) — the rolling 3-word-gram hash array both
-    `winnow_fps` and `gram_rel` build on.
+def word_fold_sql(expr: str) -> str:
+    """DuckDB fragment mirroring :func:`_winnow_word_hash` exactly
+    (the list_prepend(0, …) seed makes the empty string fold to 0,
+    matching the Spark guard)."""
+    return (
+        "list_reduce("
+        "list_prepend(0::BIGINT, "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(ord(substring({expr}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {WORD_HASH_MOD})"
+    )
+
+
+def _gram_arrays(
+    d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, grams) — the rolling 3-word-gram hash array `winnow_fps`,
+    `gram_rel`, and the minhash signature path build on.
 
     STRUCTURED so each intermediate array is computed ONCE per row:
     `hw` and `grams` are separate multi-referenced projections and the
@@ -925,15 +940,15 @@ def _gram_arrays(d: DataFrame) -> DataFrame:
     element, which turns a 50-word doc into ~10⁵ scalar ops (measured:
     ~0.2 s/doc). The multi-reference form keeps the whole pipeline
     O(chars) per document."""
-    w = words_col()
-    t = d.select("doc_id", F.transform(w, _winnow_word_hash).alias("hw"))
+    w = words_col(text_col)
+    t = d.select(id_col, F.transform(w, _winnow_word_hash).alias("hw"))
     hw = F.col("hw")
     ng = F.greatest(F.size(hw) - (WINNOW_K - 1), F.lit(0))
     g12 = F.zip_with(
         F.slice(hw, 1, ng), F.slice(hw, 2, ng), lambda x, y: x * 8191 + y
     )
     grams = F.zip_with(g12, F.slice(hw, 3, ng), lambda x, y: x * 8191 + y)
-    return t.select("doc_id", grams.alias("grams"))
+    return t.select(id_col, grams.alias("grams"))
 
 
 def winnow_fps(d: DataFrame) -> DataFrame:
@@ -1631,16 +1646,45 @@ NFC_VARIANTS = [
     "Cafe\u0301 DE\u0301JA\u0300 Vu",           # same text, decomposed
     "M\u00dcNCHEN \u00c7A \u00d1O\u00cbL",     # precomposed
     "MU\u0308NCHEN C\u0327A N\u0303OE\u0308L", # same text, decomposed
+    # Simple-vs-full case-mapping divergence probes (round-9 ADVICE):
+    # final sigma (full lower \u2192 '\u03c2', simple \u2192 '\u03c3') and dotted capital
+    # I (full \u2192 'i'+U+0307, simple \u2192 bare 'i'). Unlike variants 0-3,
+    # 4 and 5 do NOT collapse to equal bytes: simple mapping loses
+    # \u0130's dot while I+U+0307 keeps it \u2014 the engines must agree on the
+    # DIVERGENT outputs, which is exactly what the hash checks.
+    "\u0130STANBUL \u039b\u038c\u0393\u039f\u03a3",        # \u0130STANBUL \u039b\u038c\u0393\u039f\u03a3
+    "I\u0307STANBUL \u039b\u038c\u0393\u039f\u03a3",       # I+dot variant
 ]
 
 
+def _simple_lower(t: str) -> str:
+    """SIMPLE (per-codepoint, UnicodeData.txt) lowercase — the mapping
+    DuckDB's utf8proc `lower()` applies, NOT Python's full `str.lower`:
+
+    - per-CHARACTER `.lower()` removes the context sensitivity (full
+      mapping lowercases final 'Σ' to 'ς'; simple always yields 'σ');
+    - U+0130 'İ' is the ONLY codepoint whose non-locale lowercase is
+      multi-char in SpecialCasing.txt (verified by scanning all
+      codepoints); simple maps it to plain 'i' (the dot is LOST, so
+      'İ' and its canonical equivalent 'I'+U+0307 do NOT converge —
+      inherent to simple mapping, exercised by NFC_VARIANTS[4:]).
+
+    Byte-exact vs utf8proc for every codepoint whose simple mapping
+    agrees across the two libraries' UCD versions — a 3000-codepoint
+    random audit found only two recent Vithkuqi letters (U+10571,
+    U+1058F; added in Unicode 14) where the versions disagree; the
+    documented contract excludes such version-skew codepoints."""
+    return "".join("i" if c == "İ" else c.lower() for c in t)
+
+
 def nfc_fold_udf():
-    """Vectorized Arrow UDF: Unicode NFC of the lowercased string —
-    `unicodedata.normalize` is the stdlib's UCD-exact implementation
-    and matches DuckDB's `nfc_normalize(lower(…))` byte-for-byte
-    (Spark has no NFC builtin, so this is a justified Python crossing:
-    one Arrow batch in, one out, no per-row Python objects beyond the
-    string map)."""
+    """Vectorized Arrow UDF: Unicode NFC of the SIMPLE-lowercased
+    string — matches DuckDB's `nfc_normalize(lower(…))` byte-for-byte
+    including non-ASCII case folds (see :func:`_simple_lower`; Python's
+    full `str.lower` would diverge on 'İ' and final sigma). Spark has
+    no NFC builtin, so this is a justified Python crossing: one Arrow
+    batch in, one out, no per-row Python objects beyond the string
+    map."""
 
     @F.pandas_udf("string")
     def nfc_lower(s: pd.Series) -> pd.Series:
@@ -1649,7 +1693,7 @@ def nfc_fold_udf():
         return s.map(
             lambda t: None
             if t is None
-            else unicodedata.normalize("NFC", t.lower())
+            else unicodedata.normalize("NFC", _simple_lower(t))
         )
 
     return nfc_lower
@@ -1660,7 +1704,7 @@ def nfc_fold_udf():
     oracle=f"""
 WITH v AS (SELECT {NFC_VARIANTS!r}::VARCHAR[] AS vs),
 aug AS (
-  SELECT doc_id, text || ' ' || vs[CAST(doc_id % 4 AS INT) + 1] AS t
+  SELECT doc_id, text || ' ' || vs[CAST(doc_id % 6 AS INT) + 1] AS t
   FROM documents, v
 ),
 norm AS (SELECT doc_id, t, nfc_normalize(lower(t)) AS normalized FROM aug)
@@ -1683,23 +1727,26 @@ def text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The synthetic corpus is ASCII, so deterministic non-ASCII is
     injected IN BOTH ENGINES (the `text_pii` convention): each doc
-    gets one of four suffixes — two logical strings, each in
-    precomposed AND fully decomposed spelling (`NFC_VARIANTS`) — so
-    the oracle's byte-exact hash proves (a) NFC composed the
-    decomposed rows (n_chars_nfc < n_chars_aug exactly there) and
-    (b) variant pairs land byte-EQUAL post-fold, the property hash
-    dedup depends on.  Idempotence is property-tested.
+    gets one of six suffixes — two logical strings in precomposed
+    AND fully decomposed spelling, plus a dotted-İ/final-sigma pair
+    that exercises the SIMPLE-vs-full case-mapping divergence
+    (`NFC_VARIANTS`) — so the oracle's byte-exact hash proves (a) NFC
+    composed the decomposed rows (n_chars_nfc < n_chars_aug exactly
+    there), (b) variant pairs 0-3 land byte-EQUAL post-fold, the
+    property hash dedup depends on, and (c) the engines agree on the
+    simple-mapping outputs where full mapping would diverge
+    (round-9 ADVICE item 1).  Idempotence is property-tested.
 
     Spark side = a vectorized Arrow `pandas_udf` over stdlib
-    `unicodedata` (no NFC builtin exists; lower() alone is applied
-    JVM-side by DuckDB and inside the same UDF here so the op ORDER
-    matches the oracle text).  Scale: pure per-row map, no shuffle —
+    `unicodedata` (no NFC builtin exists; the UDF applies the SIMPLE
+    case mapping DuckDB's utf8proc lower() uses, in the same order as
+    the oracle text — see `_simple_lower`).  Scale: pure per-row map, no shuffle —
     the UDF is the only Python crossing and rides whatever scan feeds
     the downstream dedup."""
     d = table(spark, sf_dir, "documents")
     suffix = F.element_at(
         F.array(*[F.lit(v) for v in NFC_VARIANTS]),
-        (F.col("doc_id") % 4).cast("int") + 1,
+        (F.col("doc_id") % 6).cast("int") + 1,
     )
     t = F.concat(F.col("text"), F.lit(" "), suffix)
     aug = d.select("doc_id", t.alias("t"))

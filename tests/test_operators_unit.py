@@ -103,6 +103,11 @@ def test_signature_paths_agree(spark):
                for r in df.select("doc_id", *minhash_signature("text")).collect()}
     fast_mh = {r.doc_id: [r[f"mh{i}"] for i in range(8)]
                for r in minhash_signatures(df).collect()}
+    # Doc 3 ("a b") has no full 3-word shingle → no signature: the slow
+    # array form yields NULL minhashes, the explode+agg form yields no
+    # row. Same meaning, different encodings — pin both.
+    assert slow_mh.pop(3) == [None] * 8
+    assert 3 not in fast_mh
     assert slow_mh == fast_mh
 
 

@@ -1431,11 +1431,22 @@ def test_text_nfc_idempotent_and_collapses_variant_pairs(spark):
 
     from piper_spark.functions.text import NFC_VARIANTS, nfc_fold_udf, text_nfc
 
-    fold = lambda s: unicodedata.normalize("NFC", s.lower())  # noqa: E731
+    from piper_spark.functions.text import _simple_lower
+
+    fold = lambda s: unicodedata.normalize("NFC", _simple_lower(s))  # noqa: E731
     assert NFC_VARIANTS[0] != NFC_VARIANTS[1]
     assert NFC_VARIANTS[2] != NFC_VARIANTS[3]
     assert fold(NFC_VARIANTS[0]) == fold(NFC_VARIANTS[1])
     assert fold(NFC_VARIANTS[2]) == fold(NFC_VARIANTS[3])
+    # Round-10 (ADVICE 1): the dotted-İ pair must NOT collapse — simple
+    # case mapping drops İ's dot but keeps an explicit U+0307 — and the
+    # folds must differ from Python's FULL str.lower on both probes.
+    assert fold(NFC_VARIANTS[4]) != fold(NFC_VARIANTS[5])
+    assert fold(NFC_VARIANTS[4]) != unicodedata.normalize(
+        "NFC", NFC_VARIANTS[4].lower()
+    )
+    assert fold(NFC_VARIANTS[4]).endswith("σ")  # simple: non-final sigma
+    assert NFC_VARIANTS[4].lower().endswith("ς")  # full: final sigma
 
     out = text_nfc(spark, SF_SMOKE).withColumn(
         "n2", nfc_fold_udf()(F.col("normalized"))
@@ -1444,9 +1455,13 @@ def test_text_nfc_idempotent_and_collapses_variant_pairs(spark):
     assert rows
     assert all(r.normalized == r.n2 for r in rows)  # idempotent
     for r in rows:
-        assert r.normalized.endswith(fold(NFC_VARIANTS[r.doc_id % 4]))
-        if r.doc_id % 4 in (1, 3):  # decomposed suffix composed away
+        assert r.normalized.endswith(fold(NFC_VARIANTS[r.doc_id % 6]))
+        if r.doc_id % 6 in (1, 3):  # decomposed suffix composed away
             assert r.n_chars_nfc < r.n_chars_aug
+        elif r.doc_id % 6 == 4:  # İ loses its dot under simple mapping
+            assert r.n_chars_nfc == r.n_chars_aug
+        elif r.doc_id % 6 == 5:  # I+U+0307 keeps both codepoints
+            assert r.n_chars_nfc == r.n_chars_aug
         else:  # precomposed: fold changes case only, never length
             assert r.n_chars_nfc == r.n_chars_aug
 
@@ -1511,6 +1526,26 @@ def test_sim_ann_kmeans_recall_and_probe_subset(spark):
     }
     probed = {clusters[r.vec_id] for r in got}
     assert len(probed) <= NUM_PROBES
+
+
+def test_kmeans_keys_leave_no_orphan_cache(spark):
+    """Round-10 (ADVICE 2): cluster_kmeans/sim_ann_kmeans must hand
+    the CALLER the persisted handle and release the corpus-sized
+    quantized relation internally — after unpersisting the returned
+    DataFrame, the session's cache manager must be empty (previously
+    each call leaked one corpus-sized cache no caller could drop)."""
+    from piper_spark.functions.similarity import cluster_kmeans, sim_ann_kmeans
+
+    spark.catalog.clearCache()
+    for fn in (cluster_kmeans, sim_ann_kmeans):
+        out = fn(spark, SF_SMOKE)
+        assert out.count() > 0
+        lvl = out.storageLevel
+        assert lvl.useMemory or lvl.useDisk  # the handle IS the cache
+        out.unpersist(blocking=True)
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+            f"{fn.__name__} left an orphan cached relation"
+        )
 
 
 def test_embed_pq_trained_subspace_codebook_improves_objective(spark):
