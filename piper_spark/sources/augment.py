@@ -51,15 +51,30 @@ def _seed_for(seed: int, key: str) -> np.random.Generator:
     return np.random.default_rng((seed, zlib.crc32(key.encode())))
 
 
-def flip(img: np.ndarray, seed: int = 42, key: str = "") -> np.ndarray:
+def flip(
+    img: np.ndarray, seed: int = 42, key: str = "", code: int | None = None
+) -> np.ndarray:
     """Deterministic flip: axis code in {-1, 0, 1} like cv2.flip
-    (both / vertical / horizontal), chosen by the seeded RNG."""
-    code = int(_seed_for(seed, key).integers(-1, 2))
+    (both / vertical / horizontal), chosen by the seeded RNG — or
+    passed explicitly (`img_augment`'s oracle key derives it from
+    doc_id so DuckDB can mirror the choice arithmetically; the seeded
+    path stays the production default, reference data_augment.py:15-16)."""
+    if code is None:
+        code = int(_seed_for(seed, key).integers(-1, 2))
     if code == 0:
         return img[::-1, :, :]
     if code == 1:
         return img[:, ::-1, :]
     return img[::-1, ::-1, :]
+
+
+def rotate90(img: np.ndarray, k: int = 1) -> np.ndarray:
+    """Exact 90° rotation(s), counter-clockwise — the integer-exact
+    subgroup of S8's rotation (reference data_augment.py:17-20 rotates
+    15° with float interpolation — kept as `rotate15`, property-
+    tested; 90° multiples are pure index permutations, which is what
+    lets `img_augment` carry a byte-exact cross-engine oracle)."""
+    return np.rot90(img, k, axes=(0, 1)).copy()
 
 
 def rotate15(

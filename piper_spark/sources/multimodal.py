@@ -2233,6 +2233,368 @@ def phash64(img: np.ndarray) -> int:
     return int(sum(1 << i for i, b in enumerate(bits) if b))
 
 
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI container ingest (round-9 VERDICT item 2): the video
+# twin of `audio_wav_energy`'s RIFF/WAV path — a strict RIFF chunk
+# walk (decode_wav's discipline) over a real AVI layout, each '00dc'
+# frame decoded by the existing baseline-JPEG decoder.
+# ---------------------------------------------------------------------------
+
+#: AVI-frame geometry: each frame packs AVI_FRAME_BYTES payload bytes
+#: as constant 8×8 blocks (one byte per block — the `img_decode_jpeg`
+#: DC-only exactness trick, which is what lets a LOSSY codec carry an
+#: exact oracle), giving AVI_W×AVI_H-pixel MJPEG frames; sampling
+#: decodes every AVI_FRAME_STEP-th frame (keyframe-sampling shape —
+#: the chunk WALK still validates every frame).
+AVI_WB, AVI_HB, AVI_FRAME_STEP = 8, 8, 2
+AVI_FRAME_BYTES = AVI_WB * AVI_HB
+AVI_W, AVI_H = 8 * AVI_WB, 8 * AVI_HB
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    """fourcc + LE size + body + WORD-alignment pad byte (RIFF spec:
+    odd-sized chunks are padded; JPEG bodies are routinely odd, so the
+    pad path is exercised on real data, not just in tests)."""
+    import struct
+
+    return fourcc + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) % 2 else b""
+    )
+
+
+def encode_avi(payload: bytes) -> bytes:
+    """Payload bytes → canonical MJPEG AVI: RIFF('AVI ', LIST hdrl
+    (avih + LIST strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)),
+    LIST movi('00dc' JPEG per frame)).  Every size/count field is
+    written consistently (dwTotalFrames, strh dwLength, biWidth/Height
+    = avih dwWidth/Height = the encoded frame dims) because
+    `decode_avi` verifies them all.  Trailing payload bytes that do
+    not fill a frame are dropped (the encode_wav even-truncation
+    convention).  Round-trips `decode_avi` byte-exactly (unit-tested).
+    """
+    import struct
+
+    n_frames = len(payload) // AVI_FRAME_BYTES
+    frames = []
+    for f in range(n_frames):
+        vals = np.frombuffer(
+            payload[f * AVI_FRAME_BYTES : (f + 1) * AVI_FRAME_BYTES],
+            dtype=np.uint8,
+        ).reshape(AVI_HB, AVI_WB)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        frames.append(encode_jpeg(img))
+    avih = struct.pack(
+        "<10I", 33333, 0, 0, 0, n_frames, 0, 1, 0, AVI_W, AVI_H
+    ) + b"\x00" * 16
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack("<IHH8I", 0, 0, 0, 0, 1, 30, 0, n_frames, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, AVI_W, AVI_H)
+    )
+    strf = struct.pack(
+        "<IiiHH", 40, AVI_W, AVI_H, 1, 24
+    ) + b"MJPG" + struct.pack("<IiiII", AVI_W * AVI_H * 3, 0, 0, 0, 0)
+    hdrl = _riff_chunk(
+        b"LIST",
+        b"hdrl"
+        + _riff_chunk(b"avih", avih)
+        + _riff_chunk(
+            b"LIST",
+            b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    movi = _riff_chunk(
+        b"LIST", b"movi" + b"".join(_riff_chunk(b"00dc", j) for j in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(avi: bytes) -> list[bytes]:
+    """STRICT canonical-MJPEG-AVI parse → the per-frame JPEG byte
+    strings, in stream order.
+
+    Validates everything it depends on, loudly (the decode_wav
+    discipline): RIFF magic/size/form type, the hdrl LIST with a
+    56-byte avih, exactly one stream, a 'vids'/'MJPG' strh whose
+    dwLength matches avih's dwTotalFrames, a BITMAPINFOHEADER whose
+    dimensions match avih's, a movi LIST containing ONLY word-aligned
+    '00dc' chunks, the actual chunk count equal to the declared frame
+    count, and no trailing bytes after the declared RIFF size.
+    Multi-stream files, audio interleaves, ix##/idx1 indexes, and
+    other handlers are out of scope and rejected, mirroring the
+    single-format image decoders."""
+    import struct
+
+    def fail(msg: str) -> None:
+        raise ValueError(f"AVI: {msg}")
+
+    if len(avi) < 12 or avi[0:4] != b"RIFF":
+        fail("not a RIFF payload")
+    (riff_len,) = struct.unpack("<I", avi[4:8])
+    if riff_len != len(avi) - 8:
+        fail("RIFF size field disagrees with payload length")
+    if avi[8:12] != b"AVI ":
+        fail("RIFF form type is not 'AVI '")
+
+    def read_chunk(pos: int) -> tuple[bytes, bytes, int]:
+        if pos + 8 > len(avi):
+            fail("truncated chunk header")
+        fourcc, (size,) = avi[pos : pos + 4], struct.unpack(
+            "<I", avi[pos + 4 : pos + 8]
+        )
+        end = pos + 8 + size
+        if end > len(avi):
+            fail("chunk size overruns payload")
+        return fourcc, avi[pos + 8 : end], end + (size % 2)
+
+    pos = 12
+    fourcc, hdrl, pos = read_chunk(pos)
+    if fourcc != b"LIST" or hdrl[0:4] != b"hdrl":
+        fail("first chunk is not LIST hdrl")
+    # walk hdrl: avih then LIST strl
+    if hdrl[4:8] != b"avih":
+        fail("hdrl does not start with avih")
+    (avih_len,) = struct.unpack("<I", hdrl[8:12])
+    if avih_len != 56:
+        fail("avih is not the canonical 56 bytes")
+    a = struct.unpack("<10I", hdrl[12 : 12 + 40])
+    n_frames, n_streams, w, h = a[4], a[6], a[8], a[9]
+    if n_streams != 1:
+        fail("exactly one stream supported")
+    sp = 12 + 56
+    if hdrl[sp : sp + 4] != b"LIST" or hdrl[sp + 8 : sp + 12] != b"strl":
+        fail("avih is not followed by LIST strl")
+    if hdrl[sp + 12 : sp + 16] != b"strh":
+        fail("strl does not start with strh")
+    (strh_len,) = struct.unpack("<I", hdrl[sp + 16 : sp + 20])
+    if strh_len != 56:
+        fail("strh is not the canonical 56 bytes")
+    strh = hdrl[sp + 20 : sp + 20 + 56]
+    if strh[0:4] != b"vids" or strh[4:8] != b"MJPG":
+        fail("stream is not MJPG video")
+    (dw_length,) = struct.unpack("<I", strh[32:36])
+    if dw_length != n_frames:
+        fail("strh dwLength disagrees with avih dwTotalFrames")
+    fp = sp + 20 + 56
+    if hdrl[fp : fp + 4] != b"strf":
+        fail("strh is not followed by strf")
+    (strf_len,) = struct.unpack("<I", hdrl[fp + 4 : fp + 8])
+    if strf_len != 40:
+        fail("strf is not a canonical BITMAPINFOHEADER")
+    bi_size, bi_w, bi_h = struct.unpack("<Iii", hdrl[fp + 8 : fp + 20])
+    if bi_size != 40 or bi_w != w or bi_h != h:
+        fail("BITMAPINFOHEADER disagrees with avih dimensions")
+    if hdrl[fp + 24 : fp + 28] != b"MJPG":
+        fail("biCompression is not MJPG")
+
+    fourcc, movi, pos = read_chunk(pos)
+    if fourcc != b"LIST" or movi[0:4] != b"movi":
+        fail("second top-level chunk is not LIST movi")
+    if pos != len(avi):
+        fail("trailing bytes after LIST movi")
+    frames: list[bytes] = []
+    mp = 4
+    while mp < len(movi):
+        if mp + 8 > len(movi):
+            fail("truncated movi chunk header")
+        cid, (size,) = movi[mp : mp + 4], struct.unpack(
+            "<I", movi[mp + 4 : mp + 8]
+        )
+        if cid != b"00dc":
+            fail("movi contains a non-'00dc' chunk")
+        end = mp + 8 + size
+        if end > len(movi):
+            fail("movi chunk size overruns the list")
+        frames.append(movi[mp + 8 : end])
+        mp = end + (size % 2)
+    if len(frames) != n_frames:
+        fail("declared dwTotalFrames disagrees with actual '00dc' count")
+    if (w, h) != (AVI_W, AVI_H):
+        fail("unsupported frame geometry")
+    return frames
+
+
+def _avi_wrap_udf():
+    """Fixture synthesis for the AVI ingest path: pack each payload's
+    whole frames as MJPEG and wrap them in the canonical container
+    (vectorized Arrow pass — the `_wav_wrap_udf` convention; a real
+    corpus arrives already containerized from `binaryFile`/parquet)."""
+
+    @F.pandas_udf("binary")
+    def wrap(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: None if b is None else encode_avi(bytes(b))
+        )
+
+    return wrap
+
+
+def _avi_video_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: AVI payload → strict container parse (ALL
+    chunks walked + cross-checked) → every AVI_FRAME_STEP-th frame
+    JPEG-decoded → per-frame pixel facts, with the decoded shape
+    verified against the container-declared geometry."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            jpegs = decode_avi(payload)
+            for f in range(0, len(jpegs), AVI_FRAME_STEP):
+                rgb = decode_image(jpegs[f])
+                if rgb.shape != (AVI_H, AVI_W, 3):
+                    raise ValueError(
+                        "decoded frame shape disagrees with container header"
+                    )
+                rows.append(
+                    (doc_id, f, AVI_W, AVI_H, int(rgb.sum(dtype=np.int64)))
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_no", "width", "height", "pix_sum"]
+        )
+        rows = []
+
+
+@register(
+    "video_avi_frames",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= {AVI_FRAME_BYTES}
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(range(0, n // {AVI_FRAME_BYTES}, {AVI_FRAME_STEP})) AS frame_no
+  FROM d
+)
+SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+       CAST({AVI_W} AS INTEGER) AS width,
+       CAST({AVI_H} AS INTEGER) AS height,
+       CAST(192 * list_sum([ord(substring(text, {AVI_FRAME_BYTES} * frame_no + i, 1))
+                            FOR i IN range(1, {AVI_FRAME_BYTES} + 1)])
+            AS BIGINT) AS pix_sum
+FROM f
+""",
+)
+def video_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINER-framed video ingest — MJPEG-in-AVI through a strict
+    RIFF chunk walk + the real baseline-JPEG decoder, closing the last
+    modality-without-container gap (audio got RIFF/WAV in round 9;
+    `video_frames`' synthetic byte-slice layout remains the
+    raw-payload twin).  Each payload is containerized in the fixture
+    pass (one 64-byte slice per frame as constant 8×8 blocks — the
+    `img_decode_jpeg` DC-only trick, so the lossy codec is exact on
+    these frames), then `decode_avi` re-parses the container from
+    scratch: header/size/count cross-checks on EVERY chunk, loud
+    rejection of 13 malformed classes (unit-tested), and the decoded
+    frame shape verified against the container-declared geometry.
+
+    The oracle recomputes each sampled frame's pixel sum from the raw
+    text arithmetically, so a single mis-framed byte anywhere in the
+    chunk walk or entropy decode mismatches every value — the parse
+    is what is under test (the `audio_wav_energy` argument).  Scale
+    shape: one Arrow pass, chunk walk O(container bytes), decode cost
+    only on SAMPLED frames (the keyframe-sampling shape real video
+    curation uses), `spread_for_decode` parallelism, no shuffle.
+    """
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    ).select("doc_id", _avi_wrap_udf()(F.col("payload")).alias("payload"))
+    return d.mapInPandas(
+        _avi_video_batches,
+        schema="doc_id long, frame_no int, width int, height int, pix_sum long",
+    )
+
+
+#: `img_augment` geometry: payload bytes tile a small gray image
+#: (cyclic np.resize — the codec-key convention) so the flip+rotate
+#: permutation is small enough for the oracle to re-walk per pixel.
+AUG_W_MOD, AUG_H_MOD = 16, 12
+
+
+def _augment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload → gray tile → explicit-code flip →
+    exact 90° rotate → position-WEIGHTED checksum (a plain pixel sum
+    is permutation-invariant and would pass even if the flip/rotate
+    did nothing — the weights are what make the geometry observable)."""
+    from piper_spark.sources.augment import flip, rotate90
+
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            w, h = 1 + n % AUG_W_MOD, 1 + n % AUG_H_MOD
+            img = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))[
+                :, :, None
+            ]
+            out = rotate90(flip(img, code=int(doc_id) % 3 - 1))
+            oh, ow = out.shape[:2]
+            weights = np.arange(1, oh * ow + 1, dtype=np.int64).reshape(oh, ow)
+            cs = int((out[:, :, 0].astype(np.int64) * weights).sum())
+            rows.append((doc_id, ow, oh, cs))
+        yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "checksum"])
+        rows = []
+
+
+@register(
+    "img_augment",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         1 + octet_length(encode(text)) % {AUG_W_MOD} AS w,
+         1 + octet_length(encode(text)) % {AUG_H_MOD} AS h,
+         CAST(doc_id % 3 AS INT) AS c
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+px AS (
+  SELECT doc_id, text, n, w, h,
+         i.range AS i, j.range AS j,
+         CASE WHEN c IN (0, 1) THEN h - 1 - j.range ELSE j.range END AS sy,
+         CASE WHEN c IN (0, 2) THEN i.range ELSE w - 1 - i.range END AS sx
+  FROM d
+  CROSS JOIN range(0, {AUG_W_MOD}) i
+  CROSS JOIN range(0, {AUG_H_MOD}) j
+  WHERE i.range < w AND j.range < h
+)
+SELECT doc_id,
+       CAST(max(h) AS INTEGER) AS out_w,
+       CAST(max(w) AS INTEGER) AS out_h,
+       CAST(sum((i * h + j + 1)
+                * ord(substring(text, CAST((sy * w + sx) % n AS INT) + 1, 1)))
+            AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""",
+)
+def img_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 + S8 through the ORACLE plumbing (round-9 VERDICT item 3 —
+    flip/rotate were the last §2A capabilities carried by unit tests
+    only): an explicit-code `flip` (the cv2 {{-1,0,1}} axis codes,
+    chosen per doc as doc_id % 3 − 1 so DuckDB mirrors the choice)
+    followed by the exact 90°-CCW `rotate90`, reduced to a
+    position-WEIGHTED pixel checksum — weights make the permutation
+    observable where a plain sum would be flip/rotate-invariant, so a
+    wrong axis, a clockwise rotate, or an off-by-one in either index
+    map mismatches every row.  The oracle re-walks the composed
+    inverse permutation per pixel in pure arithmetic (reference
+    data_augment.py:15-20; the float 15° bilinear path stays
+    property-tested in tests/test_augment.py — float warps cannot
+    carry byte-exact oracles).
+
+    Scale shape: one Arrow pass over `spread_for_decode` parallelism,
+    no shuffle — augmentation at 100 TB is embarrassingly parallel and
+    the only cost that matters is keeping the crossing columnar.
+    """
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
+    return d.mapInPandas(
+        _augment_batches,
+        schema="doc_id long, out_w int, out_h int, checksum long",
+    )
+
+
 #: Planted perceptual near-dups: every PHASH_PLANT_MOD-th doc reappears
 #: as doc_id + PHASH_PLANT_OFFSET with every 97th payload byte bumped —
 #: ~1% of pixels change by +1, a perceptually-invisible edit pHash must

@@ -720,3 +720,109 @@ def test_wav_strict_parser_rejects_malformed_containers():
     for bad in cases:
         with pytest.raises(ValueError):
             decode_wav(bytes(bad))
+
+
+def test_avi_roundtrip_and_frame_exactness():
+    """encode_avi → decode_avi recovers every frame in order; each
+    decoded frame is pixel-exact (constant DC-only blocks through the
+    real JPEG codec); trailing sub-frame bytes are dropped."""
+    import numpy as np
+
+    from piper_spark.sources.multimodal import (
+        AVI_FRAME_BYTES,
+        AVI_H,
+        AVI_W,
+        decode_avi,
+        decode_image,
+        encode_avi,
+    )
+
+    payload = bytes(range(256)) * 2  # 8 whole frames
+    frames = decode_avi(encode_avi(payload))
+    assert len(frames) == len(payload) // AVI_FRAME_BYTES
+    for f, j in enumerate(frames):
+        rgb = decode_image(j)
+        assert rgb.shape == (AVI_H, AVI_W, 3)
+        want = 192 * sum(payload[f * AVI_FRAME_BYTES : (f + 1) * AVI_FRAME_BYTES])
+        assert int(rgb.sum(dtype=np.int64)) == want
+    assert len(decode_avi(encode_avi(bytes(AVI_FRAME_BYTES + 7)))) == 1
+    assert len(decode_avi(encode_avi(bytes(AVI_FRAME_BYTES - 1)))) == 0
+
+
+def test_avi_strict_parser_rejects_malformed_containers():
+    """Every container field the chunk walk depends on must be
+    validated — ingest rejects malformed AVIs loudly instead of
+    mis-framing (the decode_wav discipline, 13 classes)."""
+    import struct
+
+    import pytest
+
+    from piper_spark.sources.multimodal import decode_avi, encode_avi
+
+    good = bytes(encode_avi(bytes(range(130))))  # 2 frames
+
+    def corrupt(off, val):
+        bad = bytearray(good)
+        bad[off : off + len(val)] = val
+        return bytes(bad)
+
+    hdrl_off = 12          # LIST hdrl header
+    avih_off = hdrl_off + 12   # 'avih' fourcc inside hdrl
+    frames_off = avih_off + 8 + 16  # dwTotalFrames (5th avih field)
+    streams_off = avih_off + 8 + 24  # dwStreams
+    strl_off = avih_off + 8 + 56
+    strh_off = strl_off + 12
+    strh_body = strh_off + 8
+    strf_off = strh_body + 56
+    movi_list_off = good.index(b"LIST", strf_off)
+    first_dc = good.index(b"00dc")
+
+    cases = [
+        good[:10],                                   # truncated header
+        corrupt(0, b"RIFX"),                         # bad RIFF magic
+        corrupt(4, struct.pack("<I", 99)),           # RIFF size lies
+        corrupt(8, b"AVIX"),                         # wrong form type
+        corrupt(hdrl_off + 8, b"hdrX"),              # first LIST not hdrl
+        corrupt(avih_off, b"avhX"),                  # missing avih
+        corrupt(avih_off + 4, struct.pack("<I", 48)),  # avih wrong size
+        corrupt(frames_off, struct.pack("<I", 9)),   # dwTotalFrames lies
+        corrupt(streams_off, struct.pack("<I", 2)),  # two streams
+        corrupt(strh_body + 4, b"H264"),             # wrong handler
+        corrupt(strh_body + 32, struct.pack("<I", 5)),  # strh dwLength lies
+        corrupt(first_dc, b"01wb"),                  # audio chunk in movi
+        good + b"x",                                 # trailing garbage
+    ]
+    assert len(cases) == 13
+    for i, bad in enumerate(cases):
+        with pytest.raises(ValueError):
+            decode_avi(bytes(bad))
+
+
+def test_img_augment_checksum_is_geometry_sensitive():
+    """The position-weighted checksum must distinguish every flip code
+    and the rotation direction on an asymmetric image — a plain pixel
+    sum would be permutation-invariant and could not catch a wrong
+    axis or a clockwise rotate."""
+    import numpy as np
+
+    from piper_spark.sources.augment import flip, rotate90
+
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)[:, :, None]
+
+    def cs(out):
+        oh, ow = out.shape[:2]
+        w = np.arange(1, oh * ow + 1, dtype=np.int64).reshape(oh, ow)
+        return int((out[:, :, 0].astype(np.int64) * w).sum())
+
+    variants = {
+        f"flip{c}": cs(rotate90(flip(img, code=c))) for c in (-1, 0, 1)
+    }
+    variants["noflip"] = cs(rotate90(img))
+    assert len(set(variants.values())) == len(variants), variants
+    # Rotation DIRECTION on the same flip code must also be visible.
+    # (Across codes it need not be: in the dihedral group
+    # cw∘flip_vertical ≡ ccw∘flip_horizontal — a true identity, so the
+    # checksum legitimately collides there.)
+    assert cs(rotate90(flip(img, code=0), k=-1)) != cs(
+        rotate90(flip(img, code=0))
+    )
