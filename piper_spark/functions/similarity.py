@@ -1219,14 +1219,20 @@ LIMIT {10}
 
 
 @register("sim_ann_kmeans", oracle=_ann_kmeans_oracle())
-def sim_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int = NUM_PROBES,
+    _fit: "tuple[DataFrame, list[list[int]]] | None" = None,
+) -> DataFrame:
     """IVF approximate top-10 on the DISTRIBUTED-Lloyd codebook — the
     first fully ORACLE-EXACT member of the ANN-probe family
     (`sim_ann_ivf`'s float Lloyd is rows-only; here cells, probe
     order, and candidates are all exact integer arithmetic on the
     `cluster_kmeans` fit, and only the final sim_topk-style cosine
     ranking is float — bit-identical folds in both engines, the
-    `sim_topk` precedent).  Probes = the {NUM_PROBES} cells nearest
+    `sim_topk` precedent).  Probes = the ``n_probes`` (default
+    {NUM_PROBES} — what the oracle mirrors) cells nearest
     the vec_id=0 query by the same kk = dist²·k + cid order the
     assignment uses.
 
@@ -1238,14 +1244,17 @@ def sim_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the probed cells' candidates against a 1-row broadcast
     query.  Recall@10 vs exact `sim_topk` is asserted in tests.
     """
-    vecs, cents = _km_fit(spark, sf_dir)
+    owns_fit = _fit is None
+    vecs, cents = _km_fit(spark, sf_dir) if owns_fit else _fit
     if not cents:
-        vecs.unpersist()
+        if owns_fit:
+            vecs.unpersist()
         return spark.createDataFrame([], "vec_id long, cos_sim double")
     k = len(cents)
     q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
     if q_row is None:  # no query vector in a degenerate corpus
-        vecs.unpersist()
+        if owns_fit:
+            vecs.unpersist()
         return spark.createDataFrame([], "vec_id long, cos_sim double")
     qx = [int(v) for v in q_row["xq"]]
 
@@ -1255,7 +1264,7 @@ def sim_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = [
         j
         for j, _ in sorted(enumerate(cents), key=lambda t: d2(t[1]) * k + t[0])[
-            :NUM_PROBES
+            :n_probes
         ]
     ]
     cand = vecs.select(
@@ -1277,6 +1286,10 @@ def sim_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Round-10 (ADVICE 2): materialize the 10-row answer, release the
     # corpus-sized quantized cache, return the handle the caller owns.
+    # With a caller-supplied `_fit` (the operating-point sweep: one
+    # Lloyd fit, several probe widths), the fit's cache stays the
+    # CALLER's to release.
     out.count()
-    vecs.unpersist()
+    if owns_fit:
+        vecs.unpersist()
     return out
