@@ -47,6 +47,18 @@ SHINGLE_SIZE = 3
 NUM_MINHASHES = 8
 MINHASH_BANDS = 4  # 2 minhashes per band
 
+#: SimHash distinct-word cap: the SWAR vote packs four 16-bit lane
+#: counters per int64, and the SUM aggregate is SIGNED — once the
+#: top lane's count reaches 2¹⁵ the packed value crosses 2⁶³ and
+#: Spark's ANSI mode (default since 4.0) throws ARITHMETIC_OVERFLOW
+#: instead of wrapping.  32767 keeps the worst-case packed sum at
+#: 0x7FFF7FFF7FFF7FFF, inside signed range (the previous 65535 cap
+#: was latent-overflow-unsafe for ≥32768-distinct-word documents —
+#: caught by the round-10 cross-engine cap test).  Oversized docs'
+#: signatures vote on the first-occurrence prefix, mirrored exactly
+#: in the oracle.
+SIMHASH_MAX_WORDS = 32767
+
 #: The k MinHash "permutations": 2-universal affine mixers
 #: (a·x + b) mod 2³¹−1 over the shared polynomial gram hash — the same
 #: family the Count-Min row mixers use (operators/aggregates.py), so
@@ -387,15 +399,10 @@ def shingle_hashes(text_col: Column | str = "text") -> Column:
     near-dup on a sub-shingle fragment was never meaningful).
     Test/slow path — the scale path is the `_gram_arrays` projection
     inside :func:`minhash_signatures`."""
-    from piper_spark.functions.text import _winnow_word_hash
+    from piper_spark.functions.text import _winnow_word_hash, gram_hash_col
 
-    w = F.split(text_col, " ")
-    hw = F.transform(w, _winnow_word_hash)
-    ng = F.greatest(F.size(hw) - (SHINGLE_SIZE - 1), F.lit(0))
-    g12 = F.zip_with(
-        F.slice(hw, 1, ng), F.slice(hw, 2, ng), lambda x, y: x * 8191 + y
-    )
-    g = F.zip_with(g12, F.slice(hw, 3, ng), lambda x, y: x * 8191 + y)
+    hw = F.transform(F.split(text_col, " "), _winnow_word_hash)
+    g = gram_hash_col(hw, n=SHINGLE_SIZE)
     return F.transform(g, lambda x: x % F.lit(MERSENNE31))
 
 
@@ -516,11 +523,13 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     """
     from piper_spark.functions.text import _winnow_word_hash
 
-    # Cap at 65535 distinct words per doc: the SWAR lanes below are
-    # 16-bit counters, and a larger doc would silently carry into the
-    # neighboring lane. The cap biases oversized docs' signatures
-    # (prefix vote) instead of corrupting them.
-    words = F.slice(F.array_distinct(F.split(text_col, " ")), 1, 65535)
+    # Cap at SIMHASH_MAX_WORDS distinct words per doc (see the
+    # constant: 16-bit SWAR lanes + signed ANSI sums). The cap biases
+    # oversized docs' signatures (prefix vote) instead of corrupting
+    # them — or, past 2¹⁵, throwing.
+    words = F.slice(
+        F.array_distinct(F.split(text_col, " ")), 1, SIMHASH_MAX_WORDS
+    )
     wh = docs.select(id_col, F.explode(words).alias("w")).select(
         id_col, _winnow_word_hash(F.col("w")).alias("wh")
     )
@@ -536,7 +545,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     # SWAR-packed counters: aggregate k sums (h >> k) & 0x0001000100010001,
     # giving four 16-bit per-bit-position counters per long — bits/4
     # aggregates instead of `bits`, a ~4× smaller agg buffer + codegen.
-    # Safe for up to 65535 distinct words per document.
+    # Safe for up to SIMHASH_MAX_WORDS distinct words per document.
     mask = 0x0001000100010001
     g = ex.groupBy(id_col).agg(
         *[
@@ -625,7 +634,9 @@ def simhash32(text_col: str = "text") -> Column:
     """
     from piper_spark.functions.text import _winnow_word_hash
 
-    words = F.slice(F.array_distinct(F.split(text_col, " ")), 1, 65535)
+    words = F.slice(
+        F.array_distinct(F.split(text_col, " ")), 1, SIMHASH_MAX_WORDS
+    )
     h32 = F.transform(
         words,
         lambda w: fmix32_col(
@@ -691,9 +702,20 @@ def _simhash_sig_sql(lanes: int) -> str:
                      ELSE (1::BIGINT << CAST(b.bit - 64 AS INT)) END
               ELSE 0 END) AS BIGINT) AS sh_hi"""
     return f"""
-WITH words AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
   FROM documents
+), words AS (
+  -- mirror of the Spark side's slice(array_distinct(...), 1,
+  -- SIMHASH_MAX_WORDS): FIRST-OCCURRENCE distinct order, capped at
+  -- the signed-SWAR bound.
+  SELECT doc_id, word FROM (
+    SELECT doc_id, word,
+           row_number() OVER (PARTITION BY doc_id ORDER BY min(pos)) AS rn
+    FROM toks GROUP BY doc_id, word)
+  WHERE rn <= 32767
 ), wh AS (
   SELECT doc_id, {word_fold_sql('word')} AS h FROM words
 ), n AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id)
@@ -799,7 +821,9 @@ def simhash128_signatures(
     preserved, and random BAND collisions fall from n²/2¹⁶ to n²/2³²."""
     from piper_spark.functions.text import _winnow_word_hash
 
-    words = F.slice(F.array_distinct(F.split(text_col, " ")), 1, 65535)
+    words = F.slice(
+        F.array_distinct(F.split(text_col, " ")), 1, SIMHASH_MAX_WORDS
+    )
     wh = docs.select(id_col, F.explode(words).alias("w")).select(
         id_col, _winnow_word_hash(F.col("w")).alias("wh")
     )
@@ -874,8 +898,9 @@ def dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     form's n²/2⁶⁴ random-collision term starts to bite (round-5 VERDICT
     item 2; rationale quantified in `simhash128_signatures`).
 
-    Same rows-only status and the same oracle-checked ground-truth twin
-    (`dedup_jaccard_shingle`) as the 64-bit key; the recall/containment
+    ORACLE-EXACT since round 10 like the 64-bit key (same fmix32
+    discipline), with the same ground-truth twin
+    (`dedup_jaccard_shingle`); the recall/containment
     relationship between the two widths is pinned by property tests
     (a pair at 64-bit Hamming 0 from identical text is at 128-bit
     Hamming 0 too, and the pigeonhole test runs at both widths)."""

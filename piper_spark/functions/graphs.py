@@ -27,6 +27,8 @@ one-iteration deep (the connected_components discipline).
 
 from __future__ import annotations
 
+import gc as _pygc
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,6 +99,20 @@ class _GenerationCaches:
         out = df.localCheckpoint(eager=True)
         self.release_older_than()
         return out
+
+
+def _release_superseded_checkpoints(t: int) -> None:
+    """Fixpoint loops replace each generation with a fresh
+    localCheckpoint; the superseded generation's blocks are freed by
+    the ContextCleaner only once its JVM RDD object is unreachable,
+    and the py4j proxy held by the old Python DataFrame is what keeps
+    it reachable (DataFrame.unpersist() does not touch checkpoint
+    blocks).  A periodic gc.collect() drops the proxies promptly,
+    bounding executor storage at ~PREGEL_CKPT_INTERVAL generations
+    instead of max_rounds."""
+    if t % PREGEL_CKPT_INTERVAL == 0:
+        _pygc.collect()
+
 
 #: Wedge-join hub cap for `graph_neighbor_jaccard`: wedges routed
 #: through a common neighbor of degree > NEIGHBOR_HUB_CAP are dropped
@@ -266,8 +282,11 @@ def graph_pagerank(
                 .head()["d"]
             )
             gc.release_older_than()  # release any interval checkpoint
+            _release_superseded_checkpoints(t)
             ranks = new
-            if delta <= tol:
+            # Sum over ZERO rows is NULL (empty corpus → empty join):
+            # an empty rank vector is trivially converged.
+            if delta is None or delta <= tol:
                 break
         else:
             # Each generation is SINGLE-consumer (one contribution
@@ -510,6 +529,7 @@ def graph_bfs(
             new = raw.localCheckpoint(eager=True)
             n = new.count()
             gc.release_older_than()  # drop the persisted source gen
+            _release_superseded_checkpoints(t)
             dist = new
             if n == reached:
                 break
@@ -651,6 +671,7 @@ def kcore_degrees(
             )
             n2 = alive.count()
             gc.release_older_than()  # drop the initial persisted gen
+            _release_superseded_checkpoints(t)
             if n2 == n_alive:
                 break
             n_alive = n2
@@ -785,6 +806,7 @@ def lpa_communities(
                 .count()
             )
             gc.release_older_than()  # release any interval checkpoint
+            _release_superseded_checkpoints(t)
             labels = new
             if changed == 0:
                 break

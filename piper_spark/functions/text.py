@@ -926,6 +926,25 @@ def word_fold_sql(expr: str) -> str:
     )
 
 
+def gram_hash_col(hw: Column, n: int = WINNOW_K) -> Column:
+    """Rolling n-word-gram hash array from a word-hash array Column:
+    g(i) = ((hw[i]·8191 + hw[i+1])·8191 + …)·8191 + hw[i+n−1], built
+    with `zip_with` over shifted slices (never `element_at(expr, i)`
+    in a lambda — the HOF-inlining trap).  ONE definition of the gram
+    fold shared by `_gram_arrays` (winnow/minhash scale paths) and the
+    slow/test shingle path (functions/dedup.py `shingle_hashes`), so
+    the 8191 multiplier and window width cannot silently diverge.
+
+    CALLER NOTE: pass `hw` as a bound column reference (a separate
+    projection) on hot paths — as an inline expression it is
+    re-evaluated once per slice."""
+    ng = F.greatest(F.size(hw) - (n - 1), F.lit(0))
+    g = F.slice(hw, 1, ng)
+    for i in range(2, n + 1):
+        g = F.zip_with(g, F.slice(hw, i, ng), lambda x, y: x * 8191 + y)
+    return g
+
+
 def _gram_arrays(
     d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -942,13 +961,7 @@ def _gram_arrays(
     O(chars) per document."""
     w = words_col(text_col)
     t = d.select(id_col, F.transform(w, _winnow_word_hash).alias("hw"))
-    hw = F.col("hw")
-    ng = F.greatest(F.size(hw) - (WINNOW_K - 1), F.lit(0))
-    g12 = F.zip_with(
-        F.slice(hw, 1, ng), F.slice(hw, 2, ng), lambda x, y: x * 8191 + y
-    )
-    grams = F.zip_with(g12, F.slice(hw, 3, ng), lambda x, y: x * 8191 + y)
-    return t.select(id_col, grams.alias("grams"))
+    return t.select(id_col, gram_hash_col(F.col("hw")).alias("grams"))
 
 
 def winnow_fps(d: DataFrame) -> DataFrame:

@@ -2330,9 +2330,17 @@ def decode_avi(avi: bytes) -> list[bytes]:
     def fail(msg: str) -> None:
         raise ValueError(f"AVI: {msg}")
 
+    def u32(buf: bytes, off: int) -> int:
+        # every fixed-width read is length-guarded so a truncated
+        # structure fails with the documented ValueError, never a
+        # struct.error escaping the strict-parser contract
+        if off + 4 > len(buf):
+            fail("truncated structure")
+        return struct.unpack("<I", buf[off : off + 4])[0]
+
     if len(avi) < 12 or avi[0:4] != b"RIFF":
         fail("not a RIFF payload")
-    (riff_len,) = struct.unpack("<I", avi[4:8])
+    riff_len = u32(avi, 4)
     if riff_len != len(avi) - 8:
         fail("RIFF size field disagrees with payload length")
     if avi[8:12] != b"AVI ":
@@ -2356,8 +2364,8 @@ def decode_avi(avi: bytes) -> list[bytes]:
     # walk hdrl: avih then LIST strl
     if hdrl[4:8] != b"avih":
         fail("hdrl does not start with avih")
-    (avih_len,) = struct.unpack("<I", hdrl[8:12])
-    if avih_len != 56:
+    avih_len = u32(hdrl, 8)
+    if avih_len != 56 or len(hdrl) < 12 + 56:
         fail("avih is not the canonical 56 bytes")
     a = struct.unpack("<10I", hdrl[12 : 12 + 40])
     n_frames, n_streams, w, h = a[4], a[6], a[8], a[9]
@@ -2368,20 +2376,20 @@ def decode_avi(avi: bytes) -> list[bytes]:
         fail("avih is not followed by LIST strl")
     if hdrl[sp + 12 : sp + 16] != b"strh":
         fail("strl does not start with strh")
-    (strh_len,) = struct.unpack("<I", hdrl[sp + 16 : sp + 20])
-    if strh_len != 56:
+    strh_len = u32(hdrl, sp + 16)
+    if strh_len != 56 or len(hdrl) < sp + 20 + 56:
         fail("strh is not the canonical 56 bytes")
     strh = hdrl[sp + 20 : sp + 20 + 56]
     if strh[0:4] != b"vids" or strh[4:8] != b"MJPG":
         fail("stream is not MJPG video")
-    (dw_length,) = struct.unpack("<I", strh[32:36])
+    dw_length = u32(strh, 32)
     if dw_length != n_frames:
         fail("strh dwLength disagrees with avih dwTotalFrames")
     fp = sp + 20 + 56
     if hdrl[fp : fp + 4] != b"strf":
         fail("strh is not followed by strf")
-    (strf_len,) = struct.unpack("<I", hdrl[fp + 4 : fp + 8])
-    if strf_len != 40:
+    strf_len = u32(hdrl, fp + 4)
+    if strf_len != 40 or len(hdrl) < fp + 8 + 40:
         fail("strf is not a canonical BITMAPINFOHEADER")
     bi_size, bi_w, bi_h = struct.unpack("<Iii", hdrl[fp + 8 : fp + 20])
     if bi_size != 40 or bi_w != w or bi_h != h:
@@ -2399,9 +2407,7 @@ def decode_avi(avi: bytes) -> list[bytes]:
     while mp < len(movi):
         if mp + 8 > len(movi):
             fail("truncated movi chunk header")
-        cid, (size,) = movi[mp : mp + 4], struct.unpack(
-            "<I", movi[mp + 4 : mp + 8]
-        )
+        cid, size = movi[mp : mp + 4], u32(movi, mp + 4)
         if cid != b"00dc":
             fail("movi contains a non-'00dc' chunk")
         end = mp + 8 + size

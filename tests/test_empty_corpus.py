@@ -160,3 +160,18 @@ GRID_ROWS = {"event_funnel": 3, "dq_profile": 4, "dq_referential": 2}
 def test_query_is_well_defined_on_empty_corpus(spark, empty_dir, name):
     out = registry.all_queries()[name](spark, empty_dir)
     assert out.count() == GRID_ROWS.get(name, 0)
+
+
+def test_fixpoint_optins_are_well_defined_on_empty_corpus(spark, empty_dir):
+    """Round-10 review finding: pagerank's fixpoint delta is a SUM over
+    zero rows (NULL) on an empty corpus — every to_fixpoint opt-in must
+    return an empty typed relation, not a TypeError/parser error."""
+    from piper_spark.functions.graphs import (
+        graph_bfs,
+        graph_kcore,
+        graph_lpa,
+        graph_pagerank,
+    )
+
+    for fn in (graph_pagerank, graph_bfs, graph_kcore, graph_lpa):
+        assert fn(spark, empty_dir, to_fixpoint=True).count() == 0

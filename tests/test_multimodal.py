@@ -791,8 +791,13 @@ def test_avi_strict_parser_rejects_malformed_containers():
         corrupt(strh_body + 32, struct.pack("<I", 5)),  # strh dwLength lies
         corrupt(first_dc, b"01wb"),                  # audio chunk in movi
         good + b"x",                                 # trailing garbage
+        # hdrl LIST whose declared size truncates avih mid-field:
+        # must be the documented ValueError, never a raw struct.error
+        good[:hdrl_off]
+        + b"LIST" + struct.pack("<I", 10) + b"hdrlavihXY"
+        + good[hdrl_off + 8 + struct.unpack("<I", good[hdrl_off+4:hdrl_off+8])[0]:],
     ]
-    assert len(cases) == 13
+    assert len(cases) == 14
     for i, bad in enumerate(cases):
         with pytest.raises(ValueError):
             decode_avi(bytes(bad))

@@ -1614,3 +1614,29 @@ def test_embed_pq_registered_shape_runs_on_trained_codebooks(spark):
     err_trained = sum(v[1] for v in trained.values())
     assert err_trained <= err_pinned
     assert err_trained < err_pinned  # genuinely improves on this corpus
+
+
+def test_simhash_distinct_word_cap_agrees_cross_engine(spark):
+    """Round-10 review finding, twice over: (a) the simhash oracle
+    must mirror the Spark side's distinct-word SWAR cap
+    (first-occurrence order) — without the capped `words` CTE the
+    vote counts and n diverge; (b) writing the test found the cap
+    itself was UNSAFE at its old 65535 value: Spark 4's default ANSI
+    mode throws ARITHMETIC_OVERFLOW once the top SWAR lane's count
+    reaches 2^15, so the cap is now SIMHASH_MAX_WORDS = 32767.  A
+    40k-distinct-word document exercises both."""
+    import duckdb
+
+    from piper_spark.functions.dedup import _simhash_sig_sql, simhash_signatures
+
+    text = " ".join(f"w{i}" for i in range(40_000))
+    df = spark.createDataFrame([(1, text), (2, "a b a")], "doc_id long, text string")
+    got = {r.doc_id: r.sh for r in simhash_signatures(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?), (2, 'a b a')", [text])
+    want = dict(
+        con.execute(_simhash_sig_sql(2) + "\nSELECT doc_id, sh FROM sig").fetchall()
+    )
+    assert got == want and set(got) == {1, 2}
