@@ -893,3 +893,22 @@ def test_audio_wav_energy_is_spread_then_arrow(spark):
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan
     assert "Join" not in plan
+
+
+def test_video_avi_frames_is_spread_then_arrow(spark):
+    # Round-10: one round-robin spread (decode parallelism), the
+    # containerize UDF + the strict chunk-walk/JPEG-decode map — no
+    # keyed shuffle, no join (the audio_wav_energy shape).
+    plan = plan_of(spark, "video_avi_frames")
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_img_augment_is_spread_then_arrow(spark):
+    # Round-10: flip+rotate+weighted-checksum is one Arrow map over
+    # the spread — no keyed shuffle, no join.
+    plan = plan_of(spark, "img_augment")
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
