@@ -421,6 +421,117 @@ def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Binned-median histogram width: the value-quantization error is
+#: ≤ half a bin = (range/1024)/2 of the group's value RANGE — the
+#: classic two-scan remote-median trade (Chambers et al.'s binmedian
+#: family): rank exactness given up for a histogram whose size is
+#: FIXED at ≤ 1024 rows per group regardless of corpus size.
+MEDIAN_BINS = 1024
+
+
+@register(
+    "agg_median_bins",
+    oracle=f"""
+WITH c AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+p AS (
+  SELECT g, min(c) AS lo, max(c) AS hi, count(*) AS n,
+         (max(c) - min(c)) // {MEDIAN_BINS} + 1 AS w
+  FROM c GROUP BY 1
+),
+h AS (
+  SELECT c.g, (c.c - p.lo) // p.w AS bin, count(*) AS cnt
+  FROM c JOIN p USING (g) GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bin, sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cumcnt
+  FROM h
+),
+m AS (
+  SELECT cum.g, min(cum.bin) AS med_bin
+  FROM cum JOIN p ON cum.g = p.g
+  WHERE cum.cumcnt >= (p.n + 1) // 2
+  GROUP BY 1
+)
+SELECT p.g AS l_returnflag, CAST(p.n AS BIGINT) AS n,
+       CAST(p.w AS BIGINT) AS bin_w_cents,
+       CAST(m.med_bin AS BIGINT) AS med_bin,
+       CAST(p.lo + m.med_bin * p.w + p.w // 2 AS DOUBLE) / 100.0
+         AS binned_median
+FROM p JOIN m ON p.g = m.g
+""",
+)
+def agg_median_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-scan BINNED median per return flag, VALUE-EXACT against the
+    oracle — the portable-approximate member completing the percentile
+    triad (`agg_median` exact / `agg_median_approx` native KLL sketch,
+    rows-only / this, reproducible in plain SQL), the same
+    exact / native-sketch / portable-sketch symmetry the distinct
+    family has in `agg_distinct` / `agg_approx_distinct` / `agg_hll`.
+
+    Shape: scan 1 computes per-group (min, max, count) in exact integer
+    cents (the functions/numeric.py floor(x·100 + 0.5) snap); the bin
+    width w = (hi−lo)//1024 + 1 guarantees < 1024 bins; scan 2
+    histograms (group, bin) — a partial-agg shuffle of AT MOST
+    |groups|·1024 rows — and the median bin is the first whose
+    cumulative count reaches rank (n+1)//2, read off a window over the
+    BOUNDED histogram relation (≤ 1024 rows per group — the declared
+    bounded-window pattern, never a data-sized sort). Every number is
+    integer arithmetic until one final cast-and-divide-by-100.0, a
+    correctly-rounded IEEE op on identical operands in both engines.
+
+    Error contract (unit-tested): the estimate sits within w/2 cents of
+    the exact median IN VALUE — a value-quantization bound, unlike the
+    sketch's rank bound — and the histogram partials merge by addition
+    across shards, so a 100 TB median is two scans + a 1024-row state
+    per group, no global sort, no per-group value buffering.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    c = li.select(F.col("l_returnflag").alias("g"), cents.alias("c"))
+    p = c.groupBy("g").agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumn("w", F.expr(f"(hi - lo) div {MEDIAN_BINS} + 1"))
+    h = (
+        c.join(F.broadcast(p), "g")
+        .select("g", F.expr("(c - lo) div w").alias("bin"))
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = h.withColumn(
+        "cumcnt",
+        F.sum("cnt").over(
+            Window.partitionBy("g").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    m = (
+        cum.join(F.broadcast(p.select("g", "n")), "g")
+        .filter(F.col("cumcnt") >= F.expr("(n + 1) div 2"))
+        .groupBy("g")
+        .agg(F.min("bin").alias("med_bin"))
+    )
+    return (
+        p.join(m, "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").cast("long").alias("n"),
+            F.col("w").cast("long").alias("bin_w_cents"),
+            F.col("med_bin").cast("long").alias("med_bin"),
+            (
+                F.expr("CAST(lo + med_bin * w + w div 2 AS DOUBLE)") / F.lit(100.0)
+            ).alias("binned_median"),
+        )
+    )
+
+
 @register(
     "agg_cube",
     oracle="""
@@ -697,6 +808,144 @@ def cms_counters(words: DataFrame) -> DataFrame:
         .select("r", bkt.alias("bkt"))
         .groupBy("r", "bkt")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+#: HyperLogLog geometry (Flajolet, Fusy, Gandouet & Meunier 2007):
+#: m = 64 registers (p = 6 bucket bits), alpha_64 = 0.709 (the paper's
+#: constant for m = 64). The per-key hash is the engine-shared Lehmer
+#: affine mod 2³¹−1 (the CMS prime pair) with ONE SQUARING round on
+#: top: a bare affine of sequential ids is an arithmetic progression
+#: whose suffix trailing-zero counts are nowhere near geometric (rho
+#: would be wildly biased — measured 0.91 rel-err before the square),
+#: while (h·h) mod p is nonlinear and restores the expected
+#: 1.04/√64 ≈ 13% error band (measured 1–10% on the fixture). The
+#: square stays exact in int64: h < 2³¹ → h² < 2⁶². rho is the
+#: suffix's TRAILING-zero count + 1 (P[rho = k] = 2^−k, the same
+#: geometric the leading-zero formulation gives) because trailing
+#: zeros are exact INTEGER arithmetic in both engines:
+#: bit_count((x & −x) − 1). A 31-bit hash leaves 25 suffix bits after
+#: the 6 bucket bits, so an all-zero suffix pins rho at 26.
+HLL_M, HLL_MAX_RHO = 64, 26
+HLL_A, HLL_B, HLL_MOD = 1_299_721, 15_485_867, 2_147_483_647
+
+
+def hll_registers(rows: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(g, bucket, reg) HyperLogLog registers per group over a keyed
+    relation — reg = max(rho) over the group's key OCCURRENCES, which
+    equals the max over its DISTINCT keys (max ignores duplicates), so
+    no distinct expand is ever planned.
+
+    Works unchanged on a STREAMING relation: the key space is fixed at
+    |groups|·64 and registers merge by MAX across micro-batches exactly
+    as across shards — `streaming.events.stream_hll` is this function
+    applied to the event stream, with the batch/stream parity test in
+    tests/test_streaming.py proving both paths land on identical
+    registers (the `cms_counters` discipline for the max-mergeable
+    sketch family member).
+    """
+    k = F.col(key_col).cast("long")
+    h1 = ((k % HLL_MOD) * HLL_A + HLL_B) % HLL_MOD
+    hv = (h1 * h1) % HLL_MOD
+    suffix = F.shiftrightunsigned(hv, 6)
+    rho = F.when(suffix == 0, F.lit(HLL_MAX_RHO)).otherwise(
+        F.bit_count(suffix.bitwiseAND(-suffix) - 1) + 1
+    )
+    return (
+        rows.select(F.col(group_col).alias("g"), (hv % HLL_M).alias("bucket"),
+                    rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+@register(
+    "agg_hll",
+    oracle=f"""
+WITH h AS (
+  SELECT l_returnflag AS g,
+         ((((l_orderkey % {HLL_MOD}) * {HLL_A} + {HLL_B}) % {HLL_MOD})
+          * (((l_orderkey % {HLL_MOD}) * {HLL_A} + {HLL_B}) % {HLL_MOD}))
+         % {HLL_MOD} AS hv
+  FROM lineitem
+),
+rho AS (
+  SELECT g, hv % {HLL_M} AS bucket,
+         CASE WHEN hv // {HLL_M} = 0 THEN {HLL_MAX_RHO}
+              ELSE CAST(bit_count(((hv // {HLL_M}) & -(hv // {HLL_M})) - 1)
+                        AS INT) + 1 END AS rho
+  FROM h
+),
+regs AS (SELECT g, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+agg AS (
+  SELECT g,
+         sum(1.0 / CAST(1::BIGINT << reg AS DOUBLE))
+           + CAST({HLL_M} - count(*) AS DOUBLE) AS inv_sum,
+         CAST(sum(reg) AS BIGINT) AS reg_sum,
+         CAST({HLL_M} - count(*) AS BIGINT) AS zero_regs
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS exact_orders
+  FROM lineitem GROUP BY 1
+)
+SELECT a.g AS l_returnflag, ex.exact_orders,
+       (0.709 * 4096.0) / a.inv_sum AS hll_est,
+       a.reg_sum, a.zero_regs
+FROM agg a JOIN ex USING (g)
+""",
+)
+def agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog distinct-orderkey estimate per return
+    flag, VALUE-EXACT against the oracle — the sketch-family twin
+    `agg_approx_distinct` (Spark's native HLL++, engine-specific →
+    rows-only) cannot be, in the exact sense `sim_ann_kmeans` twins
+    `sim_ann_ivf`: same algorithm, every number reproducible in SQL.
+
+    Bit-exactness of the DOUBLE estimate is by construction, not luck:
+    every register term 1/2^reg is an exact power of two
+    (1.0 / CAST(1 << reg AS DOUBLE) — never pow(), whose libm rounding
+    is not contractual), all terms are multiples of 2^−26 with a total
+    < 2⁷, so every partial sum fits 33 mantissa bits and the float SUM
+    is exact under ANY summation order; alpha·m² is one correctly-
+    rounded constant fold and the final division one correctly-rounded
+    op on identical operands — IEEE semantics both engines share. The
+    raw Flajolet estimate is emitted without the small-range
+    linear-counting branch (it needs ln(), again libm): the fixture
+    cardinalities (~11k per flag at sf0.01) sit squarely in the raw
+    regime n > 2.5m, and the registers themselves (reg_sum, zero_regs)
+    travel alongside for any consumer that wants a corrected finish.
+
+    Scale shape (the entire point of the sketch): the shuffle after
+    the map-side partial max carries at most |groups|·64 rows — a
+    fixed-size, MAX-mergeable state per group regardless of corpus
+    size, vs count(DISTINCT)'s expand + full-key shuffle. Registers
+    max-merge across shards, streams (see `stream_hll`) and days for
+    free; the exact count is computed here only as the accuracy
+    comparison column (the `agg_countmin` convention).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, "l_returnflag", "l_orderkey")
+    inv = F.lit(1.0) / F.expr("shiftleft(1L, reg)").cast("double")
+    agg = regs.groupBy("g").agg(
+        (F.sum(inv) + (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")).alias(
+            "inv_sum"
+        ),
+        F.sum("reg").alias("reg_sum"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("zero_regs"),
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return (
+        agg.join(ex, agg.g == ex.l_returnflag)
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            ((F.lit(0.709) * F.lit(4096.0)) / F.col("inv_sum")).alias("hll_est"),
+            "reg_sum",
+            "zero_regs",
+        )
     )
 
 

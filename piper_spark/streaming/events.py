@@ -561,3 +561,20 @@ def stream_drift(docs: DataFrame) -> DataFrame:
     from piper_spark.pipelines import drift_counts
 
     return drift_counts(docs)
+
+
+def stream_hll(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog registers over the event stream — the
+    max-mergeable member of the streaming sketch family beside
+    `stream_countmin` (add-mergeable counters) and `stream_drift`
+    (add-mergeable histogram): the SAME `hll_registers` relation the
+    batch `agg_hll` builds, applied to (event_type, user_id), as an
+    update-mode aggregation whose key space is fixed at |types|·64 —
+    state is sketch-sized forever, and registers merge by MAX across
+    micro-batches exactly as across shards or days. The estimate is a
+    finish the consumer derives from the register snapshot (the batch
+    key's alpha·m²/Σ2^−reg expression), exactly as `stream_countmin`
+    leaves the min-probe to the reader."""
+    from piper_spark.operators.aggregates import hll_registers
+
+    return hll_registers(events, "event_type", "user_id")

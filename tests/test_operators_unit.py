@@ -596,3 +596,69 @@ def test_dedup_url_groups_of_seven(spark):
         assert 2 <= r.n_dups <= 7
         assert r.canon_url.endswith(f"/p/{r.keep_id // 7}")
         assert r.keep_id % 7 == 0 or r.canon_url.endswith("/p/0")
+
+
+def test_hll_accuracy_and_mergeability(spark):
+    """Round-10 agg_hll: (a) the raw Flajolet estimate lands within a
+    loose multiple of the 13% (1.04/√64) standard error on the real
+    per-flag orderkey cardinalities; (b) registers are MAX-mergeable —
+    the registers of the full table equal the elementwise max of the
+    registers of two disjoint halves, the property that makes the
+    sketch shard- and stream-composable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from piper_spark.operators.aggregates import agg_hll, hll_registers
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    for r in agg_hll(spark, SF_SMOKE).collect():
+        # sf0.001 per-flag cardinality ~1.1k >> 2.5m = 160 → raw regime
+        assert abs(r.hll_est - r.exact_orders) <= 0.45 * r.exact_orders, (
+            r.l_returnflag, r.hll_est, r.exact_orders,
+        )
+        assert r.zero_regs == 0 and r.reg_sum > 0
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    full = {
+        (r.g, r.bucket): r.reg
+        for r in hll_registers(li, "l_returnflag", "l_orderkey").collect()
+    }
+    lo = li.filter(F.col("l_orderkey") % 2 == 0)
+    hi = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged: dict = {}
+    for half in (lo, hi):
+        for r in hll_registers(half, "l_returnflag", "l_orderkey").collect():
+            k = (r.g, r.bucket)
+            merged[k] = max(merged.get(k, 0), r.reg)
+    assert merged == full
+
+
+def test_median_bins_within_value_quantization(spark):
+    """Round-10 agg_median_bins: the binned estimate must sit within
+    half a bin width (IN VALUE) of the exact rank-(n+1)//2 median —
+    the two-scan histogram's quantization contract — and the bin count
+    must respect the fixed ≤ 1024 state bound."""
+    from piper_spark.operators.aggregates import MEDIAN_BINS, agg_median_bins
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    got = {r.l_returnflag: r for r in agg_median_bins(spark, SF_SMOKE).collect()}
+    li = table(spark, SF_SMOKE, "lineitem")
+    import pyspark.sql.functions as F
+
+    for flag, r in got.items():
+        vals = sorted(
+            x.c
+            for x in li.filter(F.col("l_returnflag") == flag)
+            .select(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+                .cast("long")
+                .alias("c")
+            )
+            .collect()
+        )
+        exact_cents = vals[(len(vals) + 1) // 2 - 1]
+        assert r.med_bin < MEDIAN_BINS
+        assert abs(r.binned_median * 100.0 - exact_cents) <= r.bin_w_cents / 2 + 1e-9, (
+            flag, r.binned_median, exact_cents / 100.0, r.bin_w_cents,
+        )

@@ -912,3 +912,25 @@ def test_img_augment_is_spread_then_arrow(spark):
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan
     assert "Join" not in plan
+
+
+def test_agg_hll_registers_avoid_distinct_expand(spark):
+    """Round-10 agg_hll: the REGISTER path must never plan an Expand —
+    max(rho) over occurrences equals max over distinct keys, so the
+    sketch side carries no count(DISTINCT) machinery (the one Expand
+    in the full key belongs to the exact comparison column only), no
+    Python worker, and no nested-loop join."""
+    from piper_spark.operators.aggregates import hll_registers
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    regs = hll_registers(
+        table(spark, SF_SMOKE, "lineitem"), "l_returnflag", "l_orderkey"
+    )
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1  # one partial-max shuffle
+    full = plan_of(spark, "agg_hll")
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full

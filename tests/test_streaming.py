@@ -568,3 +568,52 @@ def test_stream_drift_matches_batch_counts(spark):
         for r in drift_counts(table(spark, SF_SMOKE, "documents")).collect()
     }
     assert got == want
+
+
+def test_stream_hll_matches_batch_registers(spark, events_dir):
+    """Round-10: the streaming HLL twin (update-mode MAX aggregation,
+    fixed |types|·64 key space) must land on the SAME register relation
+    the batch `hll_registers` derives from the full table — max merges
+    across micro-batches exactly as across shards — and the batch
+    estimate finish applied to the STREAMED registers must be
+    self-consistent (alpha·m²/Σ2^−reg over 64 registers)."""
+    from piper_spark.operators.aggregates import HLL_M, hll_registers
+    from piper_spark.streaming.events import stream_hll
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    run_available_now(stream_hll(stream), "hll_out", output_mode="complete")
+    streamed = {
+        (r.g, r.bucket): r.reg for r in spark.table("hll_out").collect()
+    }
+    batch = {
+        (r.g, r.bucket): r.reg
+        for r in hll_registers(
+            table(spark, SF_SMOKE, "events"), "event_type", "user_id"
+        ).collect()
+    }
+    assert streamed == batch
+
+    # Estimate finish from the streamed snapshot: exact powers of two,
+    # so plain Python float arithmetic reproduces the engine doubles.
+    import math
+
+    types = {g for g, _ in streamed}
+    for g in types:
+        regs = [streamed.get((g, b), 0) for b in range(HLL_M)]
+        inv = sum(1.0 / (1 << r) for r in regs)
+        est = (0.709 * 4096.0) / inv
+        zeros = regs.count(0)
+        # The FULL Flajolet finish, including the small-range
+        # linear-counting branch the registered key deliberately omits
+        # (it needs ln(), which is libm- not IEEE-contractual — fine
+        # here in the consumer, where bit-exactness is not at stake):
+        # the smoke fixture's per-type cardinality (~15) is deep in
+        # the n < 2.5m regime where the raw estimate alone is biased.
+        if est <= 2.5 * HLL_M and zeros > 0:
+            est = HLL_M * math.log(HLL_M / zeros)
+        exact = (
+            table(spark, SF_SMOKE, "events")
+            .filter(F.col("event_type") == g)
+            .select("user_id").distinct().count()
+        )
+        assert 0.5 * exact <= est <= 2.0 * exact, (g, est, exact)
