@@ -3429,3 +3429,197 @@ def dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = _video_fh_rel(d, min_nf=2 * k + 1).persist()
     return video_near_dup_pairs(f, k)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar-shard ingest: the de-facto container for
+# 100 TB training corpora (tar shards of per-sample member files,
+# often gzip-compressed) — the ARCHIVE member of the container family
+# beside RIFF/WAV (audio) and RIFF/AVI (video). Same discipline:
+# fixture synthesis through ONE library (stdlib tarfile/gzip), a
+# STRICT hand-written parser that validates every field it depends
+# on, and an oracle that recomputes the member facts arithmetically
+# from the raw text — so the parser cannot be self-consistent with
+# its own encoder.
+# ---------------------------------------------------------------------------
+
+#: Member geometry: payload split into TAR_CHUNK-byte sample files;
+#: ODD-indexed members are gzip-compressed (mtime pinned to 0 so the
+#: synthesis is byte-deterministic) — both the stored and the
+#: compressed member paths are exercised on every multi-chunk doc.
+TAR_CHUNK = 100
+
+
+def encode_tar(payload: bytes, doc_id: int) -> bytes:
+    """Payload → canonical ustar archive of TAR_CHUNK-byte members
+    named ``{doc_id}/{i:06d}.txt[.gz]`` — deliberately built with the
+    STDLIB writer (tarfile, USTAR_FORMAT, zeroed uid/gid/mtime) so
+    `decode_tar`'s strict field validation is checked against an
+    independent producer, not a mirror of itself."""
+    import gzip
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for i in range((len(payload) + TAR_CHUNK - 1) // TAR_CHUNK):
+            chunk = payload[i * TAR_CHUNK : (i + 1) * TAR_CHUNK]
+            data = gzip.compress(chunk, 9, mtime=0) if i % 2 else chunk
+            info = tarfile.TarInfo(
+                f"{doc_id}/{i:06d}.txt" + (".gz" if i % 2 else "")
+            )
+            info.size = len(data)
+            info.mtime = info.uid = info.gid = 0
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def decode_tar(tar: bytes) -> list[tuple[str, bytes]]:
+    """STRICT ustar parse → [(member name, raw member bytes)] in
+    archive order.
+
+    Validates everything it depends on, loudly (the decode_wav/
+    decode_avi discipline): 512-byte block alignment, the
+    'ustar\\0'+'00' POSIX magic on every header, regular-file
+    typeflag, non-empty name, STRICTLY octal size field, the header
+    CHECKSUM recomputed with the checksum field blanked to spaces,
+    data regions inside the archive, ZERO padding bytes after each
+    member, a terminator of at least two zero blocks, and nothing
+    but zeros after it. GNU longname/sparse extensions, pax headers,
+    links, and directories are out of scope and rejected — the
+    single-format convention of the image decoders."""
+
+    def fail(msg: str) -> None:
+        raise ValueError(f"tar: {msg}")
+
+    if len(tar) == 0 or len(tar) % 512:
+        fail("archive is not a whole number of 512-byte blocks")
+    members: list[tuple[str, bytes]] = []
+    pos = 0
+    while True:
+        if pos + 512 > len(tar):
+            fail("missing end-of-archive terminator")
+        header = tar[pos : pos + 512]
+        if header == b"\x00" * 512:
+            if len(tar) - pos < 1024:
+                fail("terminator shorter than two zero blocks")
+            if any(tar[pos:]):
+                fail("nonzero byte after end-of-archive terminator")
+            return members
+        if header[257:263] != b"ustar\x00" or header[263:265] != b"00":
+            fail("bad ustar magic/version")
+        if header[156:157] != b"0":
+            fail("non-regular-file typeflag")
+        name = header[0:100].rstrip(b"\x00")
+        if not name:
+            fail("empty member name")
+        size_field = header[124:136].rstrip(b"\x00 ")
+        if not size_field or any(c not in b"01234567" for c in size_field):
+            fail("size field is not octal")
+        size = int(size_field, 8)
+        chksum_field = header[148:156].rstrip(b"\x00 ")
+        if not chksum_field or any(c not in b"01234567" for c in chksum_field):
+            fail("checksum field is not octal")
+        expect = sum(header[:148]) + 8 * 0x20 + sum(header[156:])
+        if int(chksum_field, 8) != expect:
+            fail("header checksum mismatch")
+        data_end = pos + 512 + size
+        if data_end > len(tar):
+            fail("member data overruns archive")
+        padded_end = pos + 512 + ((size + 511) // 512) * 512
+        if padded_end > len(tar):
+            fail("member padding overruns archive")
+        if any(tar[data_end:padded_end]):
+            fail("nonzero padding after member data")
+        members.append((name.decode("ascii"), tar[pos + 512 : data_end]))
+        pos = padded_end
+
+
+def _tar_member_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload → stdlib-written tar → strict
+    re-parse → decompress odd members → position-weighted member
+    facts. Raises (never skips) on any container or naming
+    inconsistency — silent-skip is the reference bug this engine
+    deliberately does not replicate."""
+    import gzip
+
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            doc_id, payload = int(doc_id), bytes(payload)
+            members = decode_tar(encode_tar(payload, doc_id))
+            checksum = data_bytes = gz_members = 0
+            for i, (name, data) in enumerate(members):
+                want = f"{doc_id}/{i:06d}.txt" + (".gz" if i % 2 else "")
+                if name != want:
+                    raise ValueError(f"tar: member {i} named {name!r}, want {want!r}")
+                chunk = gzip.decompress(data) if i % 2 else data
+                gz_members += i % 2
+                data_bytes += len(chunk)
+                checksum += (i + 1) * sum(chunk)
+            rows.append((doc_id, len(members), gz_members, data_bytes, checksum))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_members", "gz_members", "data_bytes",
+                     "member_checksum"],
+        )
+        rows = []
+
+
+@register(
+    "source_tar_members",
+    oracle=f"""
+SELECT doc_id,
+       CAST((octet_length(encode(text)) + {TAR_CHUNK - 1}) // {TAR_CHUNK}
+            AS BIGINT) AS n_members,
+       CAST(((octet_length(encode(text)) + {TAR_CHUNK - 1}) // {TAR_CHUNK}) // 2
+            AS BIGINT) AS gz_members,
+       CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+       CAST(list_sum(list_prepend(0,
+              list_transform(range(0, octet_length(encode(text))),
+                j -> (j // {TAR_CHUNK} + 1)
+                     * ord(substring(text, CAST(j + 1 AS INT), 1)))))
+            AS BIGINT) AS member_checksum
+FROM documents
+WHERE octet_length(encode(text)) > 0
+""",
+)
+def source_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style TAR-SHARD ingest — the archive container a
+    100 TB training corpus actually arrives in (tar shards of
+    per-sample member files, odd members gzip-compressed here so both
+    the stored and compressed paths run on every multi-chunk doc).
+    Each payload is tar'd by the STDLIB writer in the fixture pass,
+    then `decode_tar` re-parses the archive from scratch: ustar magic,
+    header checksum (recomputed with the field blanked — the one
+    integrity field the format carries), strict octal sizes, padding
+    and terminator zero-checks, 12 malformed classes rejected loudly
+    (unit-tested). Member names are verified against the expected
+    sequence and gzip members actually decompressed, so the emitted
+    facts cover framing AND content.
+
+    The member_checksum is position-WEIGHTED (weight i+1 per member) —
+    a chunk-boundary error, member reorder, or off-by-one in the
+    512-block walk mismatches every row, where an unweighted byte sum
+    would be boundary-invariant (the `img_augment` weighting
+    argument). The oracle recomputes all four facts arithmetically
+    from the raw text — byte j belongs to member j//{TAR_CHUNK} — so
+    the parse, not the synthesis, is what is under test.
+
+    Scale shape: one Arrow pass over `spread_for_decode` parallelism,
+    no shuffle — shard ingest is embarrassingly parallel; in
+    production the payload column IS the shard bytes from
+    `binaryFile`, and the same strict walk streams members out of
+    multi-GB shards partition-locally.
+    """
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
+    return d.mapInPandas(
+        _tar_member_batches,
+        schema=(
+            "doc_id long, n_members long, gz_members long, "
+            "data_bytes long, member_checksum long"
+        ),
+    )

@@ -831,3 +831,67 @@ def test_img_augment_checksum_is_geometry_sensitive():
     assert cs(rotate90(flip(img, code=0), k=-1)) != cs(
         rotate90(flip(img, code=0))
     )
+
+
+def test_tar_roundtrip_and_member_layout():
+    """encode_tar → decode_tar recovers exactly the chunked payload:
+    names in sequence, odd members gzip-framed, concatenation of
+    decompressed members byte-equal to the input."""
+    import gzip
+
+    from piper_spark.sources.multimodal import TAR_CHUNK, decode_tar, encode_tar
+
+    payload = bytes(range(33, 127)) * 5  # 470 bytes → 5 members
+    members = decode_tar(encode_tar(payload, 7))
+    assert [n for n, _ in members] == [
+        f"7/{i:06d}.txt" + (".gz" if i % 2 else "") for i in range(5)
+    ]
+    chunks = [
+        gzip.decompress(d) if i % 2 else d for i, (_, d) in enumerate(members)
+    ]
+    assert b"".join(chunks) == payload
+    assert all(len(c) == TAR_CHUNK for c in chunks[:-1])
+
+
+def test_tar_strict_parser_rejects_malformed():
+    """Every structural field decode_tar depends on must fail LOUDLY
+    when corrupted — 12 malformed classes, each built by mutating a
+    valid stdlib-written archive."""
+    import pytest
+
+    from piper_spark.sources.multimodal import decode_tar, encode_tar
+
+    good = bytearray(encode_tar(b"x" * 250, 3))  # 3 members
+
+    def expect(buf, msg):
+        with pytest.raises(ValueError, match=msg):
+            decode_tar(bytes(buf))
+
+    expect(good[:-1], "512-byte blocks")                      # 1 alignment
+    expect(good[:512], "overruns archive")                    # 2 truncated data
+    bad = good.copy(); bad[257:263] = b"notar\x00"
+    expect(bad, "magic")                                      # 3 magic
+    bad = good.copy(); bad[263:265] = b"99"
+    expect(bad, "magic/version")                              # 4 version
+    bad = good.copy(); bad[156] = ord("5")
+    expect(bad, "typeflag")                                   # 5 typeflag
+    bad = good.copy(); bad[0:100] = b"\x00" * 100
+    expect(bad, "empty member name|checksum")                 # 6 name
+    bad = good.copy(); bad[124:136] = b"00000000zz \x00"
+    expect(bad, "octal")                                      # 7 size octal
+    bad = good.copy(); bad[148:156] = b"0000000\x00"
+    expect(bad, "checksum")                                   # 8 checksum
+    # 9 data overrun: declare a huge size and refresh the checksum
+    bad = good.copy(); bad[124:136] = b"77777777777\x00"
+    s = sum(bad[:148]) + 8 * 0x20 + sum(bad[156:512])
+    bad[148:156] = (oct(s)[2:].rjust(6, "0") + "\x00 ").encode()
+    expect(bad, "overruns")
+    # 10 nonzero padding: poke a pad byte of member 0 (100-byte data → pad 100..511)
+    bad = good.copy(); bad[512 + 200] = 1
+    expect(bad, "padding")
+    # 11 missing terminator: cut the archive right after the last member
+    last_end = 3 * 1024  # 3 members × (512 header + 512 padded data)
+    expect(good[:last_end], "terminator")
+    # 12 nonzero byte after the terminator
+    bad = good.copy(); bad[-1] = 1
+    expect(bad, "after end-of-archive|checksum|terminator")
