@@ -895,3 +895,29 @@ def test_tar_strict_parser_rejects_malformed():
     # 12 nonzero byte after the terminator
     bad = good.copy(); bad[-1] = 1
     expect(bad, "after end-of-archive|checksum|terminator")
+
+
+def test_phash_int_perceptual_stability_and_sensitivity():
+    """The integer-DCT hash must survive the perceptually-invisible
+    plant (+1 on every 97th byte → ≤ 8 bits moved; measured ≤ 2) while
+    separating structurally different payloads, and exact duplicates
+    hash identically."""
+    from piper_spark.sources.multimodal import _perturb, phash_int64
+
+    payloads = [
+        (b"the quick brown fox jumps over the lazy dog " * 12)[: 400 + 13 * i]
+        for i in range(20)
+    ]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for p in payloads:
+        h0, _ = phash_int64(p)
+        assert phash_int64(p)[0] == h0
+        h1, _ = phash_int64(_perturb(p))
+        assert ham(h0, h1) <= 8, ham(h0, h1)
+    # structurally different content should not collide wholesale
+    ha, _ = phash_int64(payloads[0])
+    hb, _ = phash_int64(bytes(range(256)) * 4)
+    assert ham(ha, hb) > 8
