@@ -682,6 +682,139 @@ def embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Integer power-iteration geometry: iterate vector rescaled to
+#: max|v| = 2¹², scatter matrix right-shifted until < 2³⁰ — products
+#: S'·v stay ≤ d·2³⁰·2¹² = 2⁴⁸ and the rescale numerator ≤ 2⁶⁰, exact
+#: int64 on both engines. ROUNDS is fixed (the cluster_kmeans
+#: fixed-iteration contract); convergence-to-fixpoint is the
+#: documented production opt-in, not the oracle-checked shape.
+POWER_VSCALE, POWER_ROUNDS = 1 << 12, 12
+
+
+def _power_oracle() -> str:
+    """Unrolled integer power-iteration CTE chain. Per-round CTEs are
+    MATERIALIZED: v_{r+1} reads u_r twice (values + max), so without
+    materialization DuckDB's CTE inlining doubles the subtree per
+    round — 2¹² re-evaluations of the corpus scan (measured as a
+    too-many-open-files blowup before this keyword)."""
+    smear = (
+        "(m | (m>>1) | (m>>2) | (m>>4) | (m>>8) | (m>>16) | (m>>32))"
+    )
+    rounds, prev = [], "v0"
+    for r in range(POWER_ROUNDS):
+        rounds.append(f"""
+u{r} AS MATERIALIZED (
+  SELECT s.i, sum(s.sv * p.x) AS u
+  FROM sp s JOIN {prev} p ON p.i = s.j GROUP BY s.i
+),
+m{r} AS (SELECT max(abs(u)) AS m FROM u{r}),
+v{r + 1} AS MATERIALIZED (
+  SELECT u.i,
+         CASE WHEN m.m = 0 THEN 0
+              ELSE (CASE WHEN u.u < 0 THEN -1 ELSE 1 END)
+                   * ((abs(u.u) * {POWER_VSCALE}) // m.m) END AS x
+  FROM u{r} u CROSS JOIN m{r} m
+)""")
+        prev = f"v{r + 1}"
+    body = ",".join(rounds)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE!r} + 0.5) AS BIGINT)
+          FOR x IN embedding] AS v
+  FROM embeddings
+),
+idx AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM q) + 1)) AS i),
+p AS (SELECT a.i AS i, b.i AS j FROM idx a CROSS JOIN idx b),
+g AS MATERIALIZED (
+  SELECT i, j, sum(v[i] * v[j]) AS sxy, sum(v[i]) AS sx, sum(v[j]) AS sy,
+         count(*) AS n
+  FROM q, p GROUP BY i, j
+),
+s AS (SELECT i - 1 AS i, j - 1 AS j, n * sxy - sx * sy AS sv FROM g),
+mx AS (SELECT max(abs(sv)) AS m FROM s),
+tt AS (SELECT greatest(bit_count({smear}) - 30, 0) AS t FROM mx),
+sp AS MATERIALIZED (
+  SELECT s.i, s.j,
+         CASE WHEN s.sv < 0 THEN -((-s.sv) >> tt.t) ELSE s.sv >> tt.t END AS sv
+  FROM s CROSS JOIN tt
+),
+v0 AS (SELECT DISTINCT i, {POWER_VSCALE}::BIGINT AS x FROM s),
+{body}
+SELECT CAST(i AS INT) AS dim, CAST(x AS BIGINT) AS v FROM {prev}
+"""
+
+
+@register("embed_power_iter", oracle=_power_oracle())
+def embed_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant covariance direction by INTEGER power iteration,
+    ORACLE-EXACT — the portable twin the eigen family
+    (`embed_pca`/`embed_whiten`, numpy eigh → rows-only by nature) was
+    missing, completing the twin discipline across every ⚠ family
+    (sketches → `agg_hll`/`agg_median_bins`, ANN → `sim_ann_kmeans`,
+    DCT → `img_phash_int`, eigen → here).
+
+    Semantics: {POWER_ROUNDS} fixed rounds (the `cluster_kmeans`
+    fixed-iteration contract) of v ← S'·v over the INTEGER scatter
+    matrix S = n·Σxy − Σx·Σy (exact int64 from the same `cov_partials`
+    the oracle-checked `embed_cov` aggregates; S ∝ covariance, so the
+    dominant direction is PCA's PC1). All quantization is sign-split
+    truncation — identical in numpy and SQL — with S right-shifted
+    below 2³⁰ (shift derived from the data by an OR-smear bit-length,
+    computed the same way in both engines) and v rescaled to
+    max|v| = 2¹² per round, keeping every product within int64.
+    Convergence to the true eigenvector is a property of the SPECTRUM,
+    not the contract: the fixture corpus is near-isotropic
+    (λ₁/λ₂ ≈ 1.013 — 12 rounds provably cannot separate), so the
+    planted-spike property test pins cos ≥ 0.99 where an eigengap
+    exists, and the registered key pins the deterministic iterate.
+
+    Scale shape: the corpus is touched ONCE (the `cov_partials` Arrow
+    pass; shuffle = d² 8-byte keys, corpus-size-independent); the
+    iteration runs on the d×d driver-side artifact (the bounded-model
+    convention of `train_codebook`/`embed_pca`). Production overflow
+    bound: un-centered scatter needs n·(COV_SCALE·max|x|)² < 2⁶³ — at
+    corpus scale, center the partials on the integer mean in the same
+    pass (one subtract per row) so the bound depends on variance, not
+    magnitude.
+    """
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    rows = cov_partials(e).collect()  # ≤ d(d+1)/2 rows: model artifact
+    if not rows:
+        return spark.createDataFrame([], "dim int, v long")
+    d = max(r["i"] for r in rows) + 1
+    n = rows[0]["n"]
+    S = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        sv = n * r["sxy"] - r["sx"] * r["sy"]
+        S[r["i"], r["j"]] = S[r["j"], r["i"]] = sv
+    v = power_iterate(S)
+    return spark.createDataFrame(
+        [(int(i), int(x)) for i, x in enumerate(v)], "dim int, v long"
+    )
+
+
+def power_iterate(S: "np.ndarray", rounds: int = POWER_ROUNDS) -> "np.ndarray":
+    """The driver-side integer iteration both `embed_power_iter` and
+    the property tests run: shift S below 2³⁰ (sign-split truncation),
+    then `rounds` matvec + rescale-to-2¹² steps from the all-ones
+    start. Pure int64; mirrors the oracle CTE chain op-for-op."""
+    import numpy as np
+
+    t = max(0, int(np.abs(S).max()).bit_length() - 30)
+    Sp = np.sign(S) * (np.abs(S) // (1 << t))
+    v = np.full(S.shape[0], POWER_VSCALE, dtype=np.int64)
+    for _ in range(rounds):
+        u = Sp @ v
+        m = int(np.abs(u).max())
+        if m == 0:
+            return np.zeros_like(v)
+        v = np.sign(u) * ((np.abs(u) * POWER_VSCALE) // m)
+    return v
+
+
 @register("embed_pca")
 def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection to PCA_K components — the dimensionality-reduction

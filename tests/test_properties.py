@@ -1640,3 +1640,27 @@ def test_simhash_distinct_word_cap_agrees_cross_engine(spark):
         con.execute(_simhash_sig_sql(2) + "\nSELECT doc_id, sh FROM sig").fetchall()
     )
     assert got == want and set(got) == {1, 2}
+
+
+def test_power_iteration_converges_on_planted_spike():
+    """Round-10 embed_power_iter: the integer iteration must align with
+    the true dominant eigenvector (cos >= 0.99) whenever an eigengap
+    exists — pinned on a planted-spike scatter because the fixture
+    corpus is near-isotropic (λ1/λ2 ≈ 1.013, where 12 rounds provably
+    cannot separate); the registered key's contract is the
+    deterministic iterate, which the oracle checks bit-for-bit."""
+    import numpy as np
+
+    from piper_spark.functions.similarity import POWER_VSCALE, power_iterate
+
+    rng = np.random.default_rng(0)
+    Y = rng.integers(-50, 51, (400, 16)).astype(np.int64)
+    Y[:, 3] += rng.integers(-500, 501, 400)  # dominant direction ≈ e3
+    S = len(Y) * (Y.T @ Y) - np.outer(Y.sum(0), Y.sum(0))
+    v = power_iterate(S)
+    assert int(np.abs(v).max()) == POWER_VSCALE
+    w = np.linalg.eigh(S.astype(np.float64))[1][:, -1]
+    cos = abs(w @ v) / (np.linalg.norm(w) * np.linalg.norm(v))
+    assert cos >= 0.99, cos
+    # all-zero scatter degenerates to the zero vector, not a crash
+    assert (power_iterate(np.zeros((4, 4), dtype=np.int64)) == 0).all()
