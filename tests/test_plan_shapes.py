@@ -934,3 +934,29 @@ def test_agg_hll_registers_avoid_distinct_expand(spark):
     full = plan_of(spark, "agg_hll")
     assert "CartesianProduct" not in full
     assert "BroadcastNestedLoopJoin" not in full
+
+
+def test_round10_session_keys_plan_shapes(spark):
+    """Round-10 session additions: the two container/codec keys are
+    single Arrow passes whose only exchange is the declared
+    spread_for_decode round-robin (no keyed shuffle, no join); the
+    binned median's corpus-side work is one partial-agg histogram
+    shuffle plus broadcast joins of the 3-row stats relation (never a
+    data-sized sort); the power-iteration key's corpus touch is the
+    cov_partials Arrow pass + d²-key aggregate."""
+    for key in ("source_tar_members", "img_phash_int"):
+        plan = plan_of(spark, key)
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, key
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, key
+        assert plan.count("Exchange") <= 1, key  # the spread repartition
+
+    plan = plan_of(spark, "agg_median_bins")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan      # stats relation broadcast back
+    # the histogram window runs over the bounded ≤1024-bin relation —
+    # a global data-sized Sort of `lineitem` would show as a Sort over
+    # the scan subtree with no preceding partial aggregate
+    assert "Window" in plan
+
+    plan = plan_of(spark, "embed_power_iter")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
