@@ -949,6 +949,139 @@ def agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared HLL estimate finish over a register relation grouped by the
+#: listed keys — the exact-power-of-two sum that makes the double
+#: bit-identical across engines (see `agg_hll`).
+def _hll_finish(regs: DataFrame, *keys: str):
+    inv = F.lit(1.0) / F.expr("shiftleft(1L, reg)").cast("double")
+    return regs.groupBy(*keys).agg(
+        (
+            (F.lit(0.709) * F.lit(4096.0))
+            / (F.sum(inv) + (F.lit(HLL_M) - F.count(F.lit(1))).cast("double"))
+        ).alias("est")
+    )
+
+
+_HLL_SQL_FINISH = (
+    f"(0.709 * 4096.0) / (sum(1.0 / CAST(1::BIGINT << reg AS DOUBLE))"
+    f" + CAST({HLL_M} - count(*) AS DOUBLE))"
+)
+
+
+@register(
+    "agg_hll_union",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type AS g,
+         ((((user_id % {HLL_MOD}) * {HLL_A} + {HLL_B}) % {HLL_MOD})
+          * (((user_id % {HLL_MOD}) * {HLL_A} + {HLL_B}) % {HLL_MOD}))
+         % {HLL_MOD} AS hv
+  FROM events
+),
+rho AS (
+  SELECT g, hv % {HLL_M} AS bucket,
+         CASE WHEN hv // {HLL_M} = 0 THEN {HLL_MAX_RHO}
+              ELSE CAST(bit_count(((hv // {HLL_M}) & -(hv // {HLL_M})) - 1)
+                        AS INT) + 1 END AS rho
+  FROM h
+),
+regs AS (SELECT g, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+est1 AS (SELECT g, {_HLL_SQL_FINISH} AS est FROM regs GROUP BY g),
+types AS (SELECT DISTINCT g FROM regs),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb FROM types a JOIN types b ON a.g < b.g
+),
+pl AS (
+  SELECT ga, gb, unnest([ga, gb]) AS g FROM pairs
+),
+ureg AS (
+  SELECT pl.ga, pl.gb, r.bucket, max(r.reg) AS reg
+  FROM pl JOIN regs r USING (g) GROUP BY 1, 2, 3
+),
+uest AS (SELECT ga, gb, {_HLL_SQL_FINISH} AS est_union
+         FROM ureg GROUP BY ga, gb),
+du AS (SELECT DISTINCT event_type AS g, user_id FROM events),
+exact AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT u.ga AS type_a, u.gb AS type_b, x.exact_inter,
+       ea.est AS est_a, eb.est AS est_b, u.est_union,
+       (ea.est + eb.est) - u.est_union AS est_inter
+FROM uest u
+JOIN est1 ea ON ea.g = u.ga
+JOIN est1 eb ON eb.g = u.gb
+JOIN exact x ON x.ga = u.ga AND x.gb = u.gb
+""",
+)
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET OPERATIONS across groups — the reason sketches exist in
+    a 100 TB pipeline: per-type register snapshots are max-merged into
+    a UNION estimate for every type pair WITHOUT rescanning the corpus
+    (registers are the fixed-size state `stream_hll` accumulates;
+    merging two days' or two shards' sketches is this exact max), and
+    the intersection follows by inclusion-exclusion on three bit-exact
+    doubles — one add and one subtract in the same written order in
+    both engines, so even the derived estimate hash-matches.
+
+    Shapes: ONE corpus scan builds the shared register relation
+    (`hll_registers`); the pair lattice is |types|² bounded rows; the
+    union registers are an equi-join of the exploded 2-row-per-pair
+    relation against the |types|·64-row registers — every data-sized
+    relation is touched once. The exact intersection comparison column
+    (the `agg_countmin` convention) is the expensive thing the sketch
+    replaces: a distinct-pair self-join that shuffles user ids.
+    """
+    e = table(spark, sf_dir, "events")
+    regs = hll_registers(e, "event_type", "user_id").persist()
+    est1 = _hll_finish(regs, "g")
+    types = regs.select("g").distinct()
+    pairs = (
+        types.select(F.col("g").alias("ga"))
+        .crossJoin(types.select(F.col("g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    pl = pairs.select(
+        "ga", "gb", F.explode(F.array("ga", "gb")).alias("g")
+    )
+    ureg = (
+        pl.join(regs, "g")
+        .groupBy("ga", "gb", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    uest = _hll_finish(ureg, "ga", "gb").withColumnRenamed("est", "est_union")
+    du = e.select(F.col("event_type").alias("g"), "user_id").distinct()
+    exact = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    ea = est1.select(F.col("g").alias("ga"), F.col("est").alias("est_a"))
+    eb = est1.select(F.col("g").alias("gb"), F.col("est").alias("est_b"))
+    return (
+        uest.join(ea, "ga")
+        .join(eb, "gb")
+        .join(exact, ["ga", "gb"])
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "exact_inter",
+            "est_a",
+            "est_b",
+            "est_union",
+            ((F.col("est_a") + F.col("est_b")) - F.col("est_union")).alias(
+                "est_inter"
+            ),
+        )
+    )
+
+
 #: Shared (dialect-common) skewness / excess-kurtosis finish over the
 #: exact integer power sums n, s1..s4 — the SAME text runs in Spark SQL
 #: and DuckDB, so the float operation SEQUENCE is identical and the

@@ -662,3 +662,19 @@ def test_median_bins_within_value_quantization(spark):
         assert abs(r.binned_median * 100.0 - exact_cents) <= r.bin_w_cents / 2 + 1e-9, (
             flag, r.binned_median, exact_cents / 100.0, r.bin_w_cents,
         )
+
+
+def test_hll_union_monotone_and_identity(spark):
+    """Round-10 agg_hll_union: max-merged union registers dominate each
+    side's, so est_union >= max(est_a, est_b) holds EXACTLY (every
+    2^-reg term shrinks or stays); est_inter must equal the
+    inclusion-exclusion identity of the three emitted estimates."""
+    from piper_spark.operators.aggregates import agg_hll_union
+    from tests.conftest import SF_SMOKE
+
+    rows = agg_hll_union(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.est_union >= max(r.est_a, r.est_b) - 1e-9, r
+        assert abs(r.est_inter - ((r.est_a + r.est_b) - r.est_union)) < 1e-9
+        assert r.exact_inter > 0
