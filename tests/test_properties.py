@@ -1664,3 +1664,31 @@ def test_power_iteration_converges_on_planted_spike():
     assert cos >= 0.99, cos
     # all-zero scatter degenerates to the zero vector, not a crash
     assert (power_iterate(np.zeros((4, 4), dtype=np.int64)) == 0).all()
+
+
+@given(
+    payload=st.binary(min_size=1, max_size=700),
+    doc_id=st.integers(min_value=0, max_value=1 << 40),
+)
+@settings(max_examples=60, deadline=None)
+def test_tar_roundtrip_property(payload, doc_id):
+    """Round-10 source_tar_members: for ANY non-empty payload (edge
+    sizes: 1 byte, exactly TAR_CHUNK, TAR_CHUNK+1, ...) the stdlib-
+    written archive must survive the strict parse with the declared
+    member layout, and the decompressed members must concatenate back
+    to the exact payload — the framing invariant the registered key's
+    position-weighted checksum is built on."""
+    import gzip
+
+    from piper_spark.sources.multimodal import TAR_CHUNK, decode_tar, encode_tar
+
+    members = decode_tar(encode_tar(payload, doc_id))
+    want_n = (len(payload) + TAR_CHUNK - 1) // TAR_CHUNK
+    assert len(members) == want_n
+    chunks = []
+    for i, (name, data) in enumerate(members):
+        assert name == f"{doc_id}/{i:06d}.txt" + (".gz" if i % 2 else "")
+        chunks.append(gzip.decompress(data) if i % 2 else data)
+    assert b"".join(chunks) == payload
+    assert all(len(c) == TAR_CHUNK for c in chunks[:-1])
+    assert 1 <= len(chunks[-1]) <= TAR_CHUNK
