@@ -3761,3 +3761,162 @@ def img_phash_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _phash_int_batches, schema="doc_id long, phash long, med_ac long"
     )
+
+
+def _phash_int_plant_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Plant-aware signature worker: every PHASH_PLANT_MOD-th doc also
+    emits its perturbed twin at doc_id + PHASH_PLANT_OFFSET (the
+    `img_phash` plant, +1 on every 97th payload byte)."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            doc_id, payload = int(doc_id), bytes(payload)
+            rows.append((doc_id, phash_int64(payload)[0]))
+            if doc_id % PHASH_PLANT_MOD == 0:
+                rows.append(
+                    (doc_id + PHASH_PLANT_OFFSET, phash_int64(_perturb(payload))[0])
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+        rows = []
+
+
+#: Hamming threshold for integer-pHash pairs (the `img_phash`
+#: convention); 4 disjoint 16-bit windows + Hamming-1 probes GUARANTEE
+#: a candidate for every pair at distance ≤ 6 (a miss would need ≥ 2
+#: flips in all 4 windows = ≥ 8 total).
+PHASH_INT_HAM_T = 6
+
+
+@register(
+    "dedup_phash_int",
+    oracle=f"""
+WITH ctab(k, i, v) AS (VALUES {_PHASH_INT_CTAB}),
+base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+d AS (
+  SELECT doc_id, text, n, 0 AS bump FROM base
+  UNION ALL
+  SELECT doc_id + {PHASH_PLANT_OFFSET}, text, n, 1 FROM base
+  WHERE doc_id % {PHASH_PLANT_MOD} = 0
+),
+t AS (
+  SELECT d.doc_id, i.range AS i, ct.k AS l,
+         sum(ct.v * (ord(substring(d.text,
+               CAST((i.range * {PHASH_INT_N} + ct.i) % d.n AS INT) + 1, 1))
+             + CASE WHEN d.bump = 1
+                     AND ((i.range * {PHASH_INT_N} + ct.i) % d.n) % 97 = 0
+                    THEN 1 ELSE 0 END)) AS tv
+  FROM d CROSS JOIN range(0, {PHASH_INT_N}) i CROSS JOIN ctab ct
+  GROUP BY 1, 2, 3
+),
+coeffs AS (
+  SELECT t.doc_id, ct.k AS k, t.l AS l, sum(ct.v * t.tv) AS coeff
+  FROM t JOIN ctab ct ON ct.i = t.i
+  GROUP BY 1, 2, 3
+),
+med AS (
+  SELECT doc_id, min(coeff) AS med FROM (
+    SELECT doc_id, coeff,
+           row_number() OVER (PARTITION BY doc_id ORDER BY coeff) AS rn
+    FROM coeffs WHERE NOT (k = 0 AND l = 0))
+  WHERE rn = 32 GROUP BY doc_id
+),
+sig AS (
+  SELECT c.doc_id,
+         CAST(sum(CASE WHEN c.coeff > m.med THEN
+               CASE WHEN c.k * 8 + c.l = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << CAST(c.k * 8 + c.l AS INT)) END
+               ELSE 0 END) AS BIGINT) AS phash
+  FROM coeffs c JOIN med m USING (doc_id)
+  GROUP BY c.doc_id, m.med
+),
+bands AS (
+  SELECT doc_id, phash, w.range AS band_id,
+         (phash >> CAST(16 * w.range AS INT)) & 65535 AS bv
+  FROM sig CROSS JOIN range(0, 4) w
+),
+probes AS (
+  SELECT doc_id, phash, band_id,
+         CASE WHEN j.range = 16 THEN bv
+              ELSE xor(bv, 1::BIGINT << CAST(j.range AS INT)) END AS bv
+  FROM bands CROSS JOIN range(0, 17) j
+),
+cand AS (
+  SELECT DISTINCT p.doc_id AS id1, b.doc_id AS id2,
+         p.phash AS h1, b.phash AS h2
+  FROM probes p
+  JOIN bands b ON p.band_id = b.band_id AND p.bv = b.bv
+              AND p.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {PHASH_INT_HAM_T}
+""",
+)
+def dedup_phash_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup PAIRS, oracle-exact END TO END — the last cell
+    of the dedup × modality grid whose pair relation was rows-only:
+    `img_phash_int` signatures (plus the planted perturbed twins the
+    float key injects, mirrored ARITHMETICALLY in the oracle — the
+    +1-per-97th-byte bump is a CASE inside the same pixel expression,
+    ASCII bytes < 128 so the bump never wraps), 4 disjoint 16-bit
+    bands, Hamming-1 multi-probes on one join side, and a codegen'd
+    bit_count(xor) ≤ {PHASH_INT_HAM_T} verify. The window geometry
+    GUARANTEES recall 1.0 for every pair within the threshold (a miss
+    needs ≥ 2 flips in all 4 windows = ≥ 8 > {PHASH_INT_HAM_T}) — an
+    exact statement the float key can only property-test, asserted as
+    equality in tests/test_multimodal.py.
+
+    Scale shape: identical to `img_phash` — signature Arrow pass, band
+    equi-join (17× probe fan-out of rows, not comparisons), bounded
+    verify; never all-pairs. The oracle re-walks the same banded join
+    in SQL, so the PAIR SEMANTICS (not just the signature) are pinned
+    across engines.
+    """
+    d = spread_for_decode(
+        with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    )
+    hashes = d.mapInPandas(
+        _phash_int_plant_batches, schema="doc_id long, phash long"
+    )
+
+    def window(w: int):
+        return F.shiftrightunsigned("phash", 16 * w).bitwiseAND(F.lit(65535))
+
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.posexplode(F.array(*[window(w) for w in range(4)])).alias(
+            "band_id", "bv"
+        ),
+    )
+    probes = bands.select(
+        "doc_id",
+        "phash",
+        "band_id",
+        F.explode(
+            F.array(F.col("bv"), *[F.col("bv").bitwiseXOR(F.lit(1 << j))
+                                   for j in range(16)])
+        ).alias("bv"),
+    )
+    a = probes.select(
+        F.col("doc_id").alias("id1"), F.col("phash").alias("h1"),
+        "band_id", "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id2"), F.col("phash").alias("h2"),
+        "band_id", "bv",
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        a.join(b, ["band_id", "bv"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "h1", "h2")
+        .distinct()
+        .filter(ham <= PHASH_INT_HAM_T)
+        .select("id1", "id2", ham.cast("int").alias("hamming"))
+    )

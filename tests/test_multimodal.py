@@ -921,3 +921,42 @@ def test_phash_int_perceptual_stability_and_sensitivity():
     ha, _ = phash_int64(payloads[0])
     hb, _ = phash_int64(bytes(range(256)) * 4)
     assert ham(ha, hb) > 8
+
+
+def test_dedup_phash_int_guaranteed_recall(spark):
+    """Round-10 dedup_phash_int: the 4-disjoint-window + Hamming-1
+    probe geometry guarantees EVERY planted pair within the threshold
+    is found — recall == 1.0 as an equality, not a floor (a miss needs
+    >= 2 flips in all 4 windows = >= 8 > 6)."""
+    import pyspark.sql.functions as F
+
+    from piper_spark.sources.multimodal import (
+        PHASH_INT_HAM_T,
+        PHASH_PLANT_MOD,
+        PHASH_PLANT_OFFSET,
+        _perturb,
+        phash_int64,
+        with_payload,
+    )
+    from piper_spark.session import table
+    from piper_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    pairs = {
+        (r.id1, r.id2)
+        for r in all_queries()["dedup_phash_int"](spark, SF_SMOKE).collect()
+    }
+    planted = [
+        (r.doc_id, bytes(r.payload))
+        for r in with_payload(table(spark, SF_SMOKE, "documents"))
+        .filter(F.col("doc_id") % PHASH_PLANT_MOD == 0)
+        .select("doc_id", "payload")
+        .collect()
+    ]
+    assert planted
+    for doc_id, payload in planted:
+        h0 = phash_int64(payload)[0]
+        h1 = phash_int64(_perturb(payload))[0]
+        d = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
+        if d <= PHASH_INT_HAM_T:  # every plant measured <= 2, but be exact
+            assert (doc_id, doc_id + PHASH_PLANT_OFFSET) in pairs, (doc_id, d)
