@@ -825,3 +825,135 @@ def lpa_communities(
             labels = new
     sym.unpersist()
     return labels
+
+
+#: Connected-components geometry: CC_ROUNDS fixed synchronous
+#: min-label rounds (label_t(v) = min doc_id within distance t —
+#: well-defined whether or not the graph has converged), unrolled
+#: verbatim in the oracle.  The fixture graph converges in 7 effective
+#: rounds at both sf0.001 and sf0.01 (measured), so fixed-10 equals
+#: the true components there — asserted against the fixpoint
+#: `connected_components` engine in tests; the MID-round labels
+#: (min id within distance CC_ROUNDS//2) ride along as a second
+#: output column because the converged labels collapse to the global
+#: min — a constant-label bug would pass a final-only check, but
+#: cannot reproduce the distance-5 neighborhood structure.
+CC_ROUNDS = 10
+
+
+def _cc_round_sql(t: int) -> str:
+    # l{t-1} is referenced twice (the neighbor-min join AND the keep
+    # side of the LEFT JOIN) — MATERIALIZED per round, or the CTE
+    # inlining doubles the subtree per round (the embed_power_iter
+    # lesson, measured as a resource blowup there).
+    return f"""
+l{t} AS MATERIALIZED (
+  SELECT l.id, least(l.comp, coalesce(nm.m, l.comp)) AS comp
+  FROM l{t - 1} l LEFT JOIN (
+    SELECT s.u AS id, min(p.comp) AS m
+    FROM sym s JOIN l{t - 1} p ON p.id = s.v GROUP BY s.u) nm
+  ON nm.id = l.id)"""
+
+
+@register(
+    "graph_cc",
+    oracle="WITH "
+    + _EDGES_SQL
+    + ","
+    + _UND_SQL
+    + """,
+l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents),"""
+    + ",".join(_cc_round_sql(t) for t in range(1, CC_ROUNDS + 1))
+    + f"""
+SELECT a.id AS doc_id,
+       CAST(b.comp AS BIGINT) AS comp_mid,
+       CAST(a.comp AS BIGINT) AS component
+FROM l{CC_ROUNDS} a JOIN l{CC_ROUNDS // 2} b ON b.id = a.id
+""",
+)
+def graph_cc(
+    spark: SparkSession,
+    sf_dir: str,
+    to_fixpoint: bool = False,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """CONNECTED COMPONENTS over the link graph — the graph family's
+    reachability member promoted to a registered key (the engine core,
+    functions/dedup.py `connected_components`, has powered dedup/ER
+    clustering since round 3; this exposes the same min-label
+    propagation on the shared synthesized graph with a value-exact
+    oracle). {CC_ROUNDS} fixed synchronous rounds (the `graph_kcore`
+    fixed-round contract): label_t(v) = min doc_id within distance t,
+    well-defined with or without convergence; the fixture converges in
+    7 effective rounds (measured), so fixed-{CC_ROUNDS} IS the true
+    component labelling there — asserted against the fixpoint engine
+    in tests.  `comp_mid` (the distance-{CC_ROUNDS // 2} labels)
+    makes the check discriminating after the giant component collapses
+    every final label to the global min.
+
+    Scale shape: per round ONE v-keyed equi-join (labels ⋈ sym edges)
+    feeding a node-keyed partial-agg min, then a node-keyed left join
+    — the Pregel profile shared with pagerank/LPA, label generations
+    on the PREGEL_CKPT_INTERVAL cache discipline, mid generation
+    captured by one localCheckpoint.  ``to_fixpoint=True`` iterates
+    until the label sum stops changing (labels only DECREASE, so
+    Σcomp is strictly monotone while anything moves — one exact
+    integer scalar per round, the `connected_components` convergence
+    trick), capped at ``max_rounds``.
+    """
+    sym = undirected(link_edges(spark, sf_dir)).persist()
+    sym.count()
+    nodes = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    gc = _GenerationCaches()
+    labels = nodes.select("id", F.col("id").alias("comp"))
+    mid = None
+    rounds = max_rounds if to_fixpoint else CC_ROUNDS
+    prev_sum = None
+    for t in range(1, rounds + 1):
+        nm = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("m"))
+        )
+        raw = labels.join(nm, labels["id"] == nm["u"], "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("m"), F.col("comp"))
+            ).alias("comp"),
+        )
+        if to_fixpoint:
+            new = raw.localCheckpoint(eager=True)
+            cur_sum = new.agg(F.sum("comp")).collect()[0][0]
+            gc.release_older_than()
+            _release_superseded_checkpoints(t)
+            labels = new
+            if prev_sum is not None and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            if t == CC_ROUNDS // 2:
+                # mid generation survives to the final join: truncate
+                # + materialize once, independent of later releases
+                labels = raw.localCheckpoint(eager=True)
+                mid = labels
+            elif t == rounds:
+                labels = gc.add(raw)
+                gc.checkpoint(labels)
+            elif t % PREGEL_CKPT_INTERVAL == 0:
+                labels = gc.truncate(raw)
+            else:
+                labels = raw
+    sym.unpersist()
+    if to_fixpoint:
+        return labels.select(
+            "id", F.col("comp").cast("long").alias("component")
+        )
+    return (
+        labels.alias("a")
+        .join(mid.alias("b"), F.col("a.id") == F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_id"),
+            F.col("b.comp").cast("long").alias("comp_mid"),
+            F.col("a.comp").cast("long").alias("component"),
+        )
+    )

@@ -760,3 +760,33 @@ def test_graph_cores_run_on_arbitrary_edge_relations(spark):
           for r in neighbor_jaccard_scores(sym).collect()}
     # 1 and 2 share neighbors {0, 3}; 2 and 3 share {0, 1}; 1 and 3 share {0, 2}
     assert nj[(1, 2)] == 2 and nj[(2, 3)] == 2 and nj[(1, 3)] == 2
+
+
+def test_graph_cc_fixed_rounds_reach_true_components(spark):
+    """Round-10 graph_cc: fixed-CC_ROUNDS labels must equal the TRUE
+    components from the fixpoint engine (the graph converges in 7
+    effective rounds on the fixture — measured), the fixpoint opt-in
+    must agree, and the mid-round labels must still be moving (the
+    iteration is load-bearing, not converged by round 5)."""
+    import pyspark.sql.functions as F
+
+    from piper_spark.functions.dedup import connected_components
+    from piper_spark.functions.graphs import graph_cc, link_edges, undirected
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    out = {r.doc_id: (r.comp_mid, r.component)
+           for r in graph_cc(spark, SF_SMOKE).collect()}
+    sym = undirected(link_edges(spark, SF_SMOKE)).select(
+        F.col("u"), F.col("v")
+    )
+    nodes = table(spark, SF_SMOKE, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    truth = {r.id: r.component
+             for r in connected_components(sym, nodes, max_iters=40).collect()}
+    assert {k: v[1] for k, v in out.items()} == truth
+    fix = {r.id: r.component
+           for r in graph_cc(spark, SF_SMOKE, to_fixpoint=True).collect()}
+    assert fix == truth
+    assert any(mid != comp for mid, comp in out.values())
