@@ -831,28 +831,32 @@ def lpa_communities(
 #: min-label rounds (label_t(v) = min doc_id within distance t —
 #: well-defined whether or not the graph has converged), unrolled
 #: verbatim in the oracle.  The fixture graph converges in 7 effective
-#: rounds at both sf0.001 and sf0.01 (measured), so fixed-10 equals
-#: the true components there — asserted against the fixpoint
+#: rounds at both driver gate scales (measured; the graph is a
+#: DETERMINISTIC function of the per-SF row count, so the bound
+#: cannot drift under testdata regeneration — the fixed-vs-fixpoint
+#: equality test is what would catch a diameter change), so fixed-7
+#: equals the true components there — asserted against the fixpoint
 #: `connected_components` engine in tests; the MID-round labels
 #: (min id within distance CC_ROUNDS//2) ride along as a second
 #: output column because the converged labels collapse to the global
 #: min — a constant-label bug would pass a final-only check, but
-#: cannot reproduce the distance-5 neighborhood structure.
-CC_ROUNDS = 10
+#: cannot reproduce the distance-3 neighborhood structure.
+CC_ROUNDS = 7
 
 
 def _cc_round_sql(t: int) -> str:
-    # l{t-1} is referenced twice (the neighbor-min join AND the keep
-    # side of the LEFT JOIN) — MATERIALIZED per round, or the CTE
-    # inlining doubles the subtree per round (the embed_power_iter
-    # lesson, measured as a resource blowup there).
+    # ONE fused union+min per round (self row ∪ neighbor labels —
+    # covers isolated nodes without a second left join); l{t-1} is
+    # referenced twice, so MATERIALIZED per round or the CTE inlining
+    # doubles the subtree per round (the embed_power_iter lesson,
+    # measured as a resource blowup there).
     return f"""
 l{t} AS MATERIALIZED (
-  SELECT l.id, least(l.comp, coalesce(nm.m, l.comp)) AS comp
-  FROM l{t - 1} l LEFT JOIN (
-    SELECT s.u AS id, min(p.comp) AS m
-    FROM sym s JOIN l{t - 1} p ON p.id = s.v GROUP BY s.u) nm
-  ON nm.id = l.id)"""
+  SELECT id, min(comp) AS comp FROM (
+    SELECT id, comp FROM l{t - 1}
+    UNION ALL
+    SELECT s.u AS id, p.comp FROM sym s JOIN l{t - 1} p ON p.id = s.v)
+  GROUP BY id)"""
 
 
 @register(
@@ -891,15 +895,17 @@ def graph_cc(
     makes the check discriminating after the giant component collapses
     every final label to the global min.
 
-    Scale shape: per round ONE v-keyed equi-join (labels ⋈ sym edges)
-    feeding a node-keyed partial-agg min, then a node-keyed left join
-    — the Pregel profile shared with pagerank/LPA, label generations
-    on the PREGEL_CKPT_INTERVAL cache discipline, mid generation
-    captured by one localCheckpoint.  ``to_fixpoint=True`` iterates
-    until the label sum stops changing (labels only DECREASE, so
-    Σcomp is strictly monotone while anything moves — one exact
-    integer scalar per round, the `connected_components` convergence
-    trick), capped at ``max_rounds``.
+    Scale shape: per round ONE fused union+min — the self row unioned
+    with the v-keyed equi-join (labels ⋈ sym edges) into a node-keyed
+    partial-agg min (covers isolated nodes without a second left
+    join; with the 10→7 round cut, measured 9.1 → 4.6 s cold at sf0.1) —
+    the Pregel profile shared with pagerank/LPA, label generations on
+    the PREGEL_CKPT_INTERVAL cache discipline, mid generation captured
+    by one localCheckpoint.  ``to_fixpoint=True`` iterates until the
+    label sum stops changing (labels only DECREASE, so Σcomp is
+    strictly monotone while anything moves — one exact integer scalar
+    per round, the `connected_components` convergence trick), capped
+    at ``max_rounds``.
     """
     sym = undirected(link_edges(spark, sf_dir)).persist()
     sym.count()
@@ -910,16 +916,12 @@ def graph_cc(
     rounds = max_rounds if to_fixpoint else CC_ROUNDS
     prev_sum = None
     for t in range(1, rounds + 1):
-        nm = (
+        raw = (
             sym.join(labels, sym["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("comp").alias("m"))
-        )
-        raw = labels.join(nm, labels["id"] == nm["u"], "left").select(
-            "id",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("m"), F.col("comp"))
-            ).alias("comp"),
+            .select(F.col("u").alias("id"), F.col("comp"))
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
         )
         if to_fixpoint:
             new = raw.localCheckpoint(eager=True)
