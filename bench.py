@@ -95,20 +95,29 @@ def main() -> None:
         }
 
     # SPARK_GRAFT_BENCH_PINS=<tag> ships the round's noise-pinning
-    # artifacts by default (round-6 VERDICT item 6): TWO full timed
-    # passes, forward then reverse key order, written to
-    # BENCH_PIN_<tag>_run{1,2}.json — a per-key delta that appears in
-    # only one order is session noise (cache/GC inheritance, JIT
-    # warmth), not a plan change. The printed/BENCH_DETAIL numbers stay
-    # the forward pass, comparable with prior rounds. Without the tag,
-    # SPARK_GRAFT_BENCH_ORDER=reverse still flips the single pass (the
-    # old manual two-invocation dance).
+    # artifacts by default (round-6 VERDICT item 6; widened to THREE
+    # passes by round-10 VERDICT item 3 after a single noisy run —
+    # dedup_winnow 7.0s vs 2.6s — nearly flipped a regression verdict):
+    # full timed passes in forward / reverse / forward key order,
+    # written to BENCH_PIN_<tag>_run{1,2,3}.json. Round-over-round
+    # comparisons use the PER-KEY MEDIAN of the three runs
+    # (scripts/compare_pins.py): a delta present in only one run is
+    # session noise (cache/GC inheritance, JIT warmth), not a plan
+    # change, and a median absorbs it. The printed/BENCH_DETAIL numbers
+    # stay the first forward pass, comparable with prior rounds.
+    # Without the tag, SPARK_GRAFT_BENCH_ORDER=reverse still flips the
+    # single pass (the old manual two-invocation dance).
     pins_tag = os.environ.get("SPARK_GRAFT_BENCH_PINS")
     here = os.path.dirname(os.path.abspath(__file__))
     if pins_tag:
         timings = timed_pass(reverse=False)
         rev = timed_pass(reverse=True)
-        for run, t, order in ((1, timings, "forward"), (2, rev, "reverse")):
+        fwd2 = timed_pass(reverse=False)
+        for run, t, order in (
+            (1, timings, "forward"),
+            (2, rev, "reverse"),
+            (3, fwd2, "forward"),
+        ):
             with open(
                 os.path.join(here, f"BENCH_PIN_{pins_tag}_run{run}.json"), "w"
             ) as fh:

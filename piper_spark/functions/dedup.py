@@ -457,11 +457,11 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, (F.col("g") % F.lit(MERSENNE31)).alias("h"))
         )
     else:
-        from piper_spark.functions.text import _winnow_word_hash
+        from piper_spark.functions.text import word_hash_scalar_udf
 
         w = F.array_distinct(F.split(text_col, " "))
         ex = docs.select(id_col, F.explode(w).alias("w")).select(
-            id_col, _winnow_word_hash(F.col("w")).alias("h")
+            id_col, word_hash_scalar_udf()(F.col("w")).alias("h")
         )
     return ex.groupBy(id_col).agg(
         *[
@@ -521,17 +521,20 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     configuration; with 4×16-bit LSH bands every pair at Hamming
     distance ≤ 3 shares at least one band (pigeonhole).
     """
-    from piper_spark.functions.text import _winnow_word_hash
+    from piper_spark.functions.text import word_hash_scalar_udf
 
     # Cap at SIMHASH_MAX_WORDS distinct words per doc (see the
     # constant: 16-bit SWAR lanes + signed ANSI sums). The cap biases
     # oversized docs' signatures (prefix vote) instead of corrupting
     # them — or, past 2¹⁵, throwing.
+    # Word hash = one Arrow crossing (text.py closed-form fold,
+    # bit-identical to the `_winnow_word_hash` HOF) — the round-10
+    # hash-tax recovery; everything downstream stays JVM codegen.
     words = F.slice(
         F.array_distinct(F.split(text_col, " ")), 1, SIMHASH_MAX_WORDS
     )
     wh = docs.select(id_col, F.explode(words).alias("w")).select(
-        id_col, _winnow_word_hash(F.col("w")).alias("wh")
+        id_col, word_hash_scalar_udf()(F.col("w")).alias("wh")
     )
     mixed = with_fmix32(
         wh,
@@ -819,13 +822,13 @@ def simhash128_signatures(
     physical corpus. Bands widen 16→32 bits with the COUNT fixed at 4,
     so the pigeonhole guarantee (Hamming ≤ 3 ⇒ ≥1 untouched band) is
     preserved, and random BAND collisions fall from n²/2¹⁶ to n²/2³²."""
-    from piper_spark.functions.text import _winnow_word_hash
+    from piper_spark.functions.text import word_hash_scalar_udf
 
     words = F.slice(
         F.array_distinct(F.split(text_col, " ")), 1, SIMHASH_MAX_WORDS
     )
     wh = docs.select(id_col, F.explode(words).alias("w")).select(
-        id_col, _winnow_word_hash(F.col("w")).alias("wh")
+        id_col, word_hash_scalar_udf()(F.col("w")).alias("wh")
     )
     mixed = with_fmix32(
         wh,

@@ -1,9 +1,13 @@
 """Text analysis operators (SURVEY.md §2B "LLM-data-pipeline extensions").
 
-Everything here is pure built-in column expressions (split/transform/
-aggregate/explode) — JVM-side, whole-stage-codegen'd, no Python in the
-hot path. Documents.text is space-separated lowercase words
-(FIXTURES.md), so whitespace tokenization is lossless.
+Everything here is built-in column expressions (split/transform/
+aggregate/explode) — JVM-side, whole-stage-codegen'd — with ONE
+deliberate exception: the shared word-hash fold crosses Python as a
+single vectorized Arrow pass (`text_word_hash_udf`; the interpreted
+per-character HOF form `_winnow_word_hash` is kept as the Catalyst
+reference the parity test pins against). Documents.text is
+space-separated lowercase words (FIXTURES.md), so whitespace
+tokenization is lossless.
 
 Cross-engine notes: Spark `size()`/`length()`/`ascii()` return INT →
 cast to long; DuckDB integer sums return HUGEINT → oracle casts to
@@ -13,6 +17,7 @@ DuckDB `list_transform` a 1-based one — Spark side uses (i+1).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -926,6 +931,162 @@ def word_fold_sql(expr: str) -> str:
     )
 
 
+# --- Arrow-vectorized word hash (the hot-path form of the fold) -------
+#
+# The sequential fold (acc·31 + c_i) mod P expands to the closed form
+#     h = Σ_i c_i · 31^(L−1−i)   (mod P),
+# which is the SAME residue class, and both forms reduce into [0, P) —
+# so the numpy evaluation below is bit-identical to `_winnow_word_hash`
+# (and to the DuckDB `list_reduce` oracle) for every input, including
+# the empty-word → 0 guard. The round-10 oracle-exactness re-basing put
+# this fold on the minhash/simhash/winnow hot paths as an interpreted
+# Catalyst HOF (substr + ascii PER CHARACTER); at sf0.1 that tax was a
+# pinned ~1.8× on `dedup_minhash` (round-10 VERDICT item 1). Here the
+# whole batch is hashed in a handful of C passes: one str.join, one
+# utf-32 decode (code points == what Spark `ascii`/`substr` and DuckDB
+# `ord`/`substring` index, both count code points, not bytes), one
+# modular power-table gather, one `np.add.reduceat` segment sum.
+#
+# int64 overflow audit: code points < 2²¹, powers < P < 2³⁰ → products
+# < 2⁵¹; each post-mod term < 2³⁰, so segment sums stay in int64 for
+# words/segments up to 2³³ characters.
+
+_POW31: "np.ndarray | None" = None
+
+
+def _pow31_table(n: int) -> "np.ndarray":
+    """31^k mod P for k in [0, n) — grown monotonically, cached per
+    process (workers keep it across Arrow batches)."""
+    global _POW31
+    if _POW31 is None or len(_POW31) < n:
+        size = max(n, 256)
+        pows = np.empty(size, dtype=np.int64)
+        p = 1
+        for i in range(size):
+            pows[i] = p
+            p = (p * 31) % WORD_HASH_MOD
+        _POW31 = pows
+    return _POW31
+
+
+def _hash_words_flat(words: list) -> "np.ndarray":
+    """int64 word hashes for a flat list of Python strings — the
+    vectorized closed form of :func:`_winnow_word_hash` (see the
+    equivalence note above). Empty strings hash to 0 (the guard)."""
+    n = len(words)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    # One C pass per step: join → utf-32 decode → gather → segment-sum.
+    cps = np.frombuffer("".join(words).encode("utf-32-le"), dtype="<u4").astype(
+        np.int64
+    )
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    exps = np.repeat(ends, lens) - 1 - np.arange(total, dtype=np.int64)
+    terms = (cps * _pow31_table(int(lens.max()))[exps]) % WORD_HASH_MOD
+    nz = np.flatnonzero(lens)
+    # reduceat: starts of NONEMPTY words are strictly increasing, and
+    # each segment ends exactly at the next nonempty start (empty words
+    # contribute no characters), so segment k sums word k's terms.
+    out[nz] = np.add.reduceat(terms, starts[nz]) % WORD_HASH_MOD
+    return out
+
+
+_WORD_HASH_UDFS: dict = {}
+
+
+def text_word_hash_udf():
+    """Arrow UDF factory: text STRING → array<long> of per-word hashes,
+    fusing tokenization + hash in one Python crossing. Tokenization is
+    ``str.split(" ")``, which matches :func:`words_col` (= Spark
+    ``split(text, ' ')``, limit −1) exactly: both keep leading/
+    trailing/repeated-space empties, and ``"".split(" ") == [""]`` just
+    like Java's ``split`` — pinned by the hypothesis parity test in
+    tests/test_udfs.py. NULL text → NULL array (what ``transform`` over
+    a null array yields)."""
+    if "text_arr" not in _WORD_HASH_UDFS:
+
+        @F.pandas_udf("array<long>")
+        def text_word_hashes(text: pd.Series) -> pd.Series:
+            counts: list = []
+            flat: list = []
+            for t in text:
+                if t is None:
+                    counts.append(None)
+                else:
+                    ws = t.split(" ")
+                    counts.append(len(ws))
+                    flat.extend(ws)
+            hashes = _hash_words_flat(flat)
+            res: list = []
+            off = 0
+            for c in counts:
+                if c is None:
+                    res.append(None)
+                else:
+                    res.append(hashes[off : off + c])
+                    off += c
+            return pd.Series(res, dtype=object)
+
+        _WORD_HASH_UDFS["text_arr"] = text_word_hashes
+    return _WORD_HASH_UDFS["text_arr"]
+
+
+def words_hash_udf():
+    """Arrow UDF factory: array<string> → array<long> of word hashes —
+    the pre-tokenized form (e.g. a distinct-sliced word array). NULL
+    array → NULL; NULL elements → 0 (the `_winnow_word_hash` null/empty
+    guard: its WHEN condition is null → otherwise-0)."""
+    if "words_arr" not in _WORD_HASH_UDFS:
+
+        @F.pandas_udf("array<long>")
+        def words_hashes(words: pd.Series) -> pd.Series:
+            counts: list = []
+            flat: list = []
+            for ws in words:
+                if ws is None:
+                    counts.append(None)
+                else:
+                    counts.append(len(ws))
+                    flat.extend("" if w is None else w for w in ws)
+            hashes = _hash_words_flat(flat)
+            res: list = []
+            off = 0
+            for c in counts:
+                if c is None:
+                    res.append(None)
+                else:
+                    res.append(hashes[off : off + c])
+                    off += c
+            return pd.Series(res, dtype=object)
+
+        _WORD_HASH_UDFS["words_arr"] = words_hashes
+    return _WORD_HASH_UDFS["words_arr"]
+
+
+def word_hash_scalar_udf():
+    """Arrow UDF factory: STRING word → long hash — the exploded-word
+    form (simhash/minhash-word paths hash AFTER the distinct explode).
+    NULL → 0, matching `_winnow_word_hash`'s guard."""
+    if "scalar" not in _WORD_HASH_UDFS:
+
+        @F.pandas_udf("long")
+        def word_hash(w: pd.Series) -> pd.Series:
+            mask = w.notna().to_numpy()
+            out = np.zeros(len(w), dtype=np.int64)
+            if mask.any():
+                out[mask] = _hash_words_flat(w[mask].tolist())
+            return pd.Series(out)
+
+        _WORD_HASH_UDFS["scalar"] = word_hash
+    return _WORD_HASH_UDFS["scalar"]
+
+
 def gram_hash_col(hw: Column, n: int = WINNOW_K) -> Column:
     """Rolling n-word-gram hash array from a word-hash array Column:
     g(i) = ((hw[i]·8191 + hw[i+1])·8191 + …)·8191 + hw[i+n−1], built
@@ -958,9 +1119,16 @@ def _gram_arrays(
     reference expressions into lambda bodies and re-evaluates them per
     element, which turns a 50-word doc into ~10⁵ scalar ops (measured:
     ~0.2 s/doc). The multi-reference form keeps the whole pipeline
-    O(chars) per document."""
-    w = words_col(text_col)
-    t = d.select(id_col, F.transform(w, _winnow_word_hash).alias("hw"))
+    O(chars) per document.
+
+    The word-hash pass itself is the Arrow `text_word_hash_udf` (one
+    columnar crossing, numpy closed-form fold — bit-identical to the
+    `_winnow_word_hash` HOF by the mod-P expansion; parity-tested),
+    recovering the round-10 interpreted-HOF tax on every gram consumer
+    (minhash/winnow/substring). Downstream gram folding stays JVM-side
+    `zip_with`. No shuffle is introduced: ArrowEvalPython is a
+    per-partition node, so winnow fingerprinting stays Exchange-free."""
+    t = d.select(id_col, text_word_hash_udf()(F.col(text_col)).alias("hw"))
     return t.select(id_col, gram_hash_col(F.col("hw")).alias("grams"))
 
 

@@ -108,3 +108,103 @@ def test_embed_centroids_matches_numpy(spark):
     # plan uses Arrow (FlatMapGroupsInPandas), not row pickling
     plan = embed_centroids(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+# --- Arrow word-hash parity (the round-10 hash-tax recovery) ---------
+#
+# The vectorized numpy closed form MUST be bit-identical to the
+# interpreted `_winnow_word_hash` Catalyst HOF (which the DuckDB
+# list_reduce oracles mirror): the minhash/simhash/winnow family's
+# oracle-exactness rests on this equality.
+
+
+def _ref_fold(word: str) -> int:
+    acc = 0
+    for ch in word:
+        acc = (acc * 31 + ord(ch)) % 1_000_000_007
+    return acc
+
+
+def test_hash_words_flat_matches_fold_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from piper_spark.functions.text import _hash_words_flat
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.text(max_size=40), max_size=25))
+    def check(words):
+        got = _hash_words_flat(words)
+        assert got.tolist() == [_ref_fold(w) for w in words]
+
+    check()
+
+
+#: Tokenization/hash edge cases: empties from repeated/leading/trailing
+#: spaces, the empty string (Java split and str.split both yield [""]),
+#: multi-byte BMP chars, an astral code point, and a long word.
+_TRICKY_TEXTS = [
+    "the quick brown fox",
+    "",
+    " ",
+    "a  b ",
+    "  leading",
+    "trailing  ",
+    "héllo wörld",
+    "日本語 テスト",
+    "astral 😀 plane",
+    "x" * 500 + " y",
+]
+
+
+def test_text_word_hash_udf_matches_hof(spark):
+    from piper_spark.functions.text import (
+        _winnow_word_hash,
+        text_word_hash_udf,
+        words_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TRICKY_TEXTS)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        text_word_hash_udf()(F.col("text")).alias("fast"),
+        F.transform(words_col(), _winnow_word_hash).alias("ref"),
+    ).collect()
+    for r in rows:
+        assert r.fast == r.ref, (r.doc_id, r.fast, r.ref)
+
+
+def test_word_hash_scalar_udf_matches_hof(spark):
+    from piper_spark.functions.text import _winnow_word_hash, word_hash_scalar_udf
+
+    words = sorted({w for t in _TRICKY_TEXTS for w in t.split(" ")})
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    rows = df.select(
+        "w",
+        word_hash_scalar_udf()(F.col("w")).alias("fast"),
+        _winnow_word_hash(F.col("w")).alias("ref"),
+    ).collect()
+    for r in rows:
+        assert r.fast == r.ref, (r.w, r.fast, r.ref)
+
+
+def test_words_hash_udf_matches_hof(spark):
+    from piper_spark.functions.text import (
+        _winnow_word_hash,
+        words_col,
+        words_hash_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TRICKY_TEXTS)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        words_hash_udf()(words_col()).alias("fast"),
+        F.transform(words_col(), _winnow_word_hash).alias("ref"),
+    ).collect()
+    for r in rows:
+        assert r.fast == r.ref, (r.doc_id, r.fast, r.ref)
