@@ -451,10 +451,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     if unit == "shingle":
         from piper_spark.functions.text import _gram_arrays
 
-        ex = (
-            _gram_arrays(docs, id_col=id_col, text_col=text_col)
-            .select(id_col, F.explode("grams").alias("g"))
-            .select(id_col, (F.col("g") % F.lit(MERSENNE31)).alias("h"))
+        return minhash_from_gram_arrays(
+            _gram_arrays(docs, id_col=id_col, text_col=text_col), id_col
         )
     else:
         from piper_spark.functions.text import word_hash_scalar_udf
@@ -463,6 +461,24 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         ex = docs.select(id_col, F.explode(w).alias("w")).select(
             id_col, word_hash_scalar_udf()(F.col("w")).alias("h")
         )
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(
+                f"mh{i}"
+            )
+            for i, a, b in MINHASH_MIXERS
+        ]
+    )
+
+
+def minhash_from_gram_arrays(ga: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Shingle-unit minhash signatures from a (id, grams) relation —
+    the post-gram stages of :func:`minhash_signatures`, factored so
+    :func:`near_dup_spine` can reuse one shared gram relation across
+    the minhash/winnow consumers."""
+    ex = ga.select(id_col, F.explode("grams").alias("g")).select(
+        id_col, (F.col("g") % F.lit(MERSENNE31)).alias("h")
+    )
     return ex.groupBy(id_col).agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(
@@ -536,6 +552,16 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     wh = docs.select(id_col, F.explode(words).alias("w")).select(
         id_col, word_hash_scalar_udf()(F.col("w")).alias("wh")
     )
+    return _simhash64_from_wh(wh, id_col, bits=bits)
+
+
+def _simhash64_from_wh(
+    wh: DataFrame, id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash vote (≤64 bits) from an exploded (id, wh) word-hash
+    relation — the post-hash stages of :func:`simhash_signatures`,
+    factored so :func:`near_dup_spine` can feed the SHARED
+    signature-stage relation instead of re-hashing the corpus."""
     mixed = with_fmix32(
         wh,
         {
@@ -830,6 +856,13 @@ def simhash128_signatures(
     wh = docs.select(id_col, F.explode(words).alias("w")).select(
         id_col, word_hash_scalar_udf()(F.col("w")).alias("wh")
     )
+    return _simhash128_from_wh(wh, id_col)
+
+
+def _simhash128_from_wh(wh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """128-bit SimHash vote from an exploded (id, wh) word-hash
+    relation — the :func:`_simhash64_from_wh` factoring applied to
+    :func:`simhash128_signatures` (shared-stage consumer)."""
     mixed = with_fmix32(
         wh,
         {
@@ -940,6 +973,70 @@ def dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+def near_dup_signature_stage(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, hw, dwh) — the ONE-corpus-scan signature stage every
+    near-dup text family member derives from (round-10 VERDICT item 4):
+
+    - ``hw``  — positional word-hash array (`text_word_hash_udf`), the
+      input to the 3-gram fold → minhash signatures, winnowing
+      fingerprints, and the positioned substring/boilerplate relations
+    - ``dwh`` — hashes of the first-occurrence-distinct words capped at
+      SIMHASH_MAX_WORDS, the input to the simhash/simhash128 votes
+
+    Both columns are one Arrow crossing each over the same scan; the
+    caller persists the result (DISK_ONLY — recomputable lineage, no
+    executor memory) and owns the lifetime. At 100 TB this is THE
+    production layout: hash the corpus once, write the stage relation,
+    and run every signature family off it instead of re-folding the
+    same characters four times."""
+    from piper_spark.functions.text import text_word_hash_udf, words_hash_udf
+
+    t = F.col(text_col)
+    distinct_words = F.slice(
+        F.array_distinct(F.split(t, " ")), 1, SIMHASH_MAX_WORDS
+    )
+    return docs.select(
+        id_col,
+        text_word_hash_udf()(t).alias("hw"),
+        words_hash_udf()(distinct_words).alias("dwh"),
+    )
+
+
+def near_dup_spine(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """All four near-dup signature relations off ONE shared persisted
+    stage: ``{"stage", "minhash_sigs", "simhash_sigs",
+    "simhash128_sigs", "winnow_fps"}``.
+
+    Bit-identical to the standalone operators (pinned in
+    tests/test_operators_unit.py): the gram fold consumes the same
+    ``hw`` arrays `_gram_arrays` produces, and exploding ``dwh`` yields
+    exactly the rows the standalone simhash paths hash after their own
+    distinct-slice (hashing each element of the distinct word array ≡
+    hashing each exploded distinct word; the vote aggregates are
+    order-insensitive). Caller owns the stage's persist lifetime —
+    unpersist ``out["stage"]`` after the consuming actions. Measured in
+    SCALING.md ("shared signature stage") against running the four
+    standalone operators, at 1×/10×/100×."""
+    from piper_spark.functions.text import gram_hash_col, winnow_fps_from_grams
+
+    stage = near_dup_signature_stage(docs, id_col, text_col).persist(
+        StorageLevel.DISK_ONLY
+    )
+    grams = stage.select(id_col, gram_hash_col(F.col("hw")).alias("grams"))
+    wh = stage.select(id_col, F.explode("dwh").alias("wh"))
+    return {
+        "stage": stage,
+        "minhash_sigs": minhash_from_gram_arrays(grams, id_col),
+        "simhash_sigs": _simhash64_from_wh(wh, id_col),
+        "simhash128_sigs": _simhash128_from_wh(wh, id_col),
+        "winnow_fps": winnow_fps_from_grams(grams),
+    }
 
 
 @register(

@@ -1139,7 +1139,14 @@ def winnow_fps(d: DataFrame) -> DataFrame:
     exchange: the whole selection runs inside whole-stage codegen, so
     at 100 TB this is embarrassingly parallel over parquet splits.
     See `_gram_arrays` for the expression-structure constraints."""
-    t2 = _gram_arrays(d)
+    return winnow_fps_from_grams(_gram_arrays(d))
+
+
+def winnow_fps_from_grams(t2: DataFrame) -> DataFrame:
+    """Fingerprint selection from a (doc_id, grams) relation — factored
+    from :func:`winnow_fps` so the shared near-dup signature stage
+    (functions/dedup.py `near_dup_spine`) can reuse one gram relation
+    across the minhash/winnow consumers."""
     g = F.col("grams")
     n_wins = F.greatest(F.size(g) - (WINNOW_W - 1), F.lit(0))
     # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs.

@@ -1032,6 +1032,14 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is touched once. The exact intersection comparison column
     (the `agg_countmin` convention) is the expensive thing the sketch
     replaces: a distinct-pair self-join that shuffles user ids.
+
+    CACHE LIFETIME (round-10 ADVICE 1): the caller owns the persisted
+    register relation — this function returns a LAZY plan that reads
+    `regs` three times (per-type finish, type lattice, union merge), so
+    unpersisting here would recompute the corpus scan once per
+    consumer. Long-lived sessions should `spark.catalog.clearCache()`
+    after consuming the result, exactly the `dedup_minhash` convention
+    (bench.py and check_oracle.py already do).
     """
     e = table(spark, sf_dir, "events")
     regs = hll_registers(e, "event_type", "user_id").persist()

@@ -954,9 +954,15 @@ def test_dedup_phash_int_guaranteed_recall(spark):
         .collect()
     ]
     assert planted
+    n_in_threshold = 0
     for doc_id, payload in planted:
         h0 = phash_int64(payload)[0]
         h1 = phash_int64(_perturb(payload))[0]
         d = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
         if d <= PHASH_INT_HAM_T:  # every plant measured <= 2, but be exact
+            n_in_threshold += 1
             assert (doc_id, doc_id + PHASH_PLANT_OFFSET) in pairs, (doc_id, d)
+    # Round-10 ADVICE 2: the guarantee must not pass VACUOUSLY — if a
+    # fixture regeneration pushed every planted distance above the
+    # threshold, the loop above would assert nothing.
+    assert n_in_threshold > 0

@@ -678,3 +678,35 @@ def test_hll_union_monotone_and_identity(spark):
         assert r.est_union >= max(r.est_a, r.est_b) - 1e-9, r
         assert abs(r.est_inter - ((r.est_a + r.est_b) - r.est_union)) < 1e-9
         assert r.exact_inter > 0
+
+
+def test_near_dup_spine_matches_standalone(spark):
+    """The shared signature stage must be BIT-IDENTICAL to the four
+    standalone operators it amortizes (round-10 VERDICT item 4): same
+    minhash signatures, simhash votes (both widths), and winnowing
+    fingerprints — or the spine would silently fork the family's
+    oracle-checked semantics."""
+    from piper_spark.functions.dedup import (
+        minhash_signatures,
+        near_dup_spine,
+        simhash128_signatures,
+        simhash_signatures,
+    )
+    from piper_spark.functions.text import winnow_fps
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    spine = near_dup_spine(docs)
+    try:
+        def rows(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        assert rows(spine["minhash_sigs"]) == rows(minhash_signatures(docs))
+        assert rows(spine["simhash_sigs"]) == rows(simhash_signatures(docs))
+        assert rows(spine["simhash128_sigs"]) == rows(
+            simhash128_signatures(docs)
+        )
+        assert rows(spine["winnow_fps"]) == rows(winnow_fps(docs))
+    finally:
+        spine["stage"].unpersist()
