@@ -136,6 +136,9 @@ RISKY = [
     # yield an empty typed relation, not a parser error).
     "video_avi_frames",
     "img_augment",
+    # round-11: the SCALAR_ITER moments fit (empty corpus must
+    # short-circuit before the z-score division, not raise).
+    "event_zscore",
 ]
 
 
@@ -175,3 +178,41 @@ def test_fixpoint_optins_are_well_defined_on_empty_corpus(spark, empty_dir):
 
     for fn in (graph_pagerank, graph_bfs, graph_kcore, graph_lpa):
         assert fn(spark, empty_dir, to_fixpoint=True).count() == 0
+
+
+def test_grouping_sets_on_empty_input_is_a_designed_choice(spark, empty_dir):
+    """Round-10 VERDICT item 6: pin the empty-input grouping-sets
+    divergence as INTENDED behavior, not an accident the degenerate
+    sweep papers over.
+
+    ANSI SQL (and DuckDB) define GROUP BY GROUPING SETS so the grand-
+    total () grouping set contributes one row even over zero input rows
+    — SQL:2016 7.9 <group by clause>: each grouping set groups the
+    table independently, and grouping an empty table by zero columns
+    yields one group (the same rule that makes a bare `SELECT count(*)`
+    return one row). Spark instead expands grouping sets through its
+    Expand operator BEFORE the aggregate, so an empty input expands to
+    an empty child and rollup/cube/grouping-sets emit ZERO rows.
+
+    The engine deliberately keeps Spark's native semantics rather than
+    unioning in an artificial grand-total row: the operators stay pure
+    declarative plans (no empty-probe side job), and real engines
+    genuinely differ here (Spark = zero rows; DuckDB/Postgres = the
+    ANSI grand-total row). scripts/check_degenerate.py whitelists
+    exactly the three keys this affects (KNOWN_DIVERGENCES); this test
+    pins both halves so a silent behavior change in EITHER engine
+    surfaces as a failure, keeping the whitelist honest."""
+    for key in ("agg_rollup", "agg_cube", "agg_gsets"):
+        assert registry.all_queries()[key](spark, empty_dir).count() == 0, key
+    # The other half of the divergence: DuckDB emits the ANSI
+    # grand-total row on the same empty input.
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{os.path.join(empty_dir, 'lineitem')}.parquet'"
+    )
+    rows = con.execute(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem "
+        "GROUP BY ROLLUP (l_returnflag)"
+    ).fetchall()
+    assert rows == [(None, 0)]

@@ -35,16 +35,35 @@ def test_udf_sql_registration(spark):
 
 
 def test_scalar_iter_pandas_udf(spark):
-    from piper_spark.functions.udfs import zscore_iter
+    from piper_spark.functions.udfs import zscore_iter_udf
 
+    z = zscore_iter_udf(50.0, 29.0)
     df = spark.createDataFrame([(21.0,), (79.0,)], "v double")
-    rows = df.select(zscore_iter("v").alias("z")).collect()
+    rows = df.select(z("v").alias("z")).collect()
     assert rows[0].z == pytest.approx((21.0 - 50.0) / 29.0)
     assert rows[1].z == pytest.approx(1.0)
-    plan = (
-        df.select(zscore_iter("v"))._jdf.queryExecution().executedPlan().toString()
-    )
+    plan = df.select(z("v"))._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+
+
+def test_event_zscore_registered_and_exact(spark):
+    """The SCALAR_ITER exhibit is now a registered key (round-10
+    VERDICT item 8): corpus moments from exact integer power sums, z
+    streamed through the iterator UDF. Spot-check the math against a
+    direct numpy computation on the same quantized values."""
+    from piper_spark.functions.udfs import event_zscore
+
+    out = {r.event_id: r.z for r in event_zscore(spark, SF_SMOKE).collect()}
+    e = table(spark, SF_SMOKE, "events").select("event_id", "value").toPandas()
+    v = np.floor(e["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5)
+    n = len(v)
+    mean = v.sum() / (100.0 * n)
+    import math
+
+    var = (v * v).sum() / (10000.0 * n) - mean * mean
+    std = math.sqrt(var) if var > 0.0 else 1.0
+    for eid, val in zip(e["event_id"], v):
+        assert out[int(eid)] == pytest.approx((val / 100.0 - mean) / std)
 
 
 def test_grouped_agg_pandas_udf_plan_and_value(spark):
