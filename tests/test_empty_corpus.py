@@ -137,8 +137,11 @@ RISKY = [
     "video_avi_frames",
     "img_augment",
     # round-11: the SCALAR_ITER moments fit (empty corpus must
-    # short-circuit before the z-score division, not raise).
+    # short-circuit before the z-score division, not raise) and the
+    # batched IVF search (empty fit AND empty query batch must both
+    # short-circuit to the typed empty relation).
     "event_zscore",
+    "sim_ann_batch",
 ]
 
 

@@ -960,3 +960,14 @@ def test_round10_session_keys_plan_shapes(spark):
 
     plan = plan_of(spark, "embed_power_iter")
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_sim_ann_batch_joins_are_equi_and_probe_side_broadcast(spark):
+    """Batched IVF search (round 11): the (qid, cid) probe relation and
+    the per-query vectors ride as BROADCAST equi-joins; no cartesian or
+    nested-loop anywhere, and the only corpus-keyed exchange is the
+    vec_id join pulling candidate embeddings."""
+    plan = plan_of(spark, "sim_ann_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
