@@ -17,6 +17,7 @@ folds match DuckDB bit-for-bit.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1566,5 +1567,107 @@ def sim_ann_batch(
         .persist()
     )
     out.count()  # materialize before releasing the quantized cache
+    vecs.unpersist()
+    return out
+
+
+#: k-NN join width: every vector's 3 nearest same-cell neighbors.
+KNN_K = 3
+
+
+def _knn_join_oracle() -> str:
+    t = KMEANS_ITERS
+    return f"""{_kmeans_ctes()},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings),
+cells AS (SELECT a.vec_id, CAST(a.kk % kn.k AS BIGINT) AS cid
+          FROM a{t} a, kn),
+scored AS (
+  SELECT ca.vec_id AS vec_id, cb.vec_id AS nbr_id,
+         round(list_sum(list_transform(ea.ed, (x, i) -> x * eb.ed[i]))
+               / (ea.nrm * eb.nrm), 4) AS cos_sim
+  FROM cells ca
+  JOIN cells cb ON ca.cid = cb.cid AND ca.vec_id <> cb.vec_id
+  JOIN e ea ON ea.vec_id = ca.vec_id
+  JOIN e eb ON eb.vec_id = cb.vec_id
+)
+SELECT vec_id, nbr_id, cos_sim, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT vec_id, nbr_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, nbr_id) AS rn
+  FROM scored)
+WHERE rn <= {KNN_K}
+"""
+
+
+@register("sim_knn_join", oracle=_knn_join_oracle())
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN SELF-JOIN over the whole corpus — every vector's {KNN_K}
+    nearest same-cell neighbors: the candidate-generation primitive
+    SemDeDup-style embedding dedup and retrieval-index audits run at
+    corpus scale (`dedup_semantic` consumes exactly this shape; here it
+    is a first-class relation with per-neighbor rank).
+
+    Plan: ONE cell-keyed equi self-join of the (vec_id, cid, ed, nrm)
+    feature relation (cells from the shared distributed Lloyd fit —
+    integer-exact, the `sim_ann_kmeans` discipline), dot/norm folds on
+    the pair, and a per-vector top-{KNN_K} window over CELL-sized
+    candidate sets. Norms are precomputed once per vector (pure CSE —
+    the float sequence is the same fold the oracle runs inline, so
+    values stay bit-identical; rounded at 4, `sim_topk` precedent).
+
+    Scale: the self-join shards pairs by cell — Σ n_c² work, the n²/k
+    SemDeDup bound, never a global n² — and on a cluster-bucketed
+    layout the join is co-located (cid is the bucket key, no exchange
+    under the join). The top-k window partitions by vec_id over
+    candidates only. Oracle-exact end to end: cells and candidates are
+    integer arithmetic, the cosine is the shared bit-identical fold."""
+    from pyspark.sql.window import Window
+
+    vecs, cents = _km_fit(spark, sf_dir)
+    empty_schema = "vec_id long, nbr_id long, cos_sim double, rank long"
+    if not cents:
+        vecs.unpersist()
+        return spark.createDataFrame([], empty_schema)
+    k = len(cents)
+    asg = vecs.select(
+        "vec_id", (_km_kk_udf(cents)(F.col("xq")) % k).alias("cid")
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    feat = (
+        asg.join(e, "vec_id")
+        .select("vec_id", "cid", "ed", l2_norm(F.col("ed")).alias("nrm"))
+        .persist(StorageLevel.DISK_ONLY)  # read twice by the self-join
+    )
+    a, b = feat.alias("a"), feat.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.ed"), F.col("b.ed"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        F.round(dot_ab / (F.col("a.nrm") * F.col("b.nrm")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("vec_id", "nbr_id", "cos_sim", F.col("rn").cast("long").alias("rank"))
+        .persist()
+    )
+    out.count()  # materialize, then release the internal caches
+    feat.unpersist()
     vecs.unpersist()
     return out

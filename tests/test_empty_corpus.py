@@ -142,6 +142,7 @@ RISKY = [
     # short-circuit to the typed empty relation).
     "event_zscore",
     "sim_ann_batch",
+    "sim_knn_join",
 ]
 
 

@@ -971,3 +971,12 @@ def test_sim_ann_batch_joins_are_equi_and_probe_side_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sim_knn_join_is_cell_keyed_equi_join(spark):
+    """The k-NN self-join must shard pairs by cell (hash equi-join on
+    cid — the n²/k SemDeDup bound), never a cartesian/NLJ; the top-k
+    window runs per vec_id over cell-sized candidates."""
+    plan = plan_of(spark, "sim_knn_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
