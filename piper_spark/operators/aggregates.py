@@ -532,6 +532,114 @@ def agg_median_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Quantile grid for the binned sketch: label, numerator, denominator —
+#: rank_q = ceil(n·num/den), the (n+1)//2 median rule generalized
+#: (p50's ceil(n/2) IS (n+1)//2, so the two keys agree at the median).
+QUANTILE_GRID = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+
+_QUANTILE_VALUES = ", ".join(f"('{q}', {a}, {b})" for q, a, b in QUANTILE_GRID)
+
+
+@register(
+    "agg_quantiles_bins",
+    oracle=f"""
+WITH c AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+p AS (
+  SELECT g, min(c) AS lo, max(c) AS hi, count(*) AS n,
+         (max(c) - min(c)) // {MEDIAN_BINS} + 1 AS w
+  FROM c GROUP BY 1
+),
+h AS (
+  SELECT c.g, (c.c - p.lo) // p.w AS bin, count(*) AS cnt
+  FROM c JOIN p USING (g) GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bin, sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cumcnt
+  FROM h
+),
+qg(ql, num, den) AS (VALUES {_QUANTILE_VALUES}),
+m AS (
+  SELECT cum.g, qg.ql, min(cum.bin) AS q_bin
+  FROM cum JOIN p ON cum.g = p.g CROSS JOIN qg
+  WHERE cum.cumcnt >= (p.n * qg.num + qg.den - 1) // qg.den
+  GROUP BY 1, 2
+)
+SELECT p.g AS l_returnflag, m.ql AS q, CAST(p.n AS BIGINT) AS n,
+       CAST(p.w AS BIGINT) AS bin_w_cents,
+       CAST(m.q_bin AS BIGINT) AS q_bin,
+       CAST(p.lo + m.q_bin * p.w + p.w // 2 AS DOUBLE) / 100.0 AS binned_q
+FROM p JOIN m ON p.g = m.g
+""",
+)
+def agg_quantiles_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL QUANTILE VECTOR (p25/p50/p75/p95) from ONE bounded
+    histogram — `agg_median_bins`' two-scan portable sketch amortized
+    across every quantile a data-quality or mixture-sampling pass needs
+    at once: the per-group state is still AT MOST 1024 histogram rows,
+    the quantile grid rides as a 4-row broadcast, and each rank
+    threshold rank_q = ceil(n·num/den) is read off the SAME cumulative
+    window (p50's rule is exactly `agg_median_bins`' (n+1)//2, so the
+    two keys agree at the median by construction — unit-tested).
+
+    Why this matters at 100 TB: percentile VECTORS are what drift
+    monitors (`dq_drift`) and temperature/quality samplers actually
+    consume, and computing each quantile as its own exact sort is a
+    global sort per quantile; here N quantiles cost the same two scans
+    as one, the histogram partials merge by addition across shards/
+    micro-batches, and everything stays integer until one final
+    correctly-rounded divide (value-exact cross-engine)."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    c = li.select(F.col("l_returnflag").alias("g"), cents.alias("c"))
+    p = c.groupBy("g").agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumn("w", F.expr(f"(hi - lo) div {MEDIAN_BINS} + 1"))
+    h = (
+        c.join(F.broadcast(p), "g")
+        .select("g", F.expr("(c - lo) div w").alias("bin"))
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = h.withColumn(
+        "cumcnt",
+        F.sum("cnt").over(
+            Window.partitionBy("g").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    qg = F.broadcast(
+        spark.createDataFrame(list(QUANTILE_GRID), "q string, num long, den long")
+    )
+    m = (
+        cum.join(F.broadcast(p.select("g", "n")), "g")
+        .crossJoin(qg)
+        .filter(F.col("cumcnt") >= F.expr("(n * num + den - 1) div den"))
+        .groupBy("g", "q")
+        .agg(F.min("bin").alias("q_bin"))
+    )
+    return (
+        p.join(m, "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "q",
+            F.col("n").cast("long").alias("n"),
+            F.col("w").cast("long").alias("bin_w_cents"),
+            F.col("q_bin").cast("long").alias("q_bin"),
+            (
+                F.expr("CAST(lo + q_bin * w + w div 2 AS DOUBLE)") / F.lit(100.0)
+            ).alias("binned_q"),
+        )
+    )
+
+
 @register(
     "agg_cube",
     oracle="""

@@ -710,3 +710,51 @@ def test_near_dup_spine_matches_standalone(spark):
         assert rows(spine["winnow_fps"]) == rows(winnow_fps(docs))
     finally:
         spine["stage"].unpersist()
+
+
+def test_quantiles_bins_contract(spark):
+    """Round-11 agg_quantiles_bins: every quantile estimate sits within
+    half a bin width of the exact rank-ceil(n*q) value; p50 agrees with
+    agg_median_bins BY CONSTRUCTION (same histogram, same rank rule);
+    bins respect the <= 1024 state bound."""
+    import pyspark.sql.functions as F
+
+    from piper_spark.operators.aggregates import (
+        MEDIAN_BINS,
+        QUANTILE_GRID,
+        agg_median_bins,
+        agg_quantiles_bins,
+    )
+    from piper_spark.session import table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.l_returnflag, r.q): r
+        for r in agg_quantiles_bins(spark, SF_SMOKE).collect()
+    }
+    med = {r.l_returnflag: r for r in agg_median_bins(spark, SF_SMOKE).collect()}
+    li = table(spark, SF_SMOKE, "lineitem")
+    flags = {k[0] for k in got}
+    assert {k[1] for k in got} == {q for q, _, _ in QUANTILE_GRID}
+    for flag in flags:
+        vals = sorted(
+            x.c
+            for x in li.filter(F.col("l_returnflag") == flag)
+            .select(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+                .cast("long")
+                .alias("c")
+            )
+            .collect()
+        )
+        n = len(vals)
+        for q, num, den in QUANTILE_GRID:
+            r = got[(flag, q)]
+            rank = (n * num + den - 1) // den  # ceil(n*q)
+            exact_cents = vals[rank - 1]
+            assert r.q_bin < MEDIAN_BINS
+            assert (
+                abs(r.binned_q * 100.0 - exact_cents) <= r.bin_w_cents / 2 + 1e-9
+            ), (flag, q, r.binned_q, exact_cents / 100.0, r.bin_w_cents)
+        # p50 == the registered median key, bit for bit
+        assert got[(flag, "p50")].binned_q == med[flag].binned_median
