@@ -688,20 +688,29 @@ def simhash32(text_col: str = "text") -> Column:
     return sh
 
 
-def _simhash_sig_sql(lanes: int) -> str:
+def _simhash_sig_sql(lanes: int, standalone: bool = True, prefix: str = "") -> str:
     """Shared DuckDB CTE chain computing the fmix32-packed SimHash
     signature(s): `sig(doc_id, sh)` for lanes=2 (64-bit) or
     `sig(doc_id, sh_lo, sh_hi)` for lanes=4 (128-bit). Mirrors
     :func:`simhash_signatures` / :func:`simhash128_signatures`
     stage-for-stage (fold → seed → fmix32 → signed pack → majority
     vote); the vote is per-bit here instead of SWAR-packed — same
-    counts, clearer SQL."""
+    counts, clearer SQL.
+
+    ``standalone=False`` drops the `WITH toks AS (...)` opener so the
+    chain can be SPLICED after a caller-provided toks(doc_id, pos,
+    word) CTE (the `pipeline_signatures` composed oracle); ``prefix``
+    renames every internal CTE so the chain coexists with the gram
+    chain's own `wh`. Defaults emit the byte-identical SQL the
+    registered simhash keys have always carried."""
     from piper_spark.functions.text import word_fold_sql
 
+    p = prefix
     fm_ctes, fm_final = fmix32_sql_ctes(
-        "wh",
+        f"{p}wh",
         "doc_id",
         {f"x{i}": f"(h + {HASH_SEEDS[i]}) % {M32}" for i in range(lanes)},
+        prefix=f"{p}fm",
     )
     nbits = lanes * 32
     if lanes == 2:
@@ -730,13 +739,18 @@ def _simhash_sig_sql(lanes: int) -> str:
                 CASE WHEN b.bit = 127 THEN -9223372036854775808
                      ELSE (1::BIGINT << CAST(b.bit - 64 AS INT)) END
               ELSE 0 END) AS BIGINT) AS sh_hi"""
-    return f"""
+    head = (
+        """
 WITH toks AS (
   SELECT doc_id,
          generate_subscripts(string_split(text, ' '), 1) AS pos,
          unnest(string_split(text, ' ')) AS word
   FROM documents
-), words AS (
+), """
+        if standalone
+        else ", "
+    )
+    return f"""{head}{p}words AS (
   -- mirror of the Spark side's slice(array_distinct(...), 1,
   -- SIMHASH_MAX_WORDS): FIRST-OCCURRENCE distinct order, capped at
   -- the signed-SWAR bound.
@@ -745,19 +759,19 @@ WITH toks AS (
            row_number() OVER (PARTITION BY doc_id ORDER BY min(pos)) AS rn
     FROM toks GROUP BY doc_id, word)
   WHERE rn <= 32767
-), wh AS (
-  SELECT doc_id, {word_fold_sql('word')} AS h FROM words
-), n AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id)
+), {p}wh AS (
+  SELECT doc_id, {word_fold_sql('word')} AS h FROM {p}words
+), {p}n AS (SELECT doc_id, count(*) AS n FROM {p}wh GROUP BY doc_id)
 {fm_ctes},
-hv AS ({hv}),
-bits AS (
+{p}hv AS ({hv}),
+{p}bits AS (
   SELECT doc_id, j.range AS bit, sum({bit}) AS cnt
-  FROM hv CROSS JOIN range(0, {nbits}) j
+  FROM {p}hv CROSS JOIN range(0, {nbits}) j
   GROUP BY doc_id, j.range
 ),
-sig AS (
+{p}sig AS (
   SELECT b.doc_id,{sig_cols}
-  FROM bits b JOIN n ON b.doc_id = n.doc_id
+  FROM {p}bits b JOIN {p}n n ON b.doc_id = n.doc_id
   GROUP BY b.doc_id
 )"""
 
@@ -1037,6 +1051,82 @@ def near_dup_spine(
         "simhash128_sigs": _simhash128_from_wh(wh, id_col),
         "winnow_fps": winnow_fps_from_grams(grams),
     }
+
+
+from piper_spark.functions.text import _WINNOW_FPS_SQL as _WINNOW_FPS_SQL_SPINE  # noqa: E402
+
+_SPINE_MH_WIDE = ", ".join(
+    f"max(CASE WHEN i = {i} THEN mh END) AS mh{i}"
+    for i, _a, _b in MINHASH_MIXERS
+)
+
+
+@register(
+    "pipeline_signatures",
+    oracle=f"""
+WITH toks AS ({_WINNOW_FPS_SQL_SPINE})
+{_simhash_sig_sql(2, standalone=False, prefix="sx_")},
+gm AS (SELECT doc_id, g % {MERSENNE31} AS h FROM valid),
+m(i, a, b) AS (VALUES {_MINHASH_MIXER_VALUES}),
+sigs AS (
+  SELECT doc_id, m.i, min((gm.h * m.a + m.b) % {MERSENNE31}) AS mh
+  FROM gm CROSS JOIN m GROUP BY doc_id, m.i
+),
+wide AS (SELECT doc_id, {_SPINE_MH_WIDE} FROM sigs GROUP BY doc_id),
+fpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+        FROM fps GROUP BY doc_id)
+SELECT w.doc_id, w.mh0, w.mh1, w.mh2, w.mh3, w.mh4, w.mh5, w.mh6, w.mh7,
+       s.sh, COALESCE(f.n_fps, 0) AS n_fps
+FROM wide w
+JOIN sx_sig s ON s.doc_id = w.doc_id
+LEFT JOIN fpc f ON f.doc_id = w.doc_id
+""",
+)
+def pipeline_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHARED SIGNATURE STAGE as a driver-gated relation: per
+    document, the 8 minhash values, the 64-bit SimHash, and the
+    winnowing fingerprint count — ALL derived from `near_dup_spine`'s
+    one persisted (id, hw, dwh) stage (hash the corpus once, sign it
+    three ways). This is the table a production near-dup system
+    actually materializes between ingest and the pair joins; the
+    standalone keys (`dedup_minhash`/`dedup_simhash`/`dedup_winnow`)
+    consume signatures shaped exactly like these rows.
+
+    ORACLE-EXACT as a composition: the SQL splices the gram chain
+    (`_WINNOW_FPS_SQL`), the minhash mixer sigs, and the prefixed
+    simhash chain into ONE WITH — the same stage-composition move
+    `pipeline_embed_curate` makes, so the check can only pass if the
+    shared-stage semantics compose. Docs with < 3 words carry no gram
+    signatures and are absent (minhash semantics); fingerprint-less
+    docs (< 6 words) report n_fps 0.
+
+    Scale: one corpus scan + two Arrow hash passes (the spine stage),
+    then three bounded aggregates off the persisted relation — the
+    measured ~30% amortization over standalone builders (SCALING.md
+    "shared signature stage")."""
+    spine = near_dup_spine(table(spark, sf_dir, "documents"))
+    fpc = (
+        spine["winnow_fps"]
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+    )
+    out = (
+        spine["minhash_sigs"]
+        .join(spine["simhash_sigs"], "doc_id")
+        .join(fpc, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[f"mh{i}" for i, _a, _b in MINHASH_MIXERS],
+            "sh",
+            F.coalesce(F.col("n_fps"), F.lit(0)).cast("long").alias("n_fps"),
+        )
+        .persist()
+    )
+    # Materialize, then release the stage cache (the spine contract:
+    # the caller owns it; this registered key IS the consuming action).
+    out.count()
+    spine["stage"].unpersist()
+    return out
 
 
 @register(

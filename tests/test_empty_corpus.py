@@ -143,6 +143,7 @@ RISKY = [
     "event_zscore",
     "sim_ann_batch",
     "sim_knn_join",
+    "pipeline_signatures",
 ]
 
 
