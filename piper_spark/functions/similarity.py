@@ -1431,8 +1431,12 @@ def sim_ann_kmeans(
 
 #: Batched-search query set: a deterministic stride over the corpus
 #: (5 queries at the 500-row fixture, 20 at sf0.1) — the bounded
-#: many-queries-at-once shape, not a sampling statement.
-ANN_BATCH_MOD, ANN_BATCH_RES = 100, 7
+#: many-queries-at-once shape, not a sampling statement. ANN_BATCH_MAX
+#: hard-caps the driver-side query collect (lowest vec_ids first, the
+#: MAX_TRAIN_VECTORS discipline): the query batch is a WORK LIST and
+#: must stay bounded no matter the corpus size — without the cap a
+#: 10⁹-row corpus would collect 10⁷ query vectors.
+ANN_BATCH_MOD, ANN_BATCH_RES, ANN_BATCH_MAX = 100, 7, 128
 
 
 def _ann_batch_oracle() -> str:
@@ -1440,9 +1444,9 @@ def _ann_batch_oracle() -> str:
     return f"""{_kmeans_ctes()},
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
 q AS (SELECT vec_id AS qid, xq AS qx FROM v
-      WHERE vec_id % {ANN_BATCH_MOD} = {ANN_BATCH_RES}),
-qd AS (SELECT vec_id AS qid, ed AS qd FROM e
-       WHERE vec_id % {ANN_BATCH_MOD} = {ANN_BATCH_RES}),
+      WHERE vec_id % {ANN_BATCH_MOD} = {ANN_BATCH_RES}
+      ORDER BY vec_id LIMIT {ANN_BATCH_MAX}),
+qd AS (SELECT qid, e.ed AS qd FROM q JOIN e ON e.vec_id = q.qid),
 pr AS (
   SELECT qid, cid FROM (
     SELECT q.qid, fc.cid,
@@ -1514,8 +1518,10 @@ def sim_ann_batch(
     k = len(cents)
     q_rows = (
         vecs.filter(F.col("vec_id") % ANN_BATCH_MOD == ANN_BATCH_RES)
+        .orderBy("vec_id")
+        .limit(ANN_BATCH_MAX)  # hard cap: the work list stays bounded
         .select("vec_id", "xq")
-        .collect()  # bounded: the query batch (a work list, not data)
+        .collect()  # bounded: ≤ ANN_BATCH_MAX query vectors
     )
     if not q_rows:
         vecs.unpersist()
@@ -1547,9 +1553,12 @@ def sim_ann_batch(
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ed")
     )
-    qd = e.filter(F.col("vec_id") % ANN_BATCH_MOD == ANN_BATCH_RES).select(
-        F.col("vec_id").alias("qid"), F.col("ed").alias("qd")
-    )
+    # The broadcast query-vector relation is restricted to the CAPPED
+    # batch ids (not the raw stride filter) so its size is bounded by
+    # ANN_BATCH_MAX at any corpus scale.
+    qd = e.filter(
+        F.col("vec_id").isin([int(r["vec_id"]) for r in q_rows])
+    ).select(F.col("vec_id").alias("qid"), F.col("ed").alias("qd"))
     scored = (
         cand.join(e, "vec_id")
         .join(F.broadcast(qd), "qid")
