@@ -461,6 +461,13 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         ex = docs.select(id_col, F.explode(w).alias("w")).select(
             id_col, word_hash_scalar_udf()(F.col("w")).alias("h")
         )
+    return _minhash_from_h(ex, id_col)
+
+
+def _minhash_from_h(ex: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ONE definition of the k-mixer min aggregate over an exploded
+    (id, h) token-hash relation — shared by the shingle and word token
+    units so the mixer family cannot silently fork."""
     return ex.groupBy(id_col).agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(
@@ -479,14 +486,7 @@ def minhash_from_gram_arrays(ga: DataFrame, id_col: str = "doc_id") -> DataFrame
     ex = ga.select(id_col, F.explode("grams").alias("g")).select(
         id_col, (F.col("g") % F.lit(MERSENNE31)).alias("h")
     )
-    return ex.groupBy(id_col).agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(
-                f"mh{i}"
-            )
-            for i, a, b in MINHASH_MIXERS
-        ]
-    )
+    return _minhash_from_h(ex, id_col)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
