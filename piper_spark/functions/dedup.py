@@ -811,6 +811,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = simhash_signatures(table(spark, sf_dir, "documents")).persist(
         StorageLevel.DISK_ONLY
     )
+    return _simhash64_pairs(d)
+
+
+def _simhash64_pairs(d: DataFrame) -> DataFrame:
+    """(id1, id2, hamming) Hamming ≤ 3 pairs from a PERSISTED 64-bit
+    signature relation — the banding stages of `dedup_simhash`,
+    factored so `dedup_ensemble` can vote on the spine's shared
+    signatures. Caller persists `d` (the self-join reads it twice)."""
     bands = F.array(
         *[
             F.struct(
@@ -1129,6 +1137,8 @@ def pipeline_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
 @register(
     "dedup_embed",
     oracle="""
@@ -1322,6 +1332,15 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read the fingerprint relation — one fingerprint pass, not three
     # (the dedup_audio signature-table lesson; caller owns the cache).
     fps = winnow_fps(docs).persist()
+    return _winnow_verified_pairs(docs, fps)
+
+
+def _winnow_verified_pairs(docs: DataFrame, fps: DataFrame) -> DataFrame:
+    """(id1, id2, shared, jaccard) df-capped + verified winnow pairs
+    from a PERSISTED fingerprint relation — `dedup_winnow`'s candidate
+    + verify stages, factored so `dedup_ensemble` can vote on the
+    spine's shared fingerprints. Caller persists `fps` (the df-cap agg
+    and both self-join aliases read it)."""
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1356,6 +1375,131 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("id1", "id2", "shared", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_ensemble",
+    oracle=f"""
+WITH {_WINNOW_PAIRS_CTES}
+{_simhash_sig_sql(2, standalone=False, prefix="sx_")},
+gm AS (SELECT doc_id, g % {MERSENNE31} AS h FROM valid),
+mm(i, a, b) AS (VALUES {_MINHASH_MIXER_VALUES}),
+msigs AS (
+  SELECT doc_id, mm.i, min((gm.h * mm.a + mm.b) % {MERSENNE31}) AS mh
+  FROM gm CROSS JOIN mm GROUP BY doc_id, mm.i
+),
+mbands AS (
+  SELECT doc_id, i // 2 AS band,
+         CAST(sum(CASE WHEN i % 2 = 0 THEN mh * 2147483648 ELSE mh END)
+              AS BIGINT) AS bh
+  FROM msigs GROUP BY doc_id, i // 2
+),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM mbands a
+  JOIN mbands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sxb AS (
+  SELECT doc_id, sh, rb.range AS band,
+         (sh >> CAST(16 * rb.range AS INT)) & 65535 AS bh
+  FROM sx_sig CROSS JOIN range(0, 4) rb
+),
+sh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM sxb a
+  JOIN sxb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+),
+wn_pairs AS (SELECT DISTINCT id1, id2 FROM verified),
+allp AS (
+  SELECT id1, id2 FROM mh_pairs
+  UNION SELECT id1, id2 FROM sh_pairs
+  UNION SELECT id1, id2 FROM wn_pairs
+),
+flagged AS (
+  SELECT p.id1, p.id2,
+         CAST(CASE WHEN m.id1 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS in_minhash,
+         CAST(CASE WHEN s.id1 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS in_simhash,
+         CAST(CASE WHEN w.id1 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS in_winnow
+  FROM allp p
+  LEFT JOIN mh_pairs m ON m.id1 = p.id1 AND m.id2 = p.id2
+  LEFT JOIN sh_pairs s ON s.id1 = p.id1 AND s.id2 = p.id2
+  LEFT JOIN wn_pairs w ON w.id1 = p.id1 AND w.id2 = p.id2
+)
+SELECT id1, id2, in_minhash + in_simhash + in_winnow AS n_votes,
+       in_minhash, in_simhash, in_winnow
+FROM flagged
+WHERE in_minhash + in_simhash + in_winnow >= 2
+""",
+)
+def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE near-dup voting — pairs confirmed by ≥ 2 of the three
+    text signature families (MinHash-LSH bands, 64-bit SimHash Hamming
+    ≤ 3, verified winnowing), with per-family flags. Single-family
+    candidates are where LSH false positives live (a band collision, a
+    vocabulary-overlap Hamming ball); requiring independent agreement
+    is the standard precision move a production dedup pass applies
+    before destructive drops — and because every family signs off ONE
+    `near_dup_spine` stage, the whole vote costs one corpus hash pass
+    plus the three bounded candidate joins.
+
+    ORACLE-EXACT as a composition (the `pipeline_signatures` move,
+    extended to the PAIR level): the SQL splices the winnow
+    candidate+verify chain, the minhash mixer/band chain, and the
+    prefixed simhash chain into ONE WITH, then votes with three
+    pair-keyed left joins. Scale: each family's candidate generator is
+    the bounded equi-join its standalone key carries (df-capped fp
+    buckets, 62-bit band keys, 16-bit Hamming bands); the voting joins
+    are pair-keyed on id pairs, never corpus-keyed."""
+    docs = table(spark, sf_dir, "documents")
+    spine = near_dup_spine(docs)
+    # Each signature relation feeds a SELF-join (two aliases) — persist
+    # so the aggregate runs once per family (the dedup_minhash lesson).
+    fps = spine["winnow_fps"].persist(StorageLevel.DISK_ONLY)
+    mh_sigs = spine["minhash_sigs"].persist(StorageLevel.DISK_ONLY)
+    mh = (
+        lsh_candidate_pairs(mh_sigs)
+        .select("id1", "id2")
+        .withColumn("in_minhash", F.lit(1).cast("long"))
+    )
+    sim_sigs = spine["simhash_sigs"].persist(StorageLevel.DISK_ONLY)
+    sh = (
+        _simhash64_pairs(sim_sigs)
+        .select("id1", "id2")
+        .withColumn("in_simhash", F.lit(1).cast("long"))
+    )
+    wn = (
+        _winnow_verified_pairs(docs, fps)
+        .select("id1", "id2")
+        .withColumn("in_winnow", F.lit(1).cast("long"))
+    )
+    votes = (
+        mh.join(sh, ["id1", "id2"], "full")
+        .join(wn, ["id1", "id2"], "full")
+        .select(
+            "id1",
+            "id2",
+            F.coalesce(F.col("in_minhash"), F.lit(0)).alias("in_minhash"),
+            F.coalesce(F.col("in_simhash"), F.lit(0)).alias("in_simhash"),
+            F.coalesce(F.col("in_winnow"), F.lit(0)).alias("in_winnow"),
+        )
+        .withColumn(
+            "n_votes",
+            F.col("in_minhash") + F.col("in_simhash") + F.col("in_winnow"),
+        )
+        .filter(F.col("n_votes") >= 2)
+        .select("id1", "id2", "n_votes", "in_minhash", "in_simhash", "in_winnow")
+        .persist()
+    )
+    votes.count()  # materialize, then release the internal caches
+    fps.unpersist()
+    mh_sigs.unpersist()
+    sim_sigs.unpersist()
+    spine["stage"].unpersist()
+    return votes
 
 
 #: Substring-dedup knobs: drop grams in more than SUBSTR_MAX_DF docs

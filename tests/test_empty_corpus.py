@@ -144,6 +144,7 @@ RISKY = [
     "sim_ann_batch",
     "sim_knn_join",
     "pipeline_signatures",
+    "dedup_ensemble",
 ]
 
 

@@ -980,3 +980,12 @@ def test_sim_knn_join_is_cell_keyed_equi_join(spark):
     plan = plan_of(spark, "sim_knn_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_ensemble_votes_without_cartesian(spark):
+    """Ensemble voting composes three bounded candidate equi-joins plus
+    pair-keyed vote joins — no cartesian/NLJ may appear anywhere in the
+    composed plan."""
+    plan = plan_of(spark, "dedup_ensemble")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
