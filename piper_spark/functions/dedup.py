@@ -1786,11 +1786,28 @@ def dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: SemDeDup parameters: corpus cap, number of seed centroids, cosine
-#: threshold for "semantic duplicate within a cluster".
+#: SemDeDup parameters: corpus cap, cluster-count floor/ceiling and
+#: target cluster size, cosine threshold for "semantic duplicate
+#: within a cluster". The cluster count is CORPUS-SIZE-DERIVED
+#: (round-12, the `derived_kmeans_k` discipline): SemDeDup's n²/k pair
+#: bound only beats n² when k GROWS with n — at a fixed target cluster
+#: size the expected within-cluster pair work is n · SEM_CELL_TARGET,
+#: linear. Derivation is mirrored in the oracle's kd CTE, so one
+#: static SQL string is exact at every SF.
 SEMDEDUP_CAP = 1200
 SEMDEDUP_K = 16
+SEMDEDUP_K_MAX = 4096
+SEM_CELL_TARGET = 64
 SEMDEDUP_TAU = 0.35
+
+
+def derived_semdedup_k(n_capped: int) -> int:
+    """clamp(ceil(n / SEM_CELL_TARGET), SEMDEDUP_K, SEMDEDUP_K_MAX)
+    over the CAPPED corpus count — seeds are the first k vec_ids, the
+    pinned-representative convention (ids are contiguous in the
+    fixture, the dedup_bloom assumption)."""
+    want = (max(n_capped, 1) + SEM_CELL_TARGET - 1) // SEM_CELL_TARGET
+    return min(SEMDEDUP_K_MAX, max(SEMDEDUP_K, want))
 
 
 @register(
@@ -1800,10 +1817,15 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
   FROM embeddings WHERE vec_id < {SEMDEDUP_CAP}
 ),
+kd AS (
+  SELECT LEAST({SEMDEDUP_K_MAX}, GREATEST({SEMDEDUP_K},
+           (count(*) + {SEM_CELL_TARGET - 1}) // {SEM_CELL_TARGET})) AS k
+  FROM e
+),
 seeds AS (
   SELECT vec_id AS sid, ed AS sed,
          sqrt(list_sum(list_transform(ed, x -> x * x))) AS snorm
-  FROM e WHERE vec_id < {SEMDEDUP_K}
+  FROM e, kd WHERE vec_id < kd.k
 ),
 scored AS (
   SELECT e.vec_id, s.sid,
@@ -1866,10 +1888,13 @@ def dedup_semantic(
     Scale shape: seeds are a k-row broadcast; assignment is one
     narrow pass (n·k fold-dot-products, no shuffle); the pair stage
     shuffles on `cluster` only and SemDeDup's own guarantee bounds each
-    partition's work at |cluster|². Skewed clusters would salt or
-    df-cap exactly like the gram joins (functions/dedup.py df-cap
-    pattern). Corpus capped at {SEMDEDUP_CAP} vecs for the registered
-    key so the exact within-cluster verify stays bench-sized.
+    partition's work at |cluster|². k is CORPUS-SIZE-DERIVED
+    (`derived_semdedup_k`, round-12): at a fixed SEM_CELL_TARGET the
+    expected pair work is n · SEM_CELL_TARGET — linear — where a fixed
+    k would be n²/k, quadratic. Skewed clusters would salt or df-cap
+    exactly like the gram joins (functions/dedup.py df-cap pattern).
+    Corpus capped at SEMDEDUP_CAP vecs for the registered key so the
+    exact within-cluster verify stays bench-sized.
     """
     # persist: norms live IN the cached relation (trap 3 — the pair
     # stage reads e from two aliases; a per-pair norm recompute would
@@ -1882,8 +1907,14 @@ def dedup_semantic(
         .select("vec_id", "ed", _vec_norm(F.col("ed")).alias("nrm"))
         .persist()
     )
-    if seeds is None:  # default: pinned first-k representatives
-        seeds = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+    if seeds is None:  # default: pinned first-k representatives,
+        # k corpus-size-derived off the capped footer count (no job)
+        from piper_spark.session import row_count
+
+        k_sem = derived_semdedup_k(
+            min(row_count(spark, sf_dir, "embeddings"), SEMDEDUP_CAP)
+        )
+        seeds = e.filter(F.col("vec_id") < k_sem).select(
             F.col("vec_id").alias("sid"),
             F.col("ed").alias("sed"),
             F.col("nrm").alias("snorm"),

@@ -25,6 +25,9 @@ from piper_spark.registry import register
 from piper_spark.session import table
 
 NUM_CENTROIDS = 8
+#: Probe-width floor. The registered ANN defaults DERIVE the probe
+#: count from the fitted cell count — see `derived_probes` — and never
+#: probe fewer than this.
 NUM_PROBES = 2
 #: Deterministic training sample for the IVF codebook: vec_id % MOD == 0.
 #: The codebook converges on a fraction of the corpus; the full table is
@@ -416,7 +419,9 @@ def score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_ivf(
     spark: SparkSession, sf_dir: str, codebook: DataFrame | None = None
 ) -> DataFrame:
-    """IVF approximate top-10 for the vec_id=0 query, probing 2 of 8 cells.
+    """IVF approximate top-10 for the vec_id=0 query, probing
+    derived_probes(NUM_CENTROIDS) = half of the 8 sample-trained cells
+    (the measured >= 0.8 recall operating point — see `derived_probes`).
 
     Codebook = k-means fit by `train_codebook` (driver-side numpy Lloyd,
     deterministic init/tie-breaks) on a DETERMINISTIC SAMPLE
@@ -452,7 +457,7 @@ def sim_ann_ivf(
         q.crossJoin(F.broadcast(cents))
         .withColumn("d2", sq_dist(F.col("qd"), F.col("cd")))
         .orderBy("d2", "cid")
-        .limit(NUM_PROBES)
+        .limit(derived_probes(NUM_CENTROIDS))
         .select("cid")
     )
     candidates = assigned.join(F.broadcast(probe), "cid").filter(F.col("vec_id") != 0)
@@ -940,6 +945,43 @@ KMEANS_K, KMEANS_ITERS = 8, 3
 KM_SCALE, KM_OFFSET = 1_000_000.0, 1 << 20
 KM_DIMS = 64
 
+#: Cell-count derivation (round-12): k is CORPUS-SIZE-DERIVED, not
+#: fixed — k = clamp(ceil(n / KM_CELL_TARGET), KMEANS_K, KMEANS_K_MAX)
+#: from the parquet footers' row count (`session.row_count`, pure
+#: driver-side metadata, NO Spark job) — the `derived_band_bits` /
+#: `derived_bloom_bits` discipline applied to the Lloyd family. Why it
+#: matters: the cell-sharded pair ops (`sim_knn_join`,
+#: `dedup_semantic`'s n²/k bound) do Σ n_c² ≈ n²/k work, which is
+#: quadratic at FIXED k but linear (n · KM_CELL_TARGET) once k grows
+#: with n at a fixed target cell size. The oracle derives the IDENTICAL
+#: k in SQL (the kd CTE in `_kmeans_ctes`), so one static oracle string
+#: stays exact at every SF. kk-encoding headroom at the clamp ceiling:
+#: dist² ≤ 64·(1.2·10⁶)² ≈ 9.3·10¹³ and k ≤ 4096 ⇒ kk < 3.9·10¹⁷,
+#: still exact int64. Driver-side model state at the ceiling is
+#: k·(dims+2) int64s ≈ 2 MB — bounded regardless of corpus rows.
+KM_CELL_TARGET = 64
+KMEANS_K_MAX = 4096
+
+
+def derived_kmeans_k(n: int) -> int:
+    """clamp(ceil(n / KM_CELL_TARGET), KMEANS_K, KMEANS_K_MAX) — the
+    corpus-size-derived Lloyd cell count (see KM_CELL_TARGET note)."""
+    want = (max(n, 1) + KM_CELL_TARGET - 1) // KM_CELL_TARGET
+    return min(KMEANS_K_MAX, max(KMEANS_K, want))
+
+
+def derived_probes(k: int) -> int:
+    """Probe width for the registered IVF defaults: ceil(k / 2),
+    floored at NUM_PROBES. The held-out operating curve (SCALING.md,
+    "ANN operating curve") measured recall@10 = 0.553 at a 1/4 scan
+    fraction and 0.808 at 1/2 on this ISOTROPIC synthetic corpus —
+    random embeddings are IVF's worst case (cell populations are
+    near-uniform and query-to-centroid distance is weakly informative),
+    so the stated ≥ 0.8 recall target needs the 1/2 fraction. On real
+    clustered data the same rule is conservative; callers with cluster
+    structure pass a smaller explicit ``n_probes``."""
+    return max(NUM_PROBES, (k + 1) // 2)
+
 
 def _km_xq_col() -> Column:
     """embedding → positive int64 grid (see KM_OFFSET note)."""
@@ -958,8 +1000,9 @@ def _km_kk_udf(cents: list[list[int]]):
     body is ONE exact int64 matmul (‖x‖² − 2XCᵀ + ‖c‖², the
     `assign_cells` kernel on the integer grid; np.argmin-first-min =
     the lowest-cid tie rule, encoded identically to the oracle's
-    min(dist·k + cid)).  dist² ≤ 64·(2.1·10⁶)² ≈ 2.8·10¹⁴ and k ≤ 8 ⇒
-    kk < 2.3·10¹⁵, exact int64 throughout — no float enters.
+    min(dist·k + cid)).  dist² ≤ 64·(1.2·10⁶)² ≈ 9.3·10¹³ and
+    k ≤ KMEANS_K_MAX = 4096 ⇒ kk < 3.9·10¹⁷, exact int64 throughout —
+    no float enters.
 
     The vectorized kernel replaces the first-cut zip_with/aggregate
     fold expression: interpreted HOFs cost ~8 µs/row/pass at k=8,
@@ -985,7 +1028,9 @@ def _km_kk_udf(cents: list[list[int]]):
     return kk
 
 
-def lloyd_centroids(vecs: DataFrame, dims: int = KM_DIMS) -> list[list[int]]:
+def lloyd_centroids(
+    vecs: DataFrame, dims: int = KM_DIMS, k: int = KMEANS_K
+) -> list[list[int]]:
     """Fixed-iteration Lloyd over the FULL (vec_id, xq) relation — the
     distributed production path `train_codebook`'s docstring promised:
     nothing corpus-sized ever reaches the driver.
@@ -1006,11 +1051,11 @@ def lloyd_centroids(vecs: DataFrame, dims: int = KM_DIMS) -> list[list[int]]:
     KM_OFFSET-shifted grid, so the unrolled-CTE oracle matches
     bit-for-bit.
     """
-    seeds = vecs.orderBy("vec_id").limit(KMEANS_K).collect()
+    seeds = vecs.orderBy("vec_id").limit(k).collect()
     cents = [[int(v) for v in r["xq"]] for r in seeds]
     if not cents:
         return cents
-    k = len(cents)
+    k = len(cents)  # a corpus smaller than k seeds fewer cells
     sum_aggs = [
         F.sum(F.element_at("xq", i + 1)).alias(f"s{i}") for i in range(dims)
     ]
@@ -1032,10 +1077,14 @@ def lloyd_centroids(vecs: DataFrame, dims: int = KM_DIMS) -> list[list[int]]:
 
 
 def _kmeans_ctes() -> str:
-    """The unrolled Lloyd CTE chain (quantize → seeds → {KMEANS_ITERS}
-    assign/update rounds → final assign a{KMEANS_ITERS}) — shared by
-    `cluster_kmeans`'s oracle and `sim_ann_kmeans`'s (which probes the
-    SAME fitted cells)."""
+    """The unrolled Lloyd CTE chain (quantize → derived cell count kd →
+    seeds → KMEANS_ITERS assign/update rounds → final assign
+    a{KMEANS_ITERS}) — shared by `cluster_kmeans`'s oracle and every
+    ANN oracle probing the SAME fitted cells. The kd CTE mirrors
+    `derived_kmeans_k` exactly (integer ceil-division + clamp), so one
+    static oracle string is exact at every SF; kn counts the ACTUAL
+    seed rows (a corpus smaller than kd.k seeds fewer cells), matching
+    the Spark side's k = len(cents)."""
     sums = ", ".join(f"sum(xq[{i + 1}]) AS s{i}" for i in range(KM_DIMS))
     newc = ", ".join(f"s.s{i} // s.n" for i in range(KM_DIMS))
 
@@ -1065,9 +1114,14 @@ WITH v AS (
                 + {KM_OFFSET}) AS xq
   FROM embeddings
 ),
-c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-              xq AS c
-       FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT {KMEANS_K})),
+kd AS (SELECT LEAST({KMEANS_K_MAX}, GREATEST({KMEANS_K},
+         (count(*) + {KM_CELL_TARGET - 1}) // {KM_CELL_TARGET})) AS k
+       FROM v),
+c0 AS (SELECT cid, c FROM (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                xq AS c
+         FROM v) s, kd
+       WHERE s.cid < kd.k),
 kn AS (SELECT count(*) AS k FROM c0),{body},{assign(KMEANS_ITERS)}"""
     return ctes
 
@@ -1083,7 +1137,9 @@ FROM a{KMEANS_ITERS} a, kn
 @register("cluster_kmeans", oracle=_kmeans_oracle())
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (Lloyd 1982) over the FULL embeddings
-    relation — {KMEANS_K} clusters, {KMEANS_ITERS} fixed update rounds,
+    relation — a corpus-size-derived cell count (`derived_kmeans_k`:
+    one cell per KM_CELL_TARGET vectors, clamped to
+    [KMEANS_K, KMEANS_K_MAX]), KMEANS_ITERS fixed update rounds,
     then a final assignment pass: (vec_id, cluster, dist²).  This is
     the corpus-scale iterative fit the engine previously only promised
     in prose (`sim_ann_ivf`/`dedup_semantic` train on bounded SAMPLES
@@ -1098,8 +1154,8 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-CTE DuckDB oracle matches bit-for-bit where a float Lloyd
     would drift with summation order.
 
-    Scale: the vector relation is scanned {KMEANS_ITERS}+2 times
-    (seeds, {KMEANS_ITERS} sum rounds, final assign) but persisted
+    Scale: the vector relation is scanned KMEANS_ITERS+2 times
+    (seeds, KMEANS_ITERS sum rounds, final assign) but persisted
     once; per-round traffic is k·(dims+2) int64s per map partition
     after partial agg — independent of corpus rows.  The final assign
     is a pure projection, so the output inherits the input's
@@ -1138,14 +1194,21 @@ def _km_fit(spark: SparkSession, sf_dir: str):
     unpersist `vecs` before returning: either immediately (codebook
     consumers — the centroids are driver-side) or after materializing
     its own, smaller result to hand the caller as the owned cache
-    (cluster_kmeans / sim_ann_kmeans, round-10 ADVICE 2)."""
+    (cluster_kmeans / sim_ann_kmeans, round-10 ADVICE 2).
+
+    The cell count is corpus-size-DERIVED (`derived_kmeans_k` over the
+    parquet-footer row count — no Spark job), so every consumer of the
+    fit inherits the fixed-target-cell-size scale shape."""
+    from piper_spark.session import row_count
+
+    k = derived_kmeans_k(row_count(spark, sf_dir, "embeddings"))
     vecs = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", _km_xq_col().alias("xq"))
         .persist()
     )
     vecs.count()
-    return vecs, lloyd_centroids(vecs)
+    return vecs, lloyd_centroids(vecs, k=k)
 
 
 def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1328,17 +1391,26 @@ def embed_pq(
     )
 
 
+#: Derived probe width as SQL — mirrors `derived_probes` off kn's
+#: ACTUAL seed count, shared by every ANN oracle on the kmeans chain.
+_NP_CTE = f"np AS (SELECT GREATEST({NUM_PROBES}, (k + 1) // 2) AS np FROM kn)"
+
+
 def _ann_kmeans_oracle() -> str:
     t = KMEANS_ITERS
     return f"""{_kmeans_ctes()},
+{_NP_CTE},
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
 qi AS (SELECT xq AS qx FROM v WHERE vec_id = 0),
 qd AS (SELECT ed AS qd FROM e WHERE vec_id = 0),
-pr AS (SELECT fc.cid FROM c{t} fc, qi, kn
-       ORDER BY CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
-                 i -> (qi.qx[i] - fc.c[i]) * (qi.qx[i] - fc.c[i])))
-               AS BIGINT) * kn.k + fc.cid
-       LIMIT {NUM_PROBES}),
+pr AS (SELECT cid FROM (
+         SELECT fc.cid,
+                row_number() OVER (
+                  ORDER BY CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+                            i -> (qi.qx[i] - fc.c[i]) * (qi.qx[i] - fc.c[i])))
+                          AS BIGINT) * kn.k + fc.cid) AS rn
+         FROM c{t} fc, qi, kn) r, np
+       WHERE r.rn <= np.np),
 cand AS (SELECT a.vec_id FROM a{t} a, kn
          WHERE a.kk % kn.k IN (SELECT cid FROM pr) AND a.vec_id <> 0)
 SELECT e.vec_id,
@@ -1356,7 +1428,7 @@ LIMIT {10}
 def sim_ann_kmeans(
     spark: SparkSession,
     sf_dir: str,
-    n_probes: int = NUM_PROBES,
+    n_probes: int | None = None,
     _fit: "tuple[DataFrame, list[list[int]]] | None" = None,
 ) -> DataFrame:
     """IVF approximate top-10 on the DISTRIBUTED-Lloyd codebook — the
@@ -1365,17 +1437,21 @@ def sim_ann_kmeans(
     order, and candidates are all exact integer arithmetic on the
     `cluster_kmeans` fit, and only the final sim_topk-style cosine
     ranking is float — bit-identical folds in both engines, the
-    `sim_topk` precedent).  Probes = the ``n_probes`` (default
-    {NUM_PROBES} — what the oracle mirrors) cells nearest
-    the vec_id=0 query by the same kk = dist²·k + cid order the
-    assignment uses.
+    `sim_topk` precedent).  Cell count k is corpus-size-derived
+    (`derived_kmeans_k`), and the default probe width is
+    ``derived_probes(k)`` = ceil(k/2) floored at NUM_PROBES — the
+    operating point the held-out curve puts at the stated >= 0.8
+    recall@10 target on this isotropic corpus (see `derived_probes`;
+    the oracle derives the identical width in SQL).  Probes = the
+    ``n_probes`` cells nearest the vec_id=0 query by the same
+    kk = dist²·k + cid order the assignment uses.
 
     Scale shape: the fit is `cluster_kmeans`'s (one partial-agg
     shuffle per fixed round); assignment + candidate filter are one
     map-side pass (`cluster IN probes` — on a cluster-bucketed layout
     this is partition pruning: cluster_id is the natural bucket key,
-    so a 2-of-8 probe reads a quarter of the files); ranking scans
-    only the probed cells' candidates against a 1-row broadcast
+    so each probe set reads only its share of the files); ranking
+    scans only the probed cells' candidates against a 1-row broadcast
     query.  Recall@10 vs exact `sim_topk` is asserted in tests.
     """
     owns_fit = _fit is None
@@ -1385,6 +1461,8 @@ def sim_ann_kmeans(
             vecs.unpersist()
         return spark.createDataFrame([], "vec_id long, cos_sim double")
     k = len(cents)
+    if n_probes is None:
+        n_probes = derived_probes(k)
     q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
     if q_row is None:  # no query vector in a degenerate corpus
         if owns_fit:
@@ -1442,6 +1520,7 @@ ANN_BATCH_MOD, ANN_BATCH_RES, ANN_BATCH_MAX = 100, 7, 128
 def _ann_batch_oracle() -> str:
     t = KMEANS_ITERS
     return f"""{_kmeans_ctes()},
+{_NP_CTE},
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
 q AS (SELECT vec_id AS qid, xq AS qx FROM v
       WHERE vec_id % {ANN_BATCH_MOD} = {ANN_BATCH_RES}
@@ -1456,7 +1535,7 @@ pr AS (
                        i -> (q.qx[i] - fc.c[i]) * (q.qx[i] - fc.c[i])))
                      AS BIGINT) * kn.k + fc.cid) AS rn
     FROM c{t} fc, q, kn)
-  WHERE rn <= {NUM_PROBES}
+  WHERE rn <= (SELECT np FROM np)
 ),
 cand AS (
   SELECT pr.qid, a.vec_id
@@ -1483,16 +1562,17 @@ WHERE rn <= 10
 
 @register("sim_ann_batch", oracle=_ann_batch_oracle())
 def sim_ann_batch(
-    spark: SparkSession, sf_dir: str, n_probes: int = NUM_PROBES
+    spark: SparkSession, sf_dir: str, n_probes: int | None = None
 ) -> DataFrame:
     """BATCHED multi-query IVF top-10 — the production search shape
     (`sim_topk`/`sim_ann_kmeans` serve ONE query; a retrieval or
     near-dup audit pass serves thousands at once): every query in the
-    deterministic batch (vec_id % {ANN_BATCH_MOD} == {ANN_BATCH_RES})
-    probes its own {NUM_PROBES} nearest cells of the SAME distributed
-    Lloyd fit, candidates come from ONE broadcast equi-join of the
-    assignment against the (qid, cid) probe relation, and one window
-    ranks the per-query top-10.
+    deterministic batch (vec_id mod ANN_BATCH_MOD == ANN_BATCH_RES)
+    probes its own ``derived_probes(k)`` nearest cells of the SAME
+    corpus-size-derived distributed Lloyd fit (the sim_ann_kmeans
+    default and recall target), candidates come from ONE broadcast
+    equi-join of the assignment against the (qid, cid) probe relation,
+    and one window ranks the per-query top-10.
 
     ORACLE-EXACT end to end, the `sim_ann_kmeans` discipline: cells,
     per-query probe order (kk = dist²·k + cid), and candidate sets are
@@ -1516,6 +1596,8 @@ def sim_ann_batch(
         vecs.unpersist()
         return spark.createDataFrame([], empty_schema)
     k = len(cents)
+    if n_probes is None:
+        n_probes = derived_probes(k)
     q_rows = (
         vecs.filter(F.col("vec_id") % ANN_BATCH_MOD == ANN_BATCH_RES)
         .orderBy("vec_id")
@@ -1613,7 +1695,7 @@ WHERE rn <= {KNN_K}
 
 @register("sim_knn_join", oracle=_knn_join_oracle())
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN SELF-JOIN over the whole corpus — every vector's {KNN_K}
+    """k-NN SELF-JOIN over the whole corpus — every vector's KNN_K
     nearest same-cell neighbors: the candidate-generation primitive
     SemDeDup-style embedding dedup and retrieval-index audits run at
     corpus scale (`dedup_semantic` consumes exactly this shape; here it
@@ -1622,17 +1704,21 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE cell-keyed equi self-join of the (vec_id, cid, ed, nrm)
     feature relation (cells from the shared distributed Lloyd fit —
     integer-exact, the `sim_ann_kmeans` discipline), dot/norm folds on
-    the pair, and a per-vector top-{KNN_K} window over CELL-sized
+    the pair, and a per-vector top-KNN_K window over CELL-sized
     candidate sets. Norms are precomputed once per vector (pure CSE —
     the float sequence is the same fold the oracle runs inline, so
     values stay bit-identical; rounded at 4, `sim_topk` precedent).
 
-    Scale: the self-join shards pairs by cell — Σ n_c² work, the n²/k
-    SemDeDup bound, never a global n² — and on a cluster-bucketed
-    layout the join is co-located (cid is the bucket key, no exchange
-    under the join). The top-k window partitions by vec_id over
-    candidates only. Oracle-exact end to end: cells and candidates are
-    integer arithmetic, the cosine is the shared bit-identical fold."""
+    Scale: the self-join shards pairs by cell — Σ n_c² work — and
+    because the cell count k is CORPUS-SIZE-DERIVED (`derived_kmeans_k`,
+    round-12: one cell per KM_CELL_TARGET vectors), expected pair work
+    is n · KM_CELL_TARGET, LINEAR in the corpus at a fixed cell size —
+    not the n²/k-at-fixed-k shape this key shipped with. On a
+    cluster-bucketed layout the join is co-located (cid is the bucket
+    key, no exchange under the join). The top-k window partitions by
+    vec_id over candidates only. Oracle-exact end to end: cells and
+    candidates are integer arithmetic (the oracle derives the same k),
+    the cosine is the shared bit-identical fold."""
     from pyspark.sql.window import Window
 
     vecs, cents = _km_fit(spark, sf_dir)

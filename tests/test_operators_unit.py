@@ -488,9 +488,9 @@ def test_dedup_semantic_pairs_are_same_cluster_and_over_tau(spark):
 
     from piper_spark.functions.dedup import (
         SEMDEDUP_CAP,
-        SEMDEDUP_K,
         SEMDEDUP_TAU,
         dedup_semantic,
+        derived_semdedup_k,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -502,7 +502,8 @@ def test_dedup_semantic_pairs_are_same_cluster_and_over_tau(spark):
         .filter(f"vec_id < {SEMDEDUP_CAP}")
         .collect()
     }
-    seeds = {i: emb[i] for i in range(SEMDEDUP_K) if i in emb}
+    # seeds mirror the registered key's corpus-size-derived count
+    seeds = {i: emb[i] for i in range(derived_semdedup_k(len(emb))) if i in emb}
 
     def cluster(v):
         cs = {
@@ -518,6 +519,39 @@ def test_dedup_semantic_pairs_are_same_cluster_and_over_tau(spark):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= SEMDEDUP_TAU - 1e-9, (r.vec_id, r.dup_of, cos)
         assert cluster(a) == r.cluster == cluster(b)
+
+
+def test_derived_cell_counts_scale_with_corpus():
+    """Round-12 (VERDICT item 1): the Lloyd/SemDeDup cell counts must
+    DERIVE from corpus size — k tracks n at a fixed target cell size
+    (so cell-sharded pair work is n·CELL_TARGET, linear), clamped at
+    both ends; probe width derives as ceil(k/2) (the measured ≥0.8
+    recall operating point), floored at NUM_PROBES."""
+    from piper_spark.functions.dedup import (
+        SEMDEDUP_K,
+        derived_semdedup_k,
+    )
+    from piper_spark.functions.similarity import (
+        KM_CELL_TARGET,
+        KMEANS_K,
+        KMEANS_K_MAX,
+        NUM_PROBES,
+        derived_kmeans_k,
+        derived_probes,
+    )
+
+    assert derived_kmeans_k(0) == KMEANS_K
+    assert derived_kmeans_k(500) == KMEANS_K  # the sf0.01 gate keeps k=8
+    assert derived_kmeans_k(2000) == 32  # sf0.1 grows the fit
+    assert derived_kmeans_k(10**12) == KMEANS_K_MAX  # bounded model state
+    for n in (10_000, 200_000):  # slope (below the clamp): one cell
+        assert abs(derived_kmeans_k(n) - n / KM_CELL_TARGET) <= 1
+        # per KM_CELL_TARGET vectors → pair work n·KM_CELL_TARGET
+    assert derived_probes(1) == NUM_PROBES
+    assert derived_probes(8) == 4
+    assert derived_probes(32) == 16
+    assert derived_semdedup_k(500) == SEMDEDUP_K
+    assert derived_semdedup_k(1200) == 19
 
 
 def test_countmin_never_underestimates(spark):

@@ -1399,12 +1399,14 @@ def test_cluster_kmeans_codebook_powers_both_optins(spark):
     drops (a lower-id partner in the dropped vec's own cluster)."""
     from piper_spark.functions.dedup import dedup_semantic
     from piper_spark.functions.similarity import (
-        KMEANS_K,
+        derived_kmeans_k,
         kmeans_codebook,
         sim_ann_ivf,
         sim_topk,
     )
+    from piper_spark.session import row_count
 
+    KMEANS_K = derived_kmeans_k(row_count(spark, SF_SMOKE, "embeddings"))
     cb = kmeans_codebook(spark, SF_SMOKE)
     assert cb.count() == KMEANS_K
     exact = {r.vec_id for r in sim_topk(spark, SF_SMOKE).collect()}
@@ -1511,11 +1513,13 @@ def test_sim_ann_kmeans_recall_and_probe_subset(spark):
     come from the probed cells (a candidate outside them would mean
     the filter is not the plan's pruning predicate)."""
     from piper_spark.functions.similarity import (
-        NUM_PROBES,
         cluster_kmeans,
+        derived_kmeans_k,
+        derived_probes,
         sim_ann_kmeans,
         sim_topk,
     )
+    from piper_spark.session import row_count
 
     exact = {r.vec_id for r in sim_topk(spark, SF_SMOKE).collect()}
     got = sim_ann_kmeans(spark, SF_SMOKE).collect()
@@ -1525,7 +1529,9 @@ def test_sim_ann_kmeans_recall_and_probe_subset(spark):
         r.vec_id: r.cluster for r in cluster_kmeans(spark, SF_SMOKE).collect()
     }
     probed = {clusters[r.vec_id] for r in got}
-    assert len(probed) <= NUM_PROBES
+    # default probe width derives from the corpus-size-derived cell count
+    k = derived_kmeans_k(row_count(spark, SF_SMOKE, "embeddings"))
+    assert len(probed) <= derived_probes(k)
 
 
 def test_kmeans_keys_leave_no_orphan_cache(spark):
