@@ -1318,8 +1318,10 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard VERIFY on the surviving candidates (two id-keyed joins back
     to the shingle arrays; candidate volume is already bounded by the
     df-cap, so the verify never sees all-pairs — same candidates-then-
-    verify discipline as `dedup_lsh_cosine`). At 100 TB every stage is
-    a keyed shuffle of 8-byte fingerprints or doc ids."""
+    verify discipline as `dedup_lsh_cosine`; since round-12 the shingle
+    arrays themselves are built only for CANDIDATE docs, semi-joined
+    off the pair relation). At 100 TB every stage is a keyed shuffle of
+    8-byte fingerprints or doc ids."""
     from piper_spark.functions.text import winnow_fps
 
     # Spread before the per-row fingerprint fold (pipeline_curate
@@ -1335,12 +1337,24 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _winnow_verified_pairs(docs, fps)
 
 
-def _winnow_verified_pairs(docs: DataFrame, fps: DataFrame) -> DataFrame:
+def _winnow_verified_pairs(
+    docs: DataFrame, fps: DataFrame, caches: "list[DataFrame] | None" = None
+) -> DataFrame:
     """(id1, id2, shared, jaccard) df-capped + verified winnow pairs
     from a PERSISTED fingerprint relation — `dedup_winnow`'s candidate
     + verify stages, factored so `dedup_ensemble` can vote on the
     spine's shared fingerprints. Caller persists `fps` (the df-cap agg
-    and both self-join aliases read it)."""
+    and both self-join aliases read it).
+
+    Round-12 (ADVICE 1+3): the shingle-Jaccard verify is CANDIDATE-
+    BOUNDED — the candidate pair relation persists, its distinct doc
+    ids semi-join the documents scan, and only candidate docs pay the
+    shingle build (previously every corpus doc built a distinct-shingle
+    array for a verify that reads only candidates). The two internal
+    persists (cand, sh) are appended to ``caches`` when the caller
+    passes a list, so `dedup_ensemble` can release them with its other
+    stage caches; with caches=None the caller owns both lifetimes (the
+    registered `dedup_winnow` contract — harness clears per key)."""
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1357,14 +1371,24 @@ def _winnow_verified_pairs(docs: DataFrame, fps: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+        .persist()  # read by the id-set derivation AND the verify join
+    )
+    cand_ids = (
+        cand.select(F.col("id1").alias("doc_id"))
+        .unionByName(cand.select(F.col("id2").alias("doc_id")))
+        .distinct()
     )
     # persist: the verify stage reads the shingle relation from BOTH
     # aliases (x and y) — without this the documents scan + shingle
     # build evaluates twice, the same multi-consumer re-eval the fps
-    # persist above guards against (caller owns the cache lifetime).
-    sh = docs.select(
-        "doc_id", F.array_distinct(shingles("text")).alias("sh")
-    ).persist()
+    # persist above guards against.
+    sh = (
+        docs.join(cand_ids, "doc_id", "semi")
+        .select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
+        .persist()
+    )
+    if caches is not None:
+        caches.extend([cand, sh])
     x, y = sh.alias("x"), sh.alias("y")
     inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
     union = F.size(F.array_union(F.col("x.sh"), F.col("y.sh")))
@@ -1443,8 +1467,11 @@ def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-overlap Hamming ball); requiring independent agreement
     is the standard precision move a production dedup pass applies
     before destructive drops — and because every family signs off ONE
-    `near_dup_spine` stage, the whole vote costs one corpus hash pass
-    plus the three bounded candidate joins.
+    `near_dup_spine` stage, the whole vote costs one corpus hash pass,
+    the three bounded candidate joins, and the winnow family's
+    CANDIDATE-BOUNDED Jaccard verify (a second documents scan whose
+    shingle build is semi-joined down to candidate doc ids — round-12
+    ADVICE 3; previously that pass shingled every corpus doc).
 
     ORACLE-EXACT as a composition (the `pipeline_signatures` move,
     extended to the PAIR level): the SQL splices the winnow
@@ -1471,8 +1498,9 @@ def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
         .withColumn("in_simhash", F.lit(1).cast("long"))
     )
+    wn_caches: list[DataFrame] = []
     wn = (
-        _winnow_verified_pairs(docs, fps)
+        _winnow_verified_pairs(docs, fps, caches=wn_caches)
         .select("id1", "id2")
         .withColumn("in_winnow", F.lit(1).cast("long"))
     )
@@ -1498,6 +1526,8 @@ def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps.unpersist()
     mh_sigs.unpersist()
     sim_sigs.unpersist()
+    for c in wn_caches:  # the winnow verify's cand/shingle persists
+        c.unpersist()
     spine["stage"].unpersist()
     return votes
 
@@ -2119,16 +2149,11 @@ CONTAIN_MAX_DF, CONTAIN_THRESHOLD = 20, 0.8
 @register(
     "dedup_containment",
     oracle=f"""
-WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-),
+WITH toks AS ({_GRAM_SQL}),
 s AS (
-  SELECT doc_id,
-         list_distinct([array_to_string(w[i:i+2], ' ')
-                        FOR i IN range(1, greatest(len(w) - 1, 2))]) AS sh
-  FROM d
+  SELECT doc_id, list_distinct(list(g)) AS sh FROM valid GROUP BY doc_id
 ),
-x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+x AS (SELECT DISTINCT doc_id, g FROM valid),
 rare AS (
   SELECT g
   FROM (SELECT g, count(*) AS df FROM x GROUP BY g)
@@ -2174,15 +2199,36 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a keyed shuffle; the only pairs not seen are those ALL of whose
     shared shingles exceed the df-cap — by then the text is corpus-
     common boilerplate, `text_boilerplate`'s job, not a pair op's. The
-    oracle mirrors the cap, so the key stays value-exact."""
+    oracle mirrors the cap, so the key stays value-exact.
+
+    Round-12 (VERDICT item 4): the shingle unit is now the spine's
+    HASHED 3-word gram (`text_word_hash_udf` Arrow pass → JVM
+    `gram_hash_col` fold — the `near_dup_spine` gram relation shape)
+    instead of space-joined word STRINGS: the candidate equi-join and
+    the verify arrays carry 8-byte longs, not ~25-byte strings, and
+    the last family member off the shared hash stage now rides it.
+    The oracle computes the identical gram chain (`_GRAM_SQL`), so the
+    key stays value-exact including hash collisions. Semantics note:
+    docs with < 3 words now yield NO shingles (the `shingle_hashes`
+    rule — a partial window is not a shingle; the string form padded
+    one), so sub-shingle docs can no longer pair. Bit-equality vs the
+    string-shingle form on the fixture is pinned in tests."""
+    from piper_spark.functions.text import gram_hash_col, text_word_hash_udf
+
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     # persist: the exploded relation feeds the df-cap agg AND both join
     # aliases; the shingle arrays feed the verify from both sides
     # (caller owns both cache lifetimes — the dedup_winnow lesson).
-    sh = docs.select(
-        "doc_id", F.array_distinct(shingles("text")).alias("sh")
+    hwrel = docs.select(
+        "doc_id", text_word_hash_udf()(F.col("text")).alias("hw")
+    )
+    sh = hwrel.select(
+        "doc_id",
+        F.array_distinct(gram_hash_col(F.col("hw"), n=SHINGLE_SIZE)).alias(
+            "sh"
+        ),
     ).persist()
     x = sh.select("doc_id", F.explode("sh").alias("g")).persist()
     rare = (

@@ -70,8 +70,17 @@ def zscore_iter_udf(mean: float, std: float):
         # setup block: binds the broadcast model state once per worker
         m, s = mean, s_div
         for b in batches:
+            # NULL value → NULL z (round-12 ADVICE 2: to_numpy turns
+            # None into NaN; the oracle's NULL arithmetic yields NULL)
+            mask = b.isna().to_numpy()
             v = np.floor(b.to_numpy(dtype=np.float64) * 100.0 + 0.5)
-            yield pd.Series((v / 100.0 - m) / s)
+            vals = (v / 100.0 - m) / s
+            if mask.any():  # cold path: explicit None, not NaN
+                out = pd.Series(vals, dtype=object)
+                out[mask] = None
+                yield out
+            else:
+                yield pd.Series(vals)
 
     return zscore
 
@@ -122,10 +131,19 @@ def event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (constant corpus) divides by 1.0 by design in both engines."""
     e = table(spark, sf_dir, "events")
     v = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    # Power sums as DECIMAL (round-12 ADVICE 2): a plain long sum(v*v)
+    # silently WRAPS in non-ANSI mode once n·v² nears 2⁶³ (at 100 TB:
+    # n ≈ 10¹², v² ≈ 10¹⁶ ⇒ Σ ≈ 10²⁸) while the DuckDB oracle promotes
+    # to HUGEINT. decimal(19,0)² → decimal(38,0) sums hold 10³⁸ —
+    # HUGEINT's headroom — and the one-row fit pays the decimal tax
+    # once. int(Decimal) below is exact, so the float sequence is
+    # unchanged (Python big-int → double is correctly rounded, same as
+    # DuckDB's HUGEINT → DOUBLE cast).
+    vd = F.col("v").cast("decimal(19,0)")
     m = e.select(v.alias("v")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("v").alias("s1"),
-        F.sum(F.expr("v * v")).alias("s2"),
+        F.sum(vd).alias("s1"),
+        F.sum(vd * vd).alias("s2"),
     ).head()  # bounded: ONE row of integer power sums (model fit)
     n = int(m["n"] or 0)
     if n == 0:  # empty corpus → empty typed relation

@@ -521,6 +521,70 @@ def test_dedup_semantic_pairs_are_same_cluster_and_over_tau(spark):
         assert cluster(a) == r.cluster == cluster(b)
 
 
+def test_dedup_containment_hashed_grams_match_string_shingles(spark):
+    """Round-12 (VERDICT item 4): `dedup_containment` now rides the
+    spine's hashed 3-gram relation; on the fixture (every doc has
+    >= 3 words and the 3-gram polynomial has no collisions there) the
+    ported output must be IDENTICAL to the string-shingle form it
+    replaced — pairs, shared counts, and containment values."""
+    from piper_spark.functions.dedup import (
+        CONTAIN_MAX_DF,
+        CONTAIN_THRESHOLD,
+        dedup_containment,
+    )
+    from piper_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.id1, r.id2): (r.shared, r.containment)
+        for r in dedup_containment(spark, sf).collect()
+    }
+    # the string-shingle reference: the pre-round-12 implementation
+    docs = table(spark, sf, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles("text")).alias("sh")
+    ).persist()
+    x = sh.select("doc_id", F.explode("sh").alias("g"))
+    rare = (
+        x.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_MAX_DF)
+        .select("g")
+    )
+    xr = x.join(rare, "g")
+    a, b = xr.alias("a"), xr.alias("b")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    shared = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast(
+        "long"
+    )
+    small = F.least(
+        F.size(F.col("sa.sh")).cast("long"),
+        F.size(F.col("sb.sh")).cast("long"),
+    )
+    contain = shared.cast("double") / small
+    want = {
+        (r.id1, r.id2): (r.shared, r.containment)
+        for r in cand.join(sa, F.col("sa.doc_id") == F.col("id1"))
+        .join(sb, F.col("sb.doc_id") == F.col("id2"))
+        .filter(contain >= CONTAIN_THRESHOLD)
+        .select(
+            "id1",
+            "id2",
+            shared.alias("shared"),
+            F.round(contain, 4).alias("containment"),
+        )
+        .collect()
+    }
+    sh.unpersist()
+    assert got and got == want
+
+
 def test_derived_cell_counts_scale_with_corpus():
     """Round-12 (VERDICT item 1): the Lloyd/SemDeDup cell counts must
     DERIVE from corpus size — k tracks n at a fixed target cell size

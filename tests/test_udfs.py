@@ -66,6 +66,34 @@ def test_event_zscore_registered_and_exact(spark):
         assert out[int(eid)] == pytest.approx((val / 100.0 - mean) / std)
 
 
+def test_event_zscore_null_value_yields_null_not_nan(spark):
+    """Round-12 (ADVICE 2): a NULL `value` must surface as NULL z (the
+    oracle's NULL arithmetic), never NaN from the numpy conversion —
+    and the decimal power sums must fit the moments on a corpus that
+    would overflow a plain int64 sum(v*v) (n·v² > 2⁶³)."""
+    from unittest import mock
+
+    from piper_spark.functions import udfs as U
+
+    big = 4.0e7  # v = 4e9, v² = 1.6e19 > 2⁶³ ≈ 9.2e18: one row wraps int64
+    d = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, big)],
+        "event_id long, value double",
+    )
+    with mock.patch.object(U, "table", lambda s, sf, name: d):
+        rows = {r.event_id: r.z for r in U.event_zscore(spark, "_").collect()}
+    assert rows[2] is None  # NULL in, NULL out
+    import math
+
+    v = np.array([1000.0, 4.0e9])
+    n = 3  # count(*) counts the NULL row too, both engines
+    mean = v.sum() / (100.0 * n)
+    var = (v * v).sum() / (10000.0 * n) - mean * mean
+    std = math.sqrt(var) if var > 0.0 else 1.0
+    assert rows[1] == pytest.approx((10.0 - mean) / std)
+    assert rows[3] == pytest.approx((big - mean) / std)
+
+
 def test_grouped_agg_pandas_udf_plan_and_value(spark):
     from piper_spark.functions.udfs import agg_rms_udf
     from tests.conftest import SF_SMOKE
