@@ -1001,8 +1001,18 @@ def _km_kk_udf(cents: list[list[int]]):
     `assign_cells` kernel on the integer grid; np.argmin-first-min =
     the lowest-cid tie rule, encoded identically to the oracle's
     min(dist·k + cid)).  dist² ≤ 64·(1.2·10⁶)² ≈ 9.3·10¹³ and
-    k ≤ KMEANS_K_MAX = 4096 ⇒ kk < 3.9·10¹⁷, exact int64 throughout —
-    no float enters.
+    k ≤ KMEANS_K_MAX = 4096 ⇒ kk < 3.9·10¹⁷, exact int64 throughout.
+
+    The distance matmul runs in FLOAT64 BLAS and is still EXACT
+    (round-12, for the derived-k regime): every value it touches is an
+    integer below 2⁵³ — coordinates < 2²¹, products ≤ 2.8·10¹²,
+    per-dot partial sums ≤ 3.5·10¹⁴ — so each float64 intermediate is
+    exactly representable and dgemm's summation order cannot round.
+    d2 converts back to int64 exactly BEFORE the kk encoding (d2·k can
+    exceed 2⁵³ at large k, so the encoding itself stays integer).
+    numpy's int64 matmul is a non-BLAS scalar loop ~30× slower — at
+    k = 4096 over 500k vectors that is the difference between seconds
+    and minutes per Lloyd pass.
 
     The vectorized kernel replaces the first-cut zip_with/aggregate
     fold expression: interpreted HOFs cost ~8 µs/row/pass at k=8,
@@ -1012,18 +1022,19 @@ def _km_kk_udf(cents: list[list[int]]):
     k·dims-literal Catalyst re-analysis per iteration."""
     import numpy as np
 
-    C = np.array(cents, dtype=np.int64)
+    C = np.array(cents, dtype=np.float64)  # exact: |c| < 2²¹
     k = len(cents)
-    c_sq = (C * C).sum(axis=1)
+    c_sq = (C * C).sum(axis=1)  # exact: ≤ 64·(1.65·10⁶)² < 2⁵³
     codes = np.arange(k, dtype=np.int64)
 
     @F.pandas_udf("long")
     def kk(xq: pd.Series) -> pd.Series:
         import numpy as np
 
-        X = np.stack(xq.to_numpy()).astype(np.int64)
-        d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + c_sq[None, :]
-        return pd.Series((d2 * k + codes[None, :]).min(axis=1))
+        X = np.stack(xq.to_numpy()).astype(np.float64)
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+        kkv = d2.astype(np.int64) * k + codes[None, :]
+        return pd.Series(kkv.min(axis=1))
 
     return kk
 
@@ -1694,7 +1705,11 @@ WHERE rn <= {KNN_K}
 
 
 @register("sim_knn_join", oracle=_knn_join_oracle())
-def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    _fit: "tuple[DataFrame, list[list[int]]] | None" = None,
+) -> DataFrame:
     """k-NN SELF-JOIN over the whole corpus — every vector's KNN_K
     nearest same-cell neighbors: the candidate-generation primitive
     SemDeDup-style embedding dedup and retrieval-index audits run at
@@ -1718,13 +1733,19 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, no exchange under the join). The top-k window partitions by
     vec_id over candidates only. Oracle-exact end to end: cells and
     candidates are integer arithmetic (the oracle derives the same k),
-    the cosine is the shared bit-identical fold."""
+    the cosine is the shared bit-identical fold.
+
+    ``_fit`` (vecs, cents) swaps in a caller-owned Lloyd fit — the
+    SCALING harness uses it to measure the FIXED-k counter-example;
+    the caller keeps the fit cache's lifetime."""
     from pyspark.sql.window import Window
 
-    vecs, cents = _km_fit(spark, sf_dir)
+    owns_fit = _fit is None
+    vecs, cents = _km_fit(spark, sf_dir) if owns_fit else _fit
     empty_schema = "vec_id long, nbr_id long, cos_sim double, rank long"
     if not cents:
-        vecs.unpersist()
+        if owns_fit:
+            vecs.unpersist()
         return spark.createDataFrame([], empty_schema)
     k = len(cents)
     asg = vecs.select(
@@ -1764,5 +1785,6 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.count()  # materialize, then release the internal caches
     feat.unpersist()
-    vecs.unpersist()
+    if owns_fit:
+        vecs.unpersist()
     return out

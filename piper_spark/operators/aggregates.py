@@ -595,6 +595,13 @@ def agg_quantiles_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
     c = li.select(F.col("l_returnflag").alias("g"), cents.alias("c"))
+    return quantile_bins_rel(spark, c).withColumnRenamed("g", "l_returnflag")
+
+
+def quantile_bins_rel(spark: SparkSession, c: DataFrame) -> DataFrame:
+    """Factored core of `agg_quantiles_bins` over any (g, c long)
+    relation — the SCALING harness points the identical plan shape at
+    the scaled events table (the scale corpora carry no lineitem)."""
     p = c.groupBy("g").agg(
         F.min("c").alias("lo"),
         F.max("c").alias("hi"),
@@ -628,7 +635,7 @@ def agg_quantiles_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.join(m, "g")
         .select(
-            F.col("g").alias("l_returnflag"),
+            "g",
             "q",
             F.col("n").cast("long").alias("n"),
             F.col("w").cast("long").alias("bin_w_cents"),
