@@ -2421,3 +2421,88 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars_w").cast("long").alias("n_chars"),
         F.sum(toks).cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_dup_grams — cross-document duplicated n-gram coverage (round 12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_dup_grams",
+    oracle=f"""
+WITH toks AS ({_GRAM_SQL}),
+dg AS (SELECT DISTINCT doc_id, g FROM valid),
+gdf AS (SELECT g, count(*) AS df FROM dg GROUP BY g),
+per AS (
+  SELECT dg.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS dup_grams
+  FROM dg JOIN gdf USING (g) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(per.dup_grams, 0) AS BIGINT) AS dup_grams,
+       round(CASE WHEN per.n_grams > 0
+                  THEN CAST(per.dup_grams AS DOUBLE) / per.n_grams
+                  ELSE 0.0 END, 4) AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+)
+def text_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT duplicated n-gram coverage — per document, the
+    fraction of its DISTINCT 3-word grams that appear in at least one
+    OTHER corpus document (df >= 2): the corpus-level repetition signal
+    RefinedWeb/CCNet-style curation gates on, complementing
+    `text_gopher_full`'s WITHIN-document dup-bigram fraction (a doc can
+    be internally clean yet be 90% boilerplate shared with the crawl).
+    Consumers: a drop/keep gate upstream of `dedup_minhash` (high
+    dup_frac docs are what band joins pay for), a `sample_quality_mix`
+    feature, and the audit view for `text_boilerplate`'s line-level
+    removal.
+
+    Shape: the spine's hashed gram relation (one Arrow word-hash pass +
+    the shared JVM gram fold, distinct per doc) → ONE gram-keyed count
+    aggregate (the df relation — map-side combined, 8-byte keys) → join
+    back → per-doc counts; docs with < 3 words surface (0, 0, 0.0) via
+    the left join in both engines. Everything is integer until one
+    final divide rounded at 4 (the `dedup_jaccard` ratio precedent).
+    At 100 TB both shuffles are keyed by 8-byte gram hashes — the
+    `dedup_substring` profile without the positional windows."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hwrel = docs.select(
+        "doc_id", text_word_hash_udf()(F.col("text")).alias("hw")
+    )
+    # persist: the df aggregate AND the join-back read the same
+    # distinct (doc_id, g) relation (caller owns the lifetime).
+    dg = hwrel.select(
+        "doc_id",
+        F.explode(F.array_distinct(gram_hash_col(F.col("hw")))).alias("g"),
+    ).persist()
+    gdf = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        dg.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("dup_grams"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("dup_grams").cast("double") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+            F.round(frac, 4).alias("dup_frac"),
+        )
+    )

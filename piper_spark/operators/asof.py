@@ -276,3 +276,58 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("b_ts", "f_ts").alias("r_ts"),
         pick("b_id", "f_id").alias("r_event_id"),
     )
+
+
+#: Tolerance for `join_asof_tol`: a backward match older than this is
+#: discarded (state considered stale) — 24 h in integer microseconds,
+#: compared identically in both engines (unix_micros / epoch_us).
+ASOF_TOL_US = 86_400_000_000
+
+
+@register(
+    "join_asof_tol",
+    oracle=f"""
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN s.ts IS NOT NULL
+             AND epoch_us(e.ts) - epoch_us(s.ts) <= {ASOF_TOL_US}
+            THEN s.ts END AS r_ts,
+       CASE WHEN s.ts IS NOT NULL
+             AND epoch_us(e.ts) - epoch_us(s.ts) <= {ASOF_TOL_US}
+            THEN s.event_id END AS r_event_id
+FROM (SELECT * FROM events WHERE event_type <> 'signup') e
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id, ts) s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+""",
+)
+def join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (round-12, completing the family:
+    backward / forward / nearest / tolerance — pandas' merge_asof
+    ``tolerance=`` semantic): attach the most recent signup at-or-
+    before each event, but DISCARD matches older than ASOF_TOL_US —
+    the telemetry/finance rule that state older than a staleness bound
+    must not enrich (a quote from yesterday is not a price).
+
+    Plan: the same ONE-shuffle union-and-carry as `join_asof`, plus a
+    narrow post-projection that nulls the payload outside tolerance —
+    no extra shuffle, no range join. The gap compares integer
+    microseconds (unix_micros vs epoch_us), value-exact cross-engine;
+    DuckDB has no native ASOF tolerance, so its oracle applies the
+    identical CASE to the plain ASOF result."""
+    left, right = _signup_sides(table(spark, sf_dir, "events"))
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["ts", "event_id"],
+    )
+    in_tol = F.col("r_ts").isNotNull() & (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))
+        <= F.lit(ASOF_TOL_US)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_tol, F.col("r_ts")).alias("r_ts"),
+        F.when(in_tol, F.col("r_event_id")).alias("r_event_id"),
+    )

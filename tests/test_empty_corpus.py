@@ -145,6 +145,11 @@ RISKY = [
     "sim_knn_join",
     "pipeline_signatures",
     "dedup_ensemble",
+    # round-12: the cross-doc gram-df join over zero rows, and the
+    # tolerance as-of (empty union-and-carry window input).
+    "text_dup_grams",
+    "join_asof_tol",
+    "dedup_containment",
 ]
 
 

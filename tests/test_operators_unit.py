@@ -585,6 +585,40 @@ def test_dedup_containment_hashed_grams_match_string_shingles(spark):
     assert got and got == want
 
 
+def test_text_dup_grams_flags_cross_doc_boilerplate(spark):
+    """Round-12: the cross-doc duplicated-gram fraction must be 1.0
+    for a verbatim copy pair, ~the shared-prefix share for a partial
+    overlap, 0.0 for a unique doc, and (0, 0, 0.0) for a sub-shingle
+    doc — counted on DISTINCT grams per doc."""
+    from unittest import mock
+
+    from piper_spark.functions import text as T
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 10 distinct 3-grams
+    uniq = " ".join(f"u{i}" for i in range(12))
+    d = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),  # verbatim copy: every gram shared
+            (3, shared + " " + uniq),  # prefix shared, tail unique
+            (4, "one two"),  # < 3 words: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(T, "table", lambda s, sf, name: d):
+        got = {
+            r.doc_id: (r.n_grams, r.dup_grams, r.dup_frac)
+            for r in T.text_dup_grams(spark, "_").collect()
+        }
+    assert got[1] == (10, 10, 1.0) and got[2] == (10, 10, 1.0)
+    n3, dup3, frac3 = got[3]
+    # doc 3 has 24 words → 22 grams; the 10 fully inside the shared
+    # prefix are df>=2, the 2 straddling grams (s10 s11 u0 / s11 u0 u1)
+    # and the 10 unique-tail grams are not
+    assert n3 == 22 and dup3 == 10 and frac3 == round(10 / 22, 4)
+    assert got[4] == (0, 0, 0.0)
+
+
 def test_derived_cell_counts_scale_with_corpus():
     """Round-12 (VERDICT item 1): the Lloyd/SemDeDup cell counts must
     DERIVE from corpus size — k tracks n at a fixed target cell size
