@@ -227,7 +227,18 @@ def connected_components(
     standard large-graph shape (this is how dedup groups are built from
     LSH candidate pairs at corpus scale).
     """
-    edges = edges.persist()  # read once per iteration — never recompute
+    # Round-12: TRUNCATE the input plan (localCheckpoint), don't just
+    # cache it. Caching bounds the VALUES, but every propagation round
+    # re-embeds the full upstream candidate-generation lineage in the
+    # round's analyzed plan (neigh_min joins edges each round), so
+    # driver-side re-analysis grows with input-plan size × rounds —
+    # with the winnow verify's candidate-bounded subtree that analysis
+    # dominated the loop (measured: 8.5 s of a 10.4 s
+    # pipeline_near_dedup; 1.2 s after the restart). The LogicalRDD
+    # restart is the graphs.py _GenerationCaches.truncate rationale
+    # applied to the INPUT; its blocks are freed by the ContextCleaner
+    # once the DataFrame is unreachable (no unpersist needed).
+    edges = edges.localCheckpoint(eager=True)
     labels = vertices.select(F.col("id"), F.col("id").alias("component")).persist()
     # Labels only ever DECREASE, so Σcomponent is strictly monotone while
     # anything changes — one cheap aggregate per round replaces a
@@ -257,7 +268,6 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
-    edges.unpersist()
     if not converged:
         # Silent unconvergence would hand back WRONG component labels
         # (multiple labels inside one true component) and dedup would keep
