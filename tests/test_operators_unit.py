@@ -652,6 +652,39 @@ def test_derived_cell_counts_scale_with_corpus():
     assert derived_semdedup_k(1200) == 19
 
 
+def test_derivation_formulas_agree_cross_engine():
+    """Round-12: the oracle derives k and the probe width in SQL (the
+    kd/np CTE arithmetic) while Spark derives them in Python — pin the
+    two formulas equal over a sweep of corpus sizes INCLUDING both
+    clamp edges, so the derivations cannot silently diverge."""
+    import duckdb
+
+    from piper_spark.functions.dedup import derived_semdedup_k
+    from piper_spark.functions.similarity import (
+        derived_kmeans_k,
+        derived_probes,
+    )
+
+    con = duckdb.connect()
+    for n in (0, 1, 7, 8, 500, 511, 512, 513, 2000, 50_000, 262_144,
+              262_145, 10**9):
+        sql_k = con.execute(
+            f"SELECT LEAST(4096, GREATEST(8, ({n} + 63) // 64))"
+        ).fetchone()[0]
+        assert sql_k == derived_kmeans_k(n), n
+        # np CTE derives off the ACTUAL seed count k (kn), 1 <= kn <= kd
+        for k in (1, 2, 8, 32, sql_k):
+            sql_np = con.execute(
+                f"SELECT GREATEST(2, ({k} + 1) // 2)"
+            ).fetchone()[0]
+            assert sql_np == derived_probes(k), (n, k)
+        sql_sem = con.execute(
+            f"SELECT LEAST(4096, GREATEST(16, ({min(n, 1200)} + 63) // 64))"
+        ).fetchone()[0]
+        assert sql_sem == derived_semdedup_k(min(n, 1200)), n
+    con.close()
+
+
 def test_countmin_never_underestimates(spark):
     """The CMS one-sided error guarantee: est ≥ exact for every
     reported word, with equality unless that word's counter row
