@@ -1788,3 +1788,232 @@ def sim_knn_join(
     if owns_fit:
         vecs.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# two-level IVF — the documented next rung past the single-level k clamp
+# ---------------------------------------------------------------------------
+
+#: Level-2 geometry: FINE_K leaf cells refined inside each coarse cell,
+#: FINE_ITERS integer Lloyd rounds per cell. Total leaf count
+#: k1·FINE_K tracks n/KM_CELL_TARGET with the model ceiling extended
+#: FINE_K-fold past the single-level clamp — and the construction
+#: iterates (a third level multiplies it again), because the level-2
+#: model lives as a RELATION, never a driver closure.
+FINE_K, FINE_ITERS = 8, 3
+
+
+def derived_coarse_k(n: int) -> int:
+    """Level-1 cell count for the two-level fit: one coarse cell per
+    KM_CELL_TARGET·FINE_K vectors, same clamp as `derived_kmeans_k` —
+    so leaves average KM_CELL_TARGET vectors while the driver-side
+    closure only ever holds k1 ≤ KMEANS_K_MAX coarse centroids."""
+    per = KM_CELL_TARGET * FINE_K
+    want = (max(n, 1) + per - 1) // per
+    return min(KMEANS_K_MAX, max(KMEANS_K, want))
+
+
+def _fit_fine_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-coarse-cell integer Lloyd (grouped-map body): deterministic
+    seeds = the cell's FINE_K lowest vec_ids, FINE_ITERS fixed rounds,
+    floor-division centroid updates on the positive KM_OFFSET grid
+    (floor ≡ trunc there — the cluster_kmeans exactness discipline),
+    distances via the float64-BLAS-exact kernel (< 2⁵³ intermediates),
+    argmin-first ties → lowest code."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+    k2 = min(FINE_K, len(X))
+    C = X[:k2].copy()
+    for _ in range(FINE_ITERS):
+        Xf, Cf = X.astype(np.float64), C.astype(np.float64)
+        d2 = (
+            (Xf * Xf).sum(axis=1)[:, None]
+            - 2.0 * (Xf @ Cf.T)
+            + (Cf * Cf).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        for j in range(k2):
+            m = a == j
+            if m.any():
+                C[j] = X[m].sum(axis=0) // int(m.sum())
+    cid1 = int(pdf["cid1"].iloc[0])
+    return pd.DataFrame(
+        {
+            "cid1": [cid1] * k2,
+            "cid2": list(range(k2)),
+            "fc": [C[j].tolist() for j in range(k2)],
+        }
+    )
+
+
+def two_level_fit(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, list[list[int]], DataFrame]":
+    """(vecs, coarse_cents, fine_cb): the two-level IVF fit whose
+    LEVEL-2 MODEL STATE IS A RELATION — the scale move past the
+    single-level `derived_kmeans_k` clamp (functions docstrings and
+    SCALING.md name this as the next rung; here it exists and is
+    tested):
+
+    - level 1: the existing distributed integer Lloyd
+      (`lloyd_centroids`) at `derived_coarse_k(n)` cells — the only
+      model state that ever rides a closure (≤ KMEANS_K_MAX rows);
+    - level 2: every coarse cell refined into ≤ FINE_K leaves in ONE
+      grouped Arrow pass (`applyInPandas` over cid1 — per-cell numpy
+      Lloyd, deterministic), emitted as the (cid1, cid2, fc)
+      DataFrame. Total leaves ≈ n/KM_CELL_TARGET with NO k1·k2
+      driver artifact anywhere: at 10⁹ vectors the leaf codebook is a
+      ~16M-row relation a search JOINS, exactly like any dimension
+      table.
+
+    Caller owns the `vecs` persist lifetime; `fine_cb` is lazy (its
+    consumers decide whether to persist)."""
+    from piper_spark.session import row_count
+
+    k1 = derived_coarse_k(row_count(spark, sf_dir, "embeddings"))
+    vecs = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", _km_xq_col().alias("xq"))
+        .persist()
+    )
+    vecs.count()
+    cents = lloyd_centroids(vecs, k=k1)
+    if not cents:
+        return vecs, cents, spark.createDataFrame(
+            [], "cid1 long, cid2 long, fc array<long>"
+        )
+    k1 = len(cents)
+    asg = vecs.select(
+        "vec_id", "xq", (_km_kk_udf(cents)(F.col("xq")) % k1).alias("cid1")
+    )
+    fine_cb = asg.groupBy("cid1").applyInPandas(
+        _fit_fine_cell, "cid1 long, cid2 long, fc array<long>"
+    )
+    return vecs, cents, fine_cb
+
+
+def _fine_code_udf(cells: dict):
+    """Arrow UDF: (cid1, xq) → nearest PROBED-cell leaf code. The
+    closure holds only the probed cells' leaves (≤ probes·FINE_K
+    rows — query-bounded, never the full leaf relation)."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def code(cid1: pd.Series, xq: pd.Series) -> pd.Series:
+        out = np.zeros(len(cid1), dtype=np.int64)
+        c1 = cid1.to_numpy()
+        X = np.stack(xq.to_numpy()).astype(np.float64)
+        for c in np.unique(c1):
+            C, codes = cells[int(c)]
+            m = c1 == c
+            Xm = X[m]
+            d2 = (
+                (Xm * Xm).sum(axis=1)[:, None]
+                - 2.0 * (Xm @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            out[m] = codes[np.argmin(d2, axis=1)]
+        return pd.Series(out)
+
+    return code
+
+
+@register("sim_ann_two_level")  # approximate path → rows-only check
+def sim_ann_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF approximate top-10 for the vec_id=0 query — the
+    registered consumer of `two_level_fit`, i.e. the production shape
+    for corpora past the single-level clamp (> KMEANS_K_MAX ·
+    KM_CELL_TARGET ≈ 262k vectors): probe `derived_probes(k1)` coarse
+    cells by the shared kk order, rank the probed cells' LEAVES by the
+    same integer distance (a query-bounded ≤ probes·FINE_K fetch from
+    the leaf RELATION — never the whole codebook), keep the nearest
+    half of the leaves, and exact-cosine-rank only rows assigned to a
+    kept leaf. Rows-only by nature (the float Lloyd-refinement family,
+    like `sim_ann_ivf`) with the family's contract tests: recall@10
+    vs exact `sim_topk`, leaf-partition invariants, determinism.
+
+    Scale: coarse assign is the bounded-closure matmul; the fine fit
+    is ONE grouped Arrow pass; search touches only probed cells' rows
+    and the leaf filter prunes within them (on a (cid1, cid2)-bucketed
+    layout both filters are directory pruning). Driver-side state is
+    k1 coarse centroids + the probed leaves — never k1·FINE_K."""
+    import numpy as np
+
+    empty_schema = "vec_id long, cos_sim double"
+    vecs, cents, fine_cb = two_level_fit(spark, sf_dir)
+    if not cents:
+        vecs.unpersist()
+        return spark.createDataFrame([], empty_schema)
+    k1 = len(cents)
+    q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
+    if q_row is None:
+        vecs.unpersist()
+        return spark.createDataFrame([], empty_schema)
+    qx = np.array([int(v) for v in q_row["xq"]], dtype=np.int64)
+    C1 = np.array(cents, dtype=np.float64)
+    d1 = ((qx[None, :] - C1) ** 2).sum(axis=1).astype(np.int64)
+    order = np.argsort(d1 * k1 + np.arange(k1))
+    probes = [int(c) for c in order[: derived_probes(k1)]]
+
+    leaves = fine_cb.filter(F.col("cid1").isin(probes)).collect()
+    if not leaves:
+        vecs.unpersist()
+        return spark.createDataFrame([], empty_schema)
+    # rank leaves by the same kk discipline; keep the nearest half
+    scored = sorted(
+        (
+            int(
+                ((qx.astype(np.float64) - np.array(r["fc"], dtype=np.float64)) ** 2).sum()
+            )
+            * (k1 * FINE_K)
+            + int(r["cid1"]) * FINE_K
+            + int(r["cid2"]),
+            int(r["cid1"]),
+            int(r["cid2"]),
+        )
+        for r in leaves
+    )
+    keep = scored[: max(1, (len(scored) + 1) // 2)]
+    kept_codes = [c1 * FINE_K + c2 for _, c1, c2 in keep]
+    cells = {}
+    for r in leaves:
+        cells.setdefault(int(r["cid1"]), []).append(r)
+    closure = {
+        c: (
+            np.array([x["fc"] for x in sorted(rs, key=lambda x: x["cid2"])], dtype=np.float64),
+            np.array([x["cid2"] for x in sorted(rs, key=lambda x: x["cid2"])], dtype=np.int64),
+        )
+        for c, rs in cells.items()
+    }
+    asg = vecs.select(
+        "vec_id", "xq", (_km_kk_udf(cents)(F.col("xq")) % k1).alias("cid1")
+    ).filter(F.col("cid1").isin(probes) & (F.col("vec_id") != 0))
+    cand = (
+        asg.withColumn(
+            "leaf",
+            F.col("cid1") * FINE_K
+            + _fine_code_udf(closure)(F.col("cid1"), F.col("xq")),
+        )
+        .filter(F.col("leaf").isin(kept_codes))
+        .select("vec_id")
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    qd = e.filter(F.col("vec_id") == 0).select(F.col("ed").alias("qd"))
+    out = (
+        e.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qd))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("ed"), F.col("qd")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .persist()
+    )
+    out.count()  # materialize, then release the quantized cache
+    vecs.unpersist()
+    return out

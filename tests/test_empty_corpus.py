@@ -150,6 +150,7 @@ RISKY = [
     "text_dup_grams",
     "join_asof_tol",
     "dedup_containment",
+    "sim_ann_two_level",
 ]
 
 

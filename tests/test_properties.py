@@ -1534,6 +1534,45 @@ def test_sim_ann_kmeans_recall_and_probe_subset(spark):
     assert len(probed) <= derived_probes(k)
 
 
+def test_sim_ann_two_level_contract(spark):
+    """Round-12: the two-level IVF (the single-level clamp's next
+    rung made real) must keep the family's recall contract vs exact
+    sim_topk, its leaf relation must refine exactly the fitted coarse
+    cells (every cell ≤ FINE_K leaves with dense 0..k2-1 codes), and
+    the whole fit must be deterministic (two fits bit-equal — the
+    oracle-checkability precondition for a future exact twin)."""
+    from piper_spark.functions.similarity import (
+        FINE_K,
+        derived_coarse_k,
+        sim_ann_two_level,
+        sim_topk,
+        two_level_fit,
+    )
+    from piper_spark.session import row_count
+
+    exact = {r.vec_id for r in sim_topk(spark, SF_SMOKE).collect()}
+    got = sim_ann_two_level(spark, SF_SMOKE).collect()
+    assert len(got) == 10
+    assert len(exact & {r.vec_id for r in got}) / 10 >= 0.7
+
+    vecs, cents, fcb = two_level_fit(spark, SF_SMOKE)
+    rows1 = sorted((r.cid1, r.cid2, tuple(r.fc)) for r in fcb.collect())
+    vecs.unpersist()
+    assert len(cents) == derived_coarse_k(
+        row_count(spark, SF_SMOKE, "embeddings")
+    )
+    per: dict[int, list[int]] = {}
+    for c1, c2, _fc in rows1:
+        per.setdefault(c1, []).append(c2)
+    assert set(per) <= set(range(len(cents)))
+    for c2s in per.values():
+        assert sorted(c2s) == list(range(len(c2s))) and len(c2s) <= FINE_K
+    vecs2, _c2, fcb2 = two_level_fit(spark, SF_SMOKE)
+    rows2 = sorted((r.cid1, r.cid2, tuple(r.fc)) for r in fcb2.collect())
+    vecs2.unpersist()
+    assert rows1 == rows2
+
+
 def test_kmeans_keys_leave_no_orphan_cache(spark):
     """Round-10 (ADVICE 2): cluster_kmeans/sim_ann_kmeans must hand
     the CALLER the persisted handle and release the corpus-sized
