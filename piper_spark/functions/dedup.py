@@ -40,6 +40,7 @@ from piper_spark.functions.numeric import (
     pack_u32_pair_sql,
     with_fmix32,
 )
+from piper_spark.functions.graphs import plan_truncate
 from piper_spark.registry import register
 from piper_spark.session import table
 
@@ -238,7 +239,10 @@ def connected_components(
     # restart is the graphs.py _GenerationCaches.truncate rationale
     # applied to the INPUT; its blocks are freed by the ContextCleaner
     # once the DataFrame is unreachable (no unpersist needed).
-    edges = edges.localCheckpoint(eager=True)
+    # Round-13 (ADVICE 5): `plan_truncate` picks reliable checkpoint()
+    # over localCheckpoint when a checkpoint dir is configured, so the
+    # cluster deployment survives executor loss mid-loop.
+    edges = plan_truncate(edges)
     labels = vertices.select(F.col("id"), F.col("id").alias("component")).persist()
     # Labels only ever DECREASE, so Σcomponent is strictly monotone while
     # anything changes — one cheap aggregate per round replaces a
@@ -1342,9 +1346,17 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: the df-cap aggregate AND the self-join's two aliases all
     # read the fingerprint relation — one fingerprint pass, not three
-    # (the dedup_audio signature-table lesson; caller owns the cache).
+    # (the dedup_audio signature-table lesson). Round-13 (ADVICE 4):
+    # materialize the pair-sized result, then release the fingerprint
+    # cache AND the verify stage's internal (cand, sh) caches — the
+    # caller gets one owned handle, no orphans.
     fps = winnow_fps(docs).persist()
-    return _winnow_verified_pairs(docs, fps)
+    caches: list[DataFrame] = [fps]
+    out = _winnow_verified_pairs(docs, fps, caches=caches).persist()
+    out.count()
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def _winnow_verified_pairs(
@@ -1362,9 +1374,10 @@ def _winnow_verified_pairs(
     shingle build (previously every corpus doc built a distinct-shingle
     array for a verify that reads only candidates). The two internal
     persists (cand, sh) are appended to ``caches`` when the caller
-    passes a list, so `dedup_ensemble` can release them with its other
-    stage caches; with caches=None the caller owns both lifetimes (the
-    registered `dedup_winnow` contract — harness clears per key)."""
+    passes a list, so the caller releases them with its other stage
+    caches (`dedup_ensemble` after the vote; `dedup_winnow` after
+    materializing its result — round-13 ADVICE 4: every caller now
+    passes a list, the orphan caches=None path has no callers)."""
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1947,13 +1960,15 @@ def dedup_semantic(
         .select("vec_id", "ed", _vec_norm(F.col("ed")).alias("nrm"))
         .persist()
     )
-    if seeds is None:  # default: pinned first-k representatives,
-        # k corpus-size-derived off the capped footer count (no job)
-        from piper_spark.session import row_count
-
-        k_sem = derived_semdedup_k(
-            min(row_count(spark, sf_dir, "embeddings"), SEMDEDUP_CAP)
-        )
+    if seeds is None:  # default: pinned first-k representatives.
+        # Round-13 (ADVICE 3): k derives from the ACTUAL capped-relation
+        # count — the SAME predicate the oracle's kd CTE counts
+        # (vec_id < SEMDEDUP_CAP) — not min(footer_count, CAP), which
+        # silently diverges if vec_ids are ever sparse or
+        # non-contiguous. e is persisted and read by the seed scan,
+        # the assignment, and both pair aliases, so the count() also
+        # serves as the eager-materialize (trap 2).
+        k_sem = derived_semdedup_k(e.count())
         seeds = e.filter(F.col("vec_id") < k_sem).select(
             F.col("vec_id").alias("sid"),
             F.col("ed").alias("sed"),
@@ -1980,6 +1995,81 @@ def dedup_semantic(
         .persist()
     )
     return semantic_drop_decisions(asg, e, SEMDEDUP_TAU)
+
+
+def _semantic_ivf_oracle() -> str:
+    from piper_spark.functions.similarity import _branched_cells_ctes
+
+    return f"""{_branched_cells_ctes()},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+pairs AS (
+  SELECT a.cid AS cluster, a.vec_id AS id1, b.vec_id AS id2
+  FROM cells a
+  JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_sum(list_transform(ea.ed, (x, i) -> x * eb.ed[i]))
+          / (sqrt(list_sum(list_transform(ea.ed, x -> x * x)))
+             * sqrt(list_sum(list_transform(eb.ed, x -> x * x))))
+        >= {SEMDEDUP_TAU}
+)
+SELECT id2 AS vec_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       min(id1) AS dup_of,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM pairs
+GROUP BY id2, cluster
+"""
+
+
+@register("dedup_semantic_ivf", oracle=_semantic_ivf_oracle())
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the FULL corpus on the DISTRIBUTED IVF cells —
+    the production-scale sibling of `dedup_semantic` (round-13 VERDICT
+    item 1): clusters come from `ivf_cell_assignment` (the
+    corpus-size-derived Lloyd fit, switching to `two_level_fit`'s LEAF
+    cells past the single-level clamp at HIER_SWITCH_N vectors), so
+    within-cluster pair work stays n · KM_CELL_TARGET at ANY corpus
+    size — no SEMDEDUP_CAP, no pinned seeds, no driver-side k·dims
+    closure past the coarse level. The τ-gate, drop rule (lowest-id
+    cluster-mate within cosine τ wins), and output shape are
+    `semantic_drop_decisions`, shared with the registered capped key.
+
+    ORACLE-EXACT on both sides of the switch: cells are integer
+    arithmetic mirrored by `_branched_cells_ctes` (single-level a{{T}}
+    assignment below the clamp, the unrolled two-level fa{{T}} leaf
+    chain above it), and the float cosines only gate — every surfaced
+    column is an integer (the `dedup_semantic` discipline).
+
+    Scale shape: one Lloyd fit (bounded partial-agg shuffles) + at
+    most one grouped Arrow pass for the fine level; the pair stage
+    shuffles on the cell id only, each cell's work bounded at
+    |cell|² ≈ KM_CELL_TARGET² by construction. Cites
+    reference src/piper/loader.rs:21-45 (the ref's only clustering)
+    generalized to the SURVEY §2B semantic-dedup mandate."""
+    from piper_spark.functions.similarity import ivf_cell_assignment
+    from piper_spark.session import row_count
+
+    if row_count(spark, sf_dir, "embeddings") == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, cluster long, dup_of long, n_dups long"
+        )
+    vecs, cells = ivf_cell_assignment(spark, sf_dir)
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
+        .select("vec_id", "ed", _vec_norm(F.col("ed")).alias("nrm"))
+        .persist()
+    )
+    # persist: the decision stage reads the assignment from both pair
+    # aliases (the dedup_semantic discipline).
+    asg = cells.select("vec_id", F.col("cid").alias("cluster")).persist()
+    out = semantic_drop_decisions(asg, e, SEMDEDUP_TAU).persist()
+    out.count()  # materialize, then release the stage caches
+    asg.unpersist()
+    e.unpersist()
+    vecs.unpersist()
+    return out
 
 
 def _fold_dot(a: Column, b: Column) -> Column:

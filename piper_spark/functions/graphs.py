@@ -60,6 +60,27 @@ PR_ITERS = 3
 PREGEL_CKPT_INTERVAL = 5
 
 
+def plan_truncate(df: DataFrame) -> DataFrame:
+    """Materialize + TRUNCATE a plan, picking the checkpoint flavor by
+    deployment (round-13 ADVICE 5): `localCheckpoint` is NON-RELIABLE —
+    blocks live only on the executors that computed them, so an
+    executor loss mid-loop fails the whole job (loudly, never wrong
+    labels) — which is the right single-node fast path but a
+    robustness regression for a 1000-executor run. When the session
+    has a RELIABLE checkpoint directory configured
+    (`sc.setCheckpointDir`, the cluster deployment signal), use
+    `checkpoint(eager=True)` instead: blocks go to fault-tolerant
+    storage and the lineage restart survives executor loss. Both
+    flavors return a LogicalRDD-rooted DataFrame, so every caller's
+    plan-size bound is identical; reliable-checkpoint data is cleaned
+    by the ContextCleaner when `spark.cleaner.referenceTracking.
+    cleanCheckpoints` is set, or with the directory's lifetime."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 class _GenerationCaches:
     """Cache bookkeeping for generation-iterating algorithms: `add`
     persists a new generation lazily; `checkpoint` runs the eager
@@ -96,7 +117,7 @@ class _GenerationCaches:
         2^PREGEL_CKPT_INTERVAL subtrees.  The FINAL generation still
         uses persist+count (`checkpoint`) so the returned relation is
         a conventional caller-owned cache."""
-        out = df.localCheckpoint(eager=True)
+        out = plan_truncate(df)
         self.release_older_than()
         return out
 
@@ -274,7 +295,7 @@ def graph_pagerank(
             # data does).  Then one scalar per round (the
             # connected_components pattern) over the two checkpointed
             # generations.
-            new = raw.localCheckpoint(eager=True)
+            new = plan_truncate(raw)
             delta = (
                 new.alias("n")
                 .join(ranks.alias("o"), F.col("n.id") == F.col("o.id"))
@@ -526,7 +547,7 @@ def graph_bfs(
             # twice — unrolled, the logical plan doubles per round and
             # OOMs the driver; see graph_pagerank).  Its count is the
             # convergence scalar, read from the checkpointed blocks.
-            new = raw.localCheckpoint(eager=True)
+            new = plan_truncate(raw)
             n = new.count()
             gc.release_older_than()  # drop the persisted source gen
             _release_superseded_checkpoints(t)
@@ -665,7 +686,7 @@ def kcore_degrees(
             # graph_pagerank).  alive is a cheap filter-projection
             # over the checkpointed deg; its count is the convergence
             # scalar (monotone shrink ⇒ equal counts ⇔ equal sets).
-            deg = deg.localCheckpoint(eager=True)
+            deg = plan_truncate(deg)
             alive = deg.filter(F.col("d") >= k).select(
                 F.col("u").alias("id")
             )
@@ -798,7 +819,7 @@ def lpa_communities(
             # localCheckpoint(eager) = materialize + TRUNCATE the plan
             # (see graph_pagerank); the changed-label count over the
             # two checkpointed generations is the convergence scalar.
-            new = raw.localCheckpoint(eager=True)
+            new = plan_truncate(raw)
             changed = (
                 new.alias("n")
                 .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
@@ -924,7 +945,7 @@ def graph_cc(
             .agg(F.min("comp").alias("comp"))
         )
         if to_fixpoint:
-            new = raw.localCheckpoint(eager=True)
+            new = plan_truncate(raw)
             cur_sum = new.agg(F.sum("comp")).collect()[0][0]
             gc.release_older_than()
             _release_superseded_checkpoints(t)
@@ -936,7 +957,7 @@ def graph_cc(
             if t == CC_ROUNDS // 2:
                 # mid generation survives to the final join: truncate
                 # + materialize once, independent of later releases
-                labels = raw.localCheckpoint(eager=True)
+                labels = plan_truncate(raw)
                 mid = labels
             elif t == rounds:
                 labels = gc.add(raw)

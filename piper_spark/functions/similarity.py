@@ -1087,6 +1087,58 @@ def lloyd_centroids(
     return cents
 
 
+def _lloyd_chain(p: str = "", per: int = KM_CELL_TARGET) -> str:
+    """One unrolled Lloyd CTE chain over the shared `v` relation:
+    derived cell count {p}kd (ceil(n/per) clamped to
+    [KMEANS_K, KMEANS_K_MAX] — `derived_kmeans_k` for per=
+    KM_CELL_TARGET, `derived_coarse_k` for per=KM_CELL_TARGET·FINE_K)
+    → seeds {p}c0 → KMEANS_ITERS assign/update rounds → final assign
+    {p}a{KMEANS_ITERS}.  The name prefix lets two chains at different
+    cell targets coexist in ONE oracle (the two-level branch)."""
+    sums = ", ".join(f"sum(xq[{i + 1}]) AS s{i}" for i in range(KM_DIMS))
+    newc = ", ".join(f"s.s{i} // s.n" for i in range(KM_DIMS))
+
+    def assign(t: int) -> str:
+        return f"""
+{p}a{t} AS (
+  SELECT v.vec_id, v.xq,
+         min(CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+               i -> (v.xq[i] - c.c[i]) * (v.xq[i] - c.c[i]))) AS BIGINT)
+             * {p}kn.k + c.cid) AS kk
+  FROM v, {p}c{t} c, {p}kn GROUP BY v.vec_id, v.xq)"""
+
+    def update(t: int) -> str:
+        return f"""
+{p}s{t} AS (SELECT a.kk % {p}kn.k AS cid, count(*) AS n, {sums}
+         FROM {p}a{t} a, {p}kn GROUP BY 1),
+{p}c{t + 1} AS (SELECT c.cid, CASE WHEN s.cid IS NULL THEN c.c
+                           ELSE [{newc}] END AS c
+             FROM {p}c{t} c LEFT JOIN {p}s{t} s ON s.cid = c.cid)"""
+
+    body = ",".join(assign(t) + "," + update(t) for t in range(KMEANS_ITERS))
+    return f"""
+{p}kd AS (SELECT LEAST({KMEANS_K_MAX}, GREATEST({KMEANS_K},
+         (count(*) + {per - 1}) // {per})) AS k
+       FROM v),
+{p}c0 AS (SELECT cid, c FROM (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                xq AS c
+         FROM v) s, {p}kd
+       WHERE s.cid < {p}kd.k),
+{p}kn AS (SELECT count(*) AS k FROM {p}c0),{body},{assign(KMEANS_ITERS)}"""
+
+
+#: The shared quantize CTE every kmeans-family oracle opens with.
+_V_CTE = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE!r} + 0.5) AS BIGINT)
+                + {KM_OFFSET}) AS xq
+  FROM embeddings
+),"""
+
+
 def _kmeans_ctes() -> str:
     """The unrolled Lloyd CTE chain (quantize → derived cell count kd →
     seeds → KMEANS_ITERS assign/update rounds → final assign
@@ -1096,45 +1148,7 @@ def _kmeans_ctes() -> str:
     static oracle string is exact at every SF; kn counts the ACTUAL
     seed rows (a corpus smaller than kd.k seeds fewer cells), matching
     the Spark side's k = len(cents)."""
-    sums = ", ".join(f"sum(xq[{i + 1}]) AS s{i}" for i in range(KM_DIMS))
-    newc = ", ".join(f"s.s{i} // s.n" for i in range(KM_DIMS))
-
-    def assign(t: int) -> str:
-        return f"""
-a{t} AS (
-  SELECT v.vec_id, v.xq,
-         min(CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
-               i -> (v.xq[i] - c.c[i]) * (v.xq[i] - c.c[i]))) AS BIGINT)
-             * kn.k + c.cid) AS kk
-  FROM v, c{t} c, kn GROUP BY v.vec_id, v.xq)"""
-
-    def update(t: int) -> str:
-        return f"""
-s{t} AS (SELECT a.kk % kn.k AS cid, count(*) AS n, {sums}
-         FROM a{t} a, kn GROUP BY 1),
-c{t + 1} AS (SELECT c.cid, CASE WHEN s.cid IS NULL THEN c.c
-                           ELSE [{newc}] END AS c
-             FROM c{t} c LEFT JOIN s{t} s ON s.cid = c.cid)"""
-
-    body = ",".join(assign(t) + "," + update(t) for t in range(KMEANS_ITERS))
-    ctes = f"""
-WITH v AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE!r} + 0.5) AS BIGINT)
-                + {KM_OFFSET}) AS xq
-  FROM embeddings
-),
-kd AS (SELECT LEAST({KMEANS_K_MAX}, GREATEST({KMEANS_K},
-         (count(*) + {KM_CELL_TARGET - 1}) // {KM_CELL_TARGET})) AS k
-       FROM v),
-c0 AS (SELECT cid, c FROM (
-         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-                xq AS c
-         FROM v) s, kd
-       WHERE s.cid < kd.k),
-kn AS (SELECT count(*) AS k FROM c0),{body},{assign(KMEANS_ITERS)}"""
-    return ctes
+    return _V_CTE + _lloyd_chain()
 
 
 def _kmeans_oracle() -> str:
@@ -1402,6 +1416,123 @@ def embed_pq(
     )
 
 
+def _ann_pq_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+         xq AS c
+  FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT {PQ_K})
+),
+kn AS (SELECT count(*) AS k FROM seeds),
+asg AS (
+  SELECT v.vec_id, m.m,
+         min(CAST(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (v.xq[{PQ_SUB} * m.m + i] - s.c[{PQ_SUB} * m.m + i])
+                    * (v.xq[{PQ_SUB} * m.m + i] - s.c[{PQ_SUB} * m.m + i])))
+             AS BIGINT) * kn.k + s.code) AS kk
+  FROM v, seeds s, kn, range(0, {PQ_M}) m(m)
+  GROUP BY v.vec_id, m.m
+),
+qv AS (SELECT xq AS qx FROM v WHERE vec_id = 0),
+lut AS (
+  SELECT m.m, s.code,
+         CAST(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+              i -> (qv.qx[{PQ_SUB} * m.m + i] - s.c[{PQ_SUB} * m.m + i])
+                   * (qv.qx[{PQ_SUB} * m.m + i] - s.c[{PQ_SUB} * m.m + i])))
+            AS BIGINT) AS d2
+  FROM seeds s, qv, range(0, {PQ_M}) m(m)
+)
+SELECT a.vec_id, CAST(sum(lut.d2) AS BIGINT) AS adc_dist2
+FROM asg a, kn
+JOIN lut ON lut.m = a.m AND lut.code = a.kk % kn.k
+WHERE a.vec_id <> 0
+GROUP BY a.vec_id
+ORDER BY adc_dist2, a.vec_id
+LIMIT {10}
+"""
+
+
+@register("sim_ann_pq", oracle=_ann_pq_oracle())
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over the PQ codes for the vec_id=0 query —
+    ASYMMETRIC DISTANCE COMPUTATION (Jégou et al. 2011 §III): the
+    search half of the PQ story (`embed_pq` builds the 24-bit codes;
+    this key serves a query against them). Per subspace, the query's
+    exact distance² to each of the {PQ_K} codebook entries lands in an
+    8×8 integer LOOKUP TABLE (driver-side, 64 int64s — the bounded
+    model artifact), and each vector's approximate distance is the
+    Σ_m LUT[m][code_m] of its codes: the scan never touches the raw
+    vectors, exactly how a PQ index serves at 100 TB (24-bit codes +
+    a 64-entry table instead of 256-byte vectors — the memory-
+    bandwidth win IS the operator).
+
+    Fully INTEGER end to end — codes, LUT, and the summed ADC distance
+    (on the 10⁶ grid) — so unlike the cosine-ranked ANN keys even the
+    surfaced distance hash-matches the oracle bit-for-bit; ties rank
+    by vec_id in both engines. Codebooks are the pinned first-{PQ_K}
+    subvectors (the embed_pq/oracle convention; `pq_train_codebooks`
+    swaps in distributed Lloyd fits with the shape unchanged).
+
+    Scale: ONE map-side projection over the code relation (the LUT
+    rides the plan as {PQ_M} small literal arrays — no join, no
+    shuffle, no Python) + a global top-10 (TakeOrdered, partial
+    per-partition heaps). Against a stored `embed_pq` table the scan
+    reads 3 longs/row."""
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1_000_000.0 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("xq"),
+    )
+    empty_schema = "vec_id long, adc_dist2 long"
+    seed_rows = vecs.orderBy("vec_id").limit(PQ_K).collect()
+    seeds = [[int(v) for v in r["xq"]] for r in seed_rows]
+    if not seeds:
+        return spark.createDataFrame([], empty_schema)
+    q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
+    if q_row is None:
+        return spark.createDataFrame([], empty_schema)
+    qx = [int(v) for v in q_row["xq"]]
+    codebooks = [
+        [s[m * PQ_SUB : (m + 1) * PQ_SUB] for s in seeds] for m in range(PQ_M)
+    ]
+    k = len(codebooks[0])
+    lut = [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qx[m * PQ_SUB : (m + 1) * PQ_SUB], c)
+            )
+            for c in codebooks[m]
+        ]
+        for m in range(PQ_M)
+    ]
+    kk_cols = [
+        F.expr(_pq_kk_sql(m, codebooks[m])).alias(f"kk{m}") for m in range(PQ_M)
+    ]
+    adc = " + ".join(
+        f"element_at(array({', '.join(f'{d}L' for d in lut[m])}), "
+        f"CAST(kk{m} % {k}L AS INT) + 1)"
+        for m in range(PQ_M)
+    )
+    return (
+        vecs.filter(F.col("vec_id") != 0)
+        .select("vec_id", *kk_cols)
+        .select("vec_id", F.expr(adc).cast("long").alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
+        .limit(10)
+    )
+
+
 #: Derived probe width as SQL — mirrors `derived_probes` off kn's
 #: ACTUAL seed count, shared by every ANN oracle on the kmeans chain.
 _NP_CTE = f"np AS (SELECT GREATEST({NUM_PROBES}, (k + 1) // 2) AS np FROM kn)"
@@ -1518,278 +1649,6 @@ def sim_ann_kmeans(
     return out
 
 
-#: Batched-search query set: a deterministic stride over the corpus
-#: (5 queries at the 500-row fixture, 20 at sf0.1) — the bounded
-#: many-queries-at-once shape, not a sampling statement. ANN_BATCH_MAX
-#: hard-caps the driver-side query collect (lowest vec_ids first, the
-#: MAX_TRAIN_VECTORS discipline): the query batch is a WORK LIST and
-#: must stay bounded no matter the corpus size — without the cap a
-#: 10⁹-row corpus would collect 10⁷ query vectors.
-ANN_BATCH_MOD, ANN_BATCH_RES, ANN_BATCH_MAX = 100, 7, 128
-
-
-def _ann_batch_oracle() -> str:
-    t = KMEANS_ITERS
-    return f"""{_kmeans_ctes()},
-{_NP_CTE},
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
-q AS (SELECT vec_id AS qid, xq AS qx FROM v
-      WHERE vec_id % {ANN_BATCH_MOD} = {ANN_BATCH_RES}
-      ORDER BY vec_id LIMIT {ANN_BATCH_MAX}),
-qd AS (SELECT qid, e.ed AS qd FROM q JOIN e ON e.vec_id = q.qid),
-pr AS (
-  SELECT qid, cid FROM (
-    SELECT q.qid, fc.cid,
-           row_number() OVER (
-             PARTITION BY q.qid
-             ORDER BY CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
-                       i -> (q.qx[i] - fc.c[i]) * (q.qx[i] - fc.c[i])))
-                     AS BIGINT) * kn.k + fc.cid) AS rn
-    FROM c{t} fc, q, kn)
-  WHERE rn <= (SELECT np FROM np)
-),
-cand AS (
-  SELECT pr.qid, a.vec_id
-  FROM a{t} a, kn
-  JOIN pr ON a.kk % kn.k = pr.cid
-  WHERE a.vec_id <> pr.qid
-),
-scored AS (
-  SELECT c.qid, c.vec_id,
-         round(list_sum(list_transform(e.ed, (x, i) -> x * qd.qd[i]))
-               / (sqrt(list_sum(list_transform(e.ed, x -> x * x)))
-                  * sqrt(list_sum(list_transform(qd.qd, x -> x * x)))), 4)
-           AS cos_sim
-  FROM e JOIN cand c USING (vec_id) JOIN qd ON qd.qid = c.qid
-)
-SELECT qid, vec_id, cos_sim FROM (
-  SELECT qid, vec_id, cos_sim,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY cos_sim DESC, vec_id) AS rn
-  FROM scored)
-WHERE rn <= 10
-"""
-
-
-@register("sim_ann_batch", oracle=_ann_batch_oracle())
-def sim_ann_batch(
-    spark: SparkSession, sf_dir: str, n_probes: int | None = None
-) -> DataFrame:
-    """BATCHED multi-query IVF top-10 — the production search shape
-    (`sim_topk`/`sim_ann_kmeans` serve ONE query; a retrieval or
-    near-dup audit pass serves thousands at once): every query in the
-    deterministic batch (vec_id mod ANN_BATCH_MOD == ANN_BATCH_RES)
-    probes its own ``derived_probes(k)`` nearest cells of the SAME
-    corpus-size-derived distributed Lloyd fit (the sim_ann_kmeans
-    default and recall target), candidates come from ONE broadcast
-    equi-join of the assignment against the (qid, cid) probe relation,
-    and one window ranks the per-query top-10.
-
-    ORACLE-EXACT end to end, the `sim_ann_kmeans` discipline: cells,
-    per-query probe order (kk = dist²·k + cid), and candidate sets are
-    integer arithmetic on the shared fit; only the final cosine is
-    float (bit-identical folds, rounded at 4 — the `sim_topk`
-    precedent) and ties rank by vec_id in both engines.
-
-    Scale shape: the probe relation is queries × probes rows —
-    broadcast; the candidate join is an equi-join on cell id (on a
-    cluster-bucketed layout: partition pruning — each query batch
-    reads only probed buckets, measured in SCALING.md's held-out
-    curve); scoring touches each candidate once against its query's
-    broadcast vector; the only corpus-keyed shuffle is the vec_id join
-    pulling embeddings for candidates, and the top-10 window runs per
-    qid over candidate-sized input, never the corpus."""
-    from pyspark.sql.window import Window
-
-    vecs, cents = _km_fit(spark, sf_dir)
-    empty_schema = "qid long, vec_id long, cos_sim double"
-    if not cents:
-        vecs.unpersist()
-        return spark.createDataFrame([], empty_schema)
-    k = len(cents)
-    if n_probes is None:
-        n_probes = derived_probes(k)
-    q_rows = (
-        vecs.filter(F.col("vec_id") % ANN_BATCH_MOD == ANN_BATCH_RES)
-        .orderBy("vec_id")
-        .limit(ANN_BATCH_MAX)  # hard cap: the work list stays bounded
-        .select("vec_id", "xq")
-        .collect()  # bounded: ≤ ANN_BATCH_MAX query vectors
-    )
-    if not q_rows:
-        vecs.unpersist()
-        return spark.createDataFrame([], empty_schema)
-
-    def probes_of(xq: list) -> list[int]:
-        kks = sorted(
-            (sum((a - b) * (a - b) for a, b in zip(xq, c)) * k + j, j)
-            for j, c in enumerate(cents)
-        )
-        return [j for _, j in kks[:n_probes]]
-
-    pr = spark.createDataFrame(
-        [
-            (int(r["vec_id"]), int(c))
-            for r in q_rows
-            for c in probes_of([int(v) for v in r["xq"]])
-        ],
-        "qid long, cid long",
-    )
-    asg = vecs.select(
-        "vec_id", (_km_kk_udf(cents)(F.col("xq")) % k).alias("cid")
-    )
-    cand = (
-        asg.join(F.broadcast(pr), "cid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
-    )
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
-    )
-    # The broadcast query-vector relation is restricted to the CAPPED
-    # batch ids (not the raw stride filter) so its size is bounded by
-    # ANN_BATCH_MAX at any corpus scale.
-    qd = e.filter(
-        F.col("vec_id").isin([int(r["vec_id"]) for r in q_rows])
-    ).select(F.col("vec_id").alias("qid"), F.col("ed").alias("qd"))
-    scored = (
-        cand.join(e, "vec_id")
-        .join(F.broadcast(qd), "qid")
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("ed"), F.col("qd")), 4).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
-    out = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("qid", "vec_id", "cos_sim")
-        .persist()
-    )
-    out.count()  # materialize before releasing the quantized cache
-    vecs.unpersist()
-    return out
-
-
-#: k-NN join width: every vector's 3 nearest same-cell neighbors.
-KNN_K = 3
-
-
-def _knn_join_oracle() -> str:
-    t = KMEANS_ITERS
-    return f"""{_kmeans_ctes()},
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                          x -> x * x))) AS nrm
-      FROM embeddings),
-cells AS (SELECT a.vec_id, CAST(a.kk % kn.k AS BIGINT) AS cid
-          FROM a{t} a, kn),
-scored AS (
-  SELECT ca.vec_id AS vec_id, cb.vec_id AS nbr_id,
-         round(list_sum(list_transform(ea.ed, (x, i) -> x * eb.ed[i]))
-               / (ea.nrm * eb.nrm), 4) AS cos_sim
-  FROM cells ca
-  JOIN cells cb ON ca.cid = cb.cid AND ca.vec_id <> cb.vec_id
-  JOIN e ea ON ea.vec_id = ca.vec_id
-  JOIN e eb ON eb.vec_id = cb.vec_id
-)
-SELECT vec_id, nbr_id, cos_sim, CAST(rn AS BIGINT) AS rank FROM (
-  SELECT vec_id, nbr_id, cos_sim,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY cos_sim DESC, nbr_id) AS rn
-  FROM scored)
-WHERE rn <= {KNN_K}
-"""
-
-
-@register("sim_knn_join", oracle=_knn_join_oracle())
-def sim_knn_join(
-    spark: SparkSession,
-    sf_dir: str,
-    _fit: "tuple[DataFrame, list[list[int]]] | None" = None,
-) -> DataFrame:
-    """k-NN SELF-JOIN over the whole corpus — every vector's KNN_K
-    nearest same-cell neighbors: the candidate-generation primitive
-    SemDeDup-style embedding dedup and retrieval-index audits run at
-    corpus scale (`dedup_semantic` consumes exactly this shape; here it
-    is a first-class relation with per-neighbor rank).
-
-    Plan: ONE cell-keyed equi self-join of the (vec_id, cid, ed, nrm)
-    feature relation (cells from the shared distributed Lloyd fit —
-    integer-exact, the `sim_ann_kmeans` discipline), dot/norm folds on
-    the pair, and a per-vector top-KNN_K window over CELL-sized
-    candidate sets. Norms are precomputed once per vector (pure CSE —
-    the float sequence is the same fold the oracle runs inline, so
-    values stay bit-identical; rounded at 4, `sim_topk` precedent).
-
-    Scale: the self-join shards pairs by cell — Σ n_c² work — and
-    because the cell count k is CORPUS-SIZE-DERIVED (`derived_kmeans_k`,
-    round-12: one cell per KM_CELL_TARGET vectors), expected pair work
-    is n · KM_CELL_TARGET, LINEAR in the corpus at a fixed cell size —
-    not the n²/k-at-fixed-k shape this key shipped with. On a
-    cluster-bucketed layout the join is co-located (cid is the bucket
-    key, no exchange under the join). The top-k window partitions by
-    vec_id over candidates only. Oracle-exact end to end: cells and
-    candidates are integer arithmetic (the oracle derives the same k),
-    the cosine is the shared bit-identical fold.
-
-    ``_fit`` (vecs, cents) swaps in a caller-owned Lloyd fit — the
-    SCALING harness uses it to measure the FIXED-k counter-example;
-    the caller keeps the fit cache's lifetime."""
-    from pyspark.sql.window import Window
-
-    owns_fit = _fit is None
-    vecs, cents = _km_fit(spark, sf_dir) if owns_fit else _fit
-    empty_schema = "vec_id long, nbr_id long, cos_sim double, rank long"
-    if not cents:
-        if owns_fit:
-            vecs.unpersist()
-        return spark.createDataFrame([], empty_schema)
-    k = len(cents)
-    asg = vecs.select(
-        "vec_id", (_km_kk_udf(cents)(F.col("xq")) % k).alias("cid")
-    )
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
-    )
-    feat = (
-        asg.join(e, "vec_id")
-        .select("vec_id", "cid", "ed", l2_norm(F.col("ed")).alias("nrm"))
-        .persist(StorageLevel.DISK_ONLY)  # read twice by the self-join
-    )
-    a, b = feat.alias("a"), feat.alias("b")
-    dot_ab = F.aggregate(
-        F.zip_with(F.col("a.ed"), F.col("b.ed"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = a.join(
-        b,
-        (F.col("a.cid") == F.col("b.cid"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("nbr_id"),
-        F.round(dot_ab / (F.col("a.nrm") * F.col("b.nrm")), 4).alias(
-            "cos_sim"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
-    out = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_K)
-        .select("vec_id", "nbr_id", "cos_sim", F.col("rn").cast("long").alias("rank"))
-        .persist()
-    )
-    out.count()  # materialize, then release the internal caches
-    feat.unpersist()
-    if owns_fit:
-        vecs.unpersist()
-    return out
-
-
 # ---------------------------------------------------------------------------
 # two-level IVF — the documented next rung past the single-level k clamp
 # ---------------------------------------------------------------------------
@@ -1802,6 +1661,20 @@ def sim_knn_join(
 #: model lives as a RELATION, never a driver closure.
 FINE_K, FINE_ITERS = 8, 3
 
+#: The single-level → two-level switch point (round-13, VERDICT item
+#: 1): past this corpus size `derived_kmeans_k(n)` would CLAMP at
+#: KMEANS_K_MAX and cells grow linearly again (Σn_c² turns quadratic —
+#: the measured 30.4×/21.8× 10×→100× decades of round 12). The
+#: cell-sharded consumers (`sim_knn_join`, `sim_ann_batch`, the
+#: semantic-dedup scale path) switch to `two_level_fit`'s LEAF cells
+#: there: leaves keep averaging KM_CELL_TARGET vectors up to
+#: KMEANS_K_MAX·FINE_K·KM_CELL_TARGET ≈ 2M vectors, an 8-fold ceiling
+#: lift with the same bounded driver closure — and the construction
+#: iterates (a third level multiplies it again). The oracles branch on
+#: the IDENTICAL count (the lvl CTE), so the keys stay value-exact on
+#: both sides of the switch.
+HIER_SWITCH_N = KMEANS_K_MAX * KM_CELL_TARGET
+
 
 def derived_coarse_k(n: int) -> int:
     """Level-1 cell count for the two-level fit: one coarse cell per
@@ -1813,31 +1686,49 @@ def derived_coarse_k(n: int) -> int:
     return min(KMEANS_K_MAX, max(KMEANS_K, want))
 
 
-def _fit_fine_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-coarse-cell integer Lloyd (grouped-map body): deterministic
-    seeds = the cell's FINE_K lowest vec_ids, FINE_ITERS fixed rounds,
+def _fine_lloyd(X: "np.ndarray") -> "tuple[np.ndarray, np.ndarray]":
+    """The per-cell integer Lloyd core shared by the codebook fit and
+    the leaf assignment: deterministic seeds = the cell's FINE_K
+    lowest-vec_id rows (caller sorts), FINE_ITERS fixed rounds,
     floor-division centroid updates on the positive KM_OFFSET grid
     (floor ≡ trunc there — the cluster_kmeans exactness discipline),
     distances via the float64-BLAS-exact kernel (< 2⁵³ intermediates),
-    argmin-first ties → lowest code."""
+    argmin-first ties → lowest code, empty fine cells keep their
+    previous centroid. Returns (C, a): the final k2 × dims centroid
+    matrix and the FINAL assignment (one extra argmin with the final
+    C — the a{T}-with-c{T} convention the unrolled oracle uses)."""
     import numpy as np
 
-    pdf = pdf.sort_values("vec_id")
-    X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
     k2 = min(FINE_K, len(X))
     C = X[:k2].copy()
-    for _ in range(FINE_ITERS):
+
+    def assign() -> "np.ndarray":
         Xf, Cf = X.astype(np.float64), C.astype(np.float64)
         d2 = (
             (Xf * Xf).sum(axis=1)[:, None]
             - 2.0 * (Xf @ Cf.T)
             + (Cf * Cf).sum(axis=1)[None, :]
         )
-        a = np.argmin(d2, axis=1)
+        return np.argmin(d2, axis=1)
+
+    for _ in range(FINE_ITERS):
+        a = assign()
         for j in range(k2):
             m = a == j
             if m.any():
                 C[j] = X[m].sum(axis=0) // int(m.sum())
+    return C, assign()
+
+
+def _fit_fine_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-coarse-cell integer Lloyd (grouped-map body) → the cell's
+    ≤ FINE_K leaf centroid rows (cid1, cid2, fc). See `_fine_lloyd`."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+    C, _ = _fine_lloyd(X)
+    k2 = len(C)
     cid1 = int(pdf["cid1"].iloc[0])
     return pd.DataFrame(
         {
@@ -1846,6 +1737,145 @@ def _fit_fine_cell(pdf: pd.DataFrame) -> pd.DataFrame:
             "fc": [C[j].tolist() for j in range(k2)],
         }
     )
+
+
+def _assign_fine_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-coarse-cell grouped-map body for the LEAF ASSIGNMENT
+    consumers (`ivf_cell_assignment`): run the same deterministic
+    fine Lloyd and emit one (vec_id, cid) row per vector, with the
+    global leaf id cid = cid1·FINE_K + cid2 — the codebook itself
+    never leaves the executors."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+    _, a = _fine_lloyd(X)
+    cid1 = int(pdf["cid1"].iloc[0])
+    return pd.DataFrame(
+        {
+            "vec_id": pdf["vec_id"].to_numpy(),
+            "cid": cid1 * FINE_K + a.astype(np.int64),
+        }
+    )
+
+
+def _fine_ctes() -> str:
+    """The unrolled FINE-Lloyd CTE chain — `_lloyd_chain` one level
+    down, mirroring `_fine_lloyd` bit-for-bit: coarse assignment tasg
+    off the prefix-"t" coarse chain (cell target KM_CELL_TARGET·FINE_K
+    = `derived_coarse_k`), per-cell seeds = the FINE_K lowest vec_ids
+    (fc0), FINE_ITERS assign/update rounds partitioned by cid1, the
+    final leaf assignment fa{FINE_ITERS}, and the global leaf relation
+    `fleaves` (cid = cid1·FINE_K + cid2). Appended after `_V_CTE`;
+    every CTE groups or joins on (cid1[, cid2]) so the SQL shape is
+    the same cell-sharded work the Spark grouped-map does."""
+    sums = ", ".join(f"sum(xq[{i + 1}]) AS s{i}" for i in range(KM_DIMS))
+    newc = ", ".join(f"s.s{i} // s.n" for i in range(KM_DIMS))
+
+    def assign(t: int) -> str:
+        return f"""
+fa{t} AS (
+  SELECT g.vec_id, g.cid1, g.xq,
+         min(CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+               i -> (g.xq[i] - fc.c[i]) * (g.xq[i] - fc.c[i]))) AS BIGINT)
+             * {FINE_K} + fc.cid2) AS kk2
+  FROM tasg g JOIN fc{t} fc ON fc.cid1 = g.cid1
+  GROUP BY g.vec_id, g.cid1, g.xq)"""
+
+    def update(t: int) -> str:
+        return f"""
+fs{t} AS (SELECT fa.cid1, fa.kk2 % {FINE_K} AS cid2, count(*) AS n, {sums}
+          FROM fa{t} fa GROUP BY 1, 2),
+fc{t + 1} AS (SELECT c.cid1, c.cid2, CASE WHEN s.n IS NULL THEN c.c
+                                     ELSE [{newc}] END AS c
+              FROM fc{t} c LEFT JOIN fs{t} s
+                ON s.cid1 = c.cid1 AND s.cid2 = c.cid2)"""
+
+    body = ",".join(assign(t) + "," + update(t) for t in range(FINE_ITERS))
+    return f"""{_lloyd_chain("t", KM_CELL_TARGET * FINE_K)},
+tasg AS MATERIALIZED (
+  -- MATERIALIZED: tasg (and its whole coarse chain) is referenced by
+  -- fc0 and every fa round; without the hint DuckDB re-inlines the
+  -- chain per reference and the unrolled tree re-evaluates it
+  -- near-exponentially (measured 7.6 s -> 0.4 s at 500 rows).
+  SELECT a.vec_id, a.xq, CAST(a.kk % tkn.k AS BIGINT) AS cid1
+  FROM ta{KMEANS_ITERS} a, tkn),
+fc0 AS (SELECT cid1, CAST(rn - 1 AS BIGINT) AS cid2, xq AS c FROM (
+          SELECT cid1, xq,
+                 row_number() OVER (PARTITION BY cid1 ORDER BY vec_id) AS rn
+          FROM tasg) s
+        WHERE rn <= {FINE_K}),{body},{assign(FINE_ITERS)},
+fleaves AS (SELECT vec_id, cid1 * {FINE_K} + kk2 % {FINE_K} AS cid
+            FROM fa{FINE_ITERS})"""
+
+
+#: The oracle-side branch gate — counts the SAME corpus the Spark side
+#: row_counts, against the SAME threshold (HIER_SWITCH_N).
+_LVL_CTE = f"lvl AS (SELECT count(*) > {HIER_SWITCH_N} AS two FROM v)"
+
+
+def _branched_cells_ctes() -> str:
+    """Single-level chain + two-level chain + the gated `cells`
+    relation (vec_id, cid): the oracle mirror of
+    `ivf_cell_assignment`'s switch. Both chains are written into the
+    WITH list; the lvl gate selects which one feeds `cells` (the
+    unselected chain's work is wasted oracle-side compute at check
+    scale, never a correctness input)."""
+    return f"""{_kmeans_ctes()},
+{_fine_ctes()},
+{_LVL_CTE},
+cells AS MATERIALIZED (
+  -- MATERIALIZED: the pair consumers self-join cells; re-inlining
+  -- would evaluate BOTH branch chains once per alias.
+  SELECT a.vec_id, CAST(a.kk % kn.k AS BIGINT) AS cid
+  FROM a{KMEANS_ITERS} a, kn, lvl WHERE NOT lvl.two
+  UNION ALL
+  SELECT fl.vec_id, fl.cid FROM fleaves fl, lvl WHERE lvl.two
+)"""
+
+
+def ivf_cell_assignment(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(vecs, cells): the shared IVF cell relation (vec_id, cid) every
+    cell-sharded pair consumer joins on — SINGLE-LEVEL
+    (`derived_kmeans_k` Lloyd, cid = kk % k) until the corpus crosses
+    HIER_SWITCH_N, then TWO-LEVEL (`derived_coarse_k` coarse Lloyd +
+    one grouped Arrow pass of per-cell fine Lloyds, cid = the global
+    leaf id) so cells keep averaging KM_CELL_TARGET vectors past the
+    single-level clamp. Caller owns the `vecs` persist lifetime
+    (unpersist after materializing its own result — the _km_fit
+    contract); `cells` is lazy. The switch is mirrored in SQL by
+    `_branched_cells_ctes`, so consumers stay oracle-exact on both
+    sides."""
+    from piper_spark.session import row_count
+
+    n = row_count(spark, sf_dir, "embeddings")
+    if n <= HIER_SWITCH_N:
+        vecs, cents = _km_fit(spark, sf_dir)
+        if not cents:
+            return vecs, spark.createDataFrame([], "vec_id long, cid long")
+        k = len(cents)
+        cells = vecs.select(
+            "vec_id", (_km_kk_udf(cents)(F.col("xq")) % k).alias("cid")
+        )
+        return vecs, cells
+    k1 = derived_coarse_k(n)
+    vecs = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", _km_xq_col().alias("xq"))
+        .persist()
+    )
+    vecs.count()
+    cents = lloyd_centroids(vecs, k=k1)
+    k1 = len(cents)
+    asg1 = vecs.select(
+        "vec_id", "xq", (_km_kk_udf(cents)(F.col("xq")) % k1).alias("cid1")
+    )
+    cells = asg1.groupBy("cid1").applyInPandas(
+        _assign_fine_cell, "vec_id long, cid long"
+    )
+    return vecs, cells
 
 
 def two_level_fit(
@@ -1920,7 +1950,449 @@ def _fine_code_udf(cells: dict):
     return code
 
 
-@register("sim_ann_two_level")  # approximate path → rows-only check
+def _leaf_d2_udf(qmap: "dict[int, list[int]]"):
+    """Arrow UDF: (qid, fc) → exact integer distance² from query qid's
+    quantized vector to the leaf centroid — the per-query leaf-ranking
+    kernel for `sim_ann_batch`'s two-level branch. The closure holds
+    only the ≤ ANN_BATCH_MAX query vectors (a bounded work list), and
+    the batch body is one float64-BLAS-exact matmul per query group
+    (< 2⁵³ intermediates, the `_km_kk_udf` discipline)."""
+    import numpy as np
+
+    Q = {q: np.array(x, dtype=np.float64) for q, x in qmap.items()}
+
+    @F.pandas_udf("long")
+    def d2(qid: pd.Series, fc: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(qid), dtype=np.int64)
+        qv = qid.to_numpy()
+        C = np.stack(fc.to_numpy()).astype(np.float64)
+        for q in np.unique(qv):
+            m = qv == q
+            diff = C[m] - Q[int(q)][None, :]
+            out[m] = (diff * diff).sum(axis=1).astype(np.int64)
+        return pd.Series(out)
+
+    return d2
+
+
+#: Batched-search query set: a deterministic stride over the corpus
+#: (5 queries at the 500-row fixture, 20 at sf0.1) — the bounded
+#: many-queries-at-once shape, not a sampling statement. ANN_BATCH_MAX
+#: hard-caps the driver-side query collect (lowest vec_ids first, the
+#: MAX_TRAIN_VECTORS discipline): the query batch is a WORK LIST and
+#: must stay bounded no matter the corpus size — without the cap a
+#: 10⁹-row corpus would collect 10⁷ query vectors.
+ANN_BATCH_MOD, ANN_BATCH_RES, ANN_BATCH_MAX = 100, 7, 128
+
+
+def _ann_batch_oracle() -> str:
+    t = KMEANS_ITERS
+    return f"""{_kmeans_ctes()},
+{_fine_ctes()},
+{_LVL_CTE},
+{_NP_CTE},
+tnp AS (SELECT GREATEST({NUM_PROBES}, (k + 1) // 2) AS np FROM tkn),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+q AS MATERIALIZED (
+      SELECT vec_id AS qid, xq AS qx FROM v
+      WHERE vec_id % {ANN_BATCH_MOD} = {ANN_BATCH_RES}
+      ORDER BY vec_id LIMIT {ANN_BATCH_MAX}),
+qd AS (SELECT qid, e.ed AS qd FROM q JOIN e ON e.vec_id = q.qid),
+pr AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, fc.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+                       i -> (q.qx[i] - fc.c[i]) * (q.qx[i] - fc.c[i])))
+                     AS BIGINT) * kn.k + fc.cid) AS rn
+    FROM c{t} fc, q, kn)
+  WHERE rn <= (SELECT np FROM np)
+),
+tpr AS (
+  -- two-level branch, stage 1: each query's tnp nearest COARSE cells,
+  -- same kk = dist²·k + cid probe order as the single-level pr.
+  SELECT qid, cid AS cid1 FROM (
+    SELECT q.qid, fc.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+                       i -> (q.qx[i] - fc.c[i]) * (q.qx[i] - fc.c[i])))
+                     AS BIGINT) * tkn.k + fc.cid) AS rn
+    FROM tc{t} fc, q, tkn)
+  WHERE rn <= (SELECT np FROM tnp)
+),
+tlv AS (
+  -- stage 2: rank the probed cells' LEAVES per query by the same
+  -- integer distance; ties (d2, cid1, cid2) — the kk encoding order.
+  SELECT tpr.qid, fc.cid1, fc.cid2,
+         CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+              i -> (q.qx[i] - fc.c[i]) * (q.qx[i] - fc.c[i]))) AS BIGINT)
+           AS d2
+  FROM fc{FINE_ITERS} fc
+  JOIN tpr ON tpr.cid1 = fc.cid1
+  JOIN q ON q.qid = tpr.qid
+),
+tkeep AS (
+  -- keep each query's nearest HALF of its probed leaves (the
+  -- sim_ann_two_level keep rule).
+  SELECT qid, cid1 * {FINE_K} + cid2 AS cid FROM (
+    SELECT qid, cid1, cid2,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY d2, cid1, cid2) AS rn,
+           count(*) OVER (PARTITION BY qid) AS cnt
+    FROM tlv)
+  WHERE rn <= GREATEST(1, (cnt + 1) // 2)
+),
+cand AS (
+  SELECT pr.qid, a.vec_id
+  FROM a{t} a, kn, pr, lvl
+  WHERE a.kk % kn.k = pr.cid AND a.vec_id <> pr.qid AND NOT lvl.two
+  UNION ALL
+  SELECT tk.qid, fl.vec_id
+  FROM fleaves fl, tkeep tk, lvl
+  WHERE fl.cid = tk.cid AND fl.vec_id <> tk.qid AND lvl.two
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         round(list_sum(list_transform(e.ed, (x, i) -> x * qd.qd[i]))
+               / (sqrt(list_sum(list_transform(e.ed, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qd.qd, x -> x * x)))), 4)
+           AS cos_sim
+  FROM e JOIN cand c USING (vec_id) JOIN qd ON qd.qid = c.qid
+)
+SELECT qid, vec_id, cos_sim FROM (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register("sim_ann_batch", oracle=_ann_batch_oracle())
+def sim_ann_batch(
+    spark: SparkSession, sf_dir: str, n_probes: int | None = None
+) -> DataFrame:
+    """BATCHED multi-query IVF top-10 — the production search shape
+    (`sim_topk`/`sim_ann_kmeans` serve ONE query; a retrieval or
+    near-dup audit pass serves thousands at once): every query in the
+    deterministic batch (vec_id mod ANN_BATCH_MOD == ANN_BATCH_RES)
+    probes its own ``derived_probes(k)`` nearest cells of the SAME
+    corpus-size-derived distributed Lloyd fit (the sim_ann_kmeans
+    default and recall target), candidates come from ONE broadcast
+    equi-join of the assignment against the (qid, cid) probe relation,
+    and one window ranks the per-query top-10.
+
+    ORACLE-EXACT end to end, the `sim_ann_kmeans` discipline: cells,
+    per-query probe order (kk = dist²·k + cid), and candidate sets are
+    integer arithmetic on the shared fit; only the final cosine is
+    float (bit-identical folds, rounded at 4 — the `sim_topk`
+    precedent) and ties rank by vec_id in both engines.
+
+    Scale shape: the probe relation is queries × probes rows —
+    broadcast; the candidate join is an equi-join on cell id (on a
+    cluster-bucketed layout: partition pruning — each query batch
+    reads only probed buckets, measured in SCALING.md's held-out
+    curve); scoring touches each candidate once against its query's
+    broadcast vector; the only corpus-keyed shuffle is the vec_id join
+    pulling embeddings for candidates, and the top-10 window runs per
+    qid over candidate-sized input, never the corpus.
+
+    Round-13: past HIER_SWITCH_N the key switches to the TWO-LEVEL
+    fit (VERDICT item 1): probe `derived_probes(k1)` coarse cells,
+    rank the probed cells' leaves per query AS A RELATION (one
+    broadcast join of the (qid, cid1) probe set against the leaf
+    codebook — never a k1·FINE_K driver artifact), keep each query's
+    nearest half of its probed leaves (the `sim_ann_two_level` rule),
+    and equi-join the kept (qid, leaf) set — ≤ queries·probes·FINE_K
+    rows, broadcastable — against the leaf assignment. The oracle
+    branches on the identical corpus count, so the key stays
+    oracle-exact on both sides of the switch."""
+    from pyspark.sql.window import Window
+
+    from piper_spark.session import row_count
+
+    empty_schema = "qid long, vec_id long, cos_sim double"
+    n = row_count(spark, sf_dir, "embeddings")
+    if n == 0:
+        return spark.createDataFrame([], empty_schema)
+    two_level = n > HIER_SWITCH_N
+    if two_level:
+        vecs, cents, fine_cb = two_level_fit(spark, sf_dir)
+    else:
+        vecs, cents = _km_fit(spark, sf_dir)
+    if not cents:
+        vecs.unpersist()
+        return spark.createDataFrame([], empty_schema)
+    k = len(cents)
+    if n_probes is None:
+        n_probes = derived_probes(k)
+    q_rows = (
+        vecs.filter(F.col("vec_id") % ANN_BATCH_MOD == ANN_BATCH_RES)
+        .orderBy("vec_id")
+        .limit(ANN_BATCH_MAX)  # hard cap: the work list stays bounded
+        .select("vec_id", "xq")
+        .collect()  # bounded: ≤ ANN_BATCH_MAX query vectors
+    )
+    if not q_rows:
+        vecs.unpersist()
+        return spark.createDataFrame([], empty_schema)
+
+    def probes_of(xq: list) -> list[int]:
+        kks = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(xq, c)) * k + j, j)
+            for j, c in enumerate(cents)
+        )
+        return [j for _, j in kks[:n_probes]]
+
+    pr = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(c))
+            for r in q_rows
+            for c in probes_of([int(v) for v in r["xq"]])
+        ],
+        "qid long, cid long",
+    )
+    if two_level:
+        qmap = {
+            int(r["vec_id"]): [int(v) for v in r["xq"]] for r in q_rows
+        }
+        lv = fine_cb.join(
+            F.broadcast(pr.withColumnRenamed("cid", "cid1")), "cid1"
+        ).select(
+            "qid",
+            "cid1",
+            "cid2",
+            _leaf_d2_udf(qmap)(F.col("qid"), F.col("fc")).alias("d2"),
+        )
+        wr = Window.partitionBy("qid").orderBy("d2", "cid1", "cid2")
+        wc = Window.partitionBy("qid")
+        keep = (
+            lv.withColumn("rn", F.row_number().over(wr))
+            .withColumn("cnt", F.count(F.lit(1)).over(wc))
+            .filter(F.col("rn") <= F.expr("greatest(1, (cnt + 1) div 2)"))
+            .select(
+                "qid", (F.col("cid1") * FINE_K + F.col("cid2")).alias("cid")
+            )
+        )
+        asg1 = vecs.select(
+            "vec_id", "xq", (_km_kk_udf(cents)(F.col("xq")) % k).alias("cid1")
+        )
+        leaves = asg1.groupBy("cid1").applyInPandas(
+            _assign_fine_cell, "vec_id long, cid long"
+        )
+        cand = (
+            leaves.join(F.broadcast(keep), "cid")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id")
+        )
+    else:
+        asg = vecs.select(
+            "vec_id", (_km_kk_udf(cents)(F.col("xq")) % k).alias("cid")
+        )
+        cand = (
+            asg.join(F.broadcast(pr), "cid")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id")
+        )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    # The broadcast query-vector relation is restricted to the CAPPED
+    # batch ids (not the raw stride filter) so its size is bounded by
+    # ANN_BATCH_MAX at any corpus scale.
+    qd = e.filter(
+        F.col("vec_id").isin([int(r["vec_id"]) for r in q_rows])
+    ).select(F.col("vec_id").alias("qid"), F.col("ed").alias("qd"))
+    scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qd), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("ed"), F.col("qd")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id", "cos_sim")
+        .persist()
+    )
+    out.count()  # materialize before releasing the quantized cache
+    vecs.unpersist()
+    return out
+
+
+#: k-NN join width: every vector's 3 nearest same-cell neighbors.
+KNN_K = 3
+
+
+def _knn_join_oracle() -> str:
+    return f"""{_branched_cells_ctes()},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings),
+scored AS (
+  SELECT ca.vec_id AS vec_id, cb.vec_id AS nbr_id,
+         round(list_sum(list_transform(ea.ed, (x, i) -> x * eb.ed[i]))
+               / (ea.nrm * eb.nrm), 4) AS cos_sim
+  FROM cells ca
+  JOIN cells cb ON ca.cid = cb.cid AND ca.vec_id <> cb.vec_id
+  JOIN e ea ON ea.vec_id = ca.vec_id
+  JOIN e eb ON eb.vec_id = cb.vec_id
+)
+SELECT vec_id, nbr_id, cos_sim, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT vec_id, nbr_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, nbr_id) AS rn
+  FROM scored)
+WHERE rn <= {KNN_K}
+"""
+
+
+@register("sim_knn_join", oracle=_knn_join_oracle())
+def sim_knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    _fit: "tuple[DataFrame, list[list[int]]] | None" = None,
+) -> DataFrame:
+    """k-NN SELF-JOIN over the whole corpus — every vector's KNN_K
+    nearest same-cell neighbors: the candidate-generation primitive
+    SemDeDup-style embedding dedup and retrieval-index audits run at
+    corpus scale (`dedup_semantic` consumes exactly this shape; here it
+    is a first-class relation with per-neighbor rank).
+
+    Plan: ONE cell-keyed equi self-join of the (vec_id, cid, ed, nrm)
+    feature relation (cells from the shared distributed Lloyd fit —
+    integer-exact, the `sim_ann_kmeans` discipline), dot/norm folds on
+    the pair, and a per-vector top-KNN_K window over CELL-sized
+    candidate sets. Norms are precomputed once per vector (pure CSE —
+    the float sequence is the same fold the oracle runs inline, so
+    values stay bit-identical; rounded at 4, `sim_topk` precedent).
+
+    Scale: the self-join shards pairs by cell — Σ n_c² work — and
+    because the cell count k is CORPUS-SIZE-DERIVED (`derived_kmeans_k`,
+    round-12: one cell per KM_CELL_TARGET vectors), expected pair work
+    is n · KM_CELL_TARGET, LINEAR in the corpus at a fixed cell size —
+    not the n²/k-at-fixed-k shape this key shipped with. Round-13: past
+    the single-level clamp (HIER_SWITCH_N ≈ 262k vectors, where cells
+    would grow linearly again — the measured 30.4× 10×→100× decade of
+    round 12) the cells come from `ivf_cell_assignment`'s TWO-LEVEL
+    leaf fit instead, so Σ n_c² stays n · KM_CELL_TARGET to an 8-fold
+    higher ceiling; the oracle branches on the identical corpus count
+    (`_branched_cells_ctes`), keeping the key value-exact on both
+    sides of the switch. On a cluster-bucketed layout the join is
+    co-located (cid is the bucket key, no exchange under the join).
+    The top-k window partitions by vec_id over candidates only.
+    Oracle-exact end to end: cells and candidates are integer
+    arithmetic, the cosine is the shared bit-identical fold.
+
+    ``_fit`` (vecs, cents) swaps in a caller-owned SINGLE-LEVEL Lloyd
+    fit — the SCALING harness uses it to measure the FIXED-k
+    counter-example; the caller keeps the fit cache's lifetime."""
+    from pyspark.sql.window import Window
+
+    from piper_spark.session import row_count
+
+    owns_fit = _fit is None
+    empty_schema = "vec_id long, nbr_id long, cos_sim double, rank long"
+    if owns_fit:
+        if row_count(spark, sf_dir, "embeddings") == 0:
+            return spark.createDataFrame([], empty_schema)
+        vecs, cells = ivf_cell_assignment(spark, sf_dir)
+    else:
+        vecs, cents = _fit
+        if not cents:
+            return spark.createDataFrame([], empty_schema)
+        k = len(cents)
+        cells = vecs.select(
+            "vec_id", (_km_kk_udf(cents)(F.col("xq")) % k).alias("cid")
+        )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    feat = (
+        cells.join(e, "vec_id")
+        .select("vec_id", "cid", "ed", l2_norm(F.col("ed")).alias("nrm"))
+        .persist(StorageLevel.DISK_ONLY)  # read twice by the self-join
+    )
+    a, b = feat.alias("a"), feat.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.ed"), F.col("b.ed"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        F.round(dot_ab / (F.col("a.nrm") * F.col("b.nrm")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("vec_id", "nbr_id", "cos_sim", F.col("rn").cast("long").alias("rank"))
+        .persist()
+    )
+    out.count()  # materialize, then release the internal caches
+    feat.unpersist()
+    if owns_fit:
+        vecs.unpersist()
+    return out
+
+
+def _two_level_oracle() -> str:
+    t = KMEANS_ITERS
+    return f"""{_V_CTE}{_fine_ctes()},
+tnp AS (SELECT GREATEST({NUM_PROBES}, (k + 1) // 2) AS np FROM tkn),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+qi AS (SELECT xq AS qx FROM v WHERE vec_id = 0),
+qd AS (SELECT ed AS qd FROM e WHERE vec_id = 0),
+pr AS (SELECT cid FROM (
+         SELECT fc.cid,
+                row_number() OVER (
+                  ORDER BY CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+                            i -> (qi.qx[i] - fc.c[i]) * (qi.qx[i] - fc.c[i])))
+                          AS BIGINT) * tkn.k + fc.cid) AS rn
+         FROM tc{t} fc, qi, tkn) r, tnp
+       WHERE r.rn <= tnp.np),
+lv AS (SELECT fc.cid1, fc.cid2,
+              CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+                   i -> (qi.qx[i] - fc.c[i]) * (qi.qx[i] - fc.c[i])))
+                 AS BIGINT) AS d2
+       FROM fc{FINE_ITERS} fc JOIN pr ON pr.cid = fc.cid1, qi),
+keep AS (SELECT cid1 * {FINE_K} + cid2 AS cid FROM (
+           SELECT cid1, cid2,
+                  row_number() OVER (ORDER BY d2, cid1, cid2) AS rn,
+                  count(*) OVER () AS cnt
+           FROM lv)
+         WHERE rn <= GREATEST(1, (cnt + 1) // 2)),
+cand AS (SELECT fl.vec_id FROM fleaves fl JOIN keep USING (cid)
+         WHERE fl.vec_id <> 0)
+SELECT e.vec_id,
+       round(list_sum(list_transform(e.ed, (x, i) -> x * qd.qd[i]))
+             / (sqrt(list_sum(list_transform(e.ed, x -> x * x)))
+                * sqrt(list_sum(list_transform(qd.qd, x -> x * x)))), 4)
+         AS cos_sim
+FROM e JOIN cand USING (vec_id), qd
+ORDER BY cos_sim DESC, vec_id
+LIMIT {10}
+"""
+
+
+@register("sim_ann_two_level", oracle=_two_level_oracle())
 def sim_ann_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level IVF approximate top-10 for the vec_id=0 query — the
     registered consumer of `two_level_fit`, i.e. the production shape
@@ -1930,9 +2402,18 @@ def sim_ann_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     same integer distance (a query-bounded ≤ probes·FINE_K fetch from
     the leaf RELATION — never the whole codebook), keep the nearest
     half of the leaves, and exact-cosine-rank only rows assigned to a
-    kept leaf. Rows-only by nature (the float Lloyd-refinement family,
-    like `sim_ann_ivf`) with the family's contract tests: recall@10
-    vs exact `sim_topk`, leaf-partition invariants, determinism.
+    kept leaf.
+
+    ORACLE-EXACT since round 13 (VERDICT item 2): the fine fit is
+    bit-deterministic integer Lloyd (per-cell lowest-vec_id seeds,
+    floor-division updates on the KM_OFFSET grid, argmin-first ties —
+    `_fine_lloyd`), so the unrolled per-cell CTE chain (`_fine_ctes`:
+    the `sim_ann_kmeans` move applied one level down, with the
+    fine rounds PARTITIONED BY cid1) reproduces cells, leaf ranking,
+    keep set, and candidates exactly; only the final cosine is float
+    (bit-identical folds, rounded at 4 — the `sim_topk` precedent).
+    The family's contract tests (recall@10 vs exact `sim_topk`,
+    leaf-partition invariants, determinism) remain.
 
     Scale: coarse assign is the bounded-closure matmul; the fine fit
     is ONE grouped Arrow pass; search touches only probed cells' rows

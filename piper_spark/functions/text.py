@@ -2476,7 +2476,10 @@ def text_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text_word_hash_udf()(F.col("text")).alias("hw")
     )
     # persist: the df aggregate AND the join-back read the same
-    # distinct (doc_id, g) relation (caller owns the lifetime).
+    # distinct (doc_id, g) relation; released below once the (narrow,
+    # 4-column) result is materialized — the sim_knn_join pattern
+    # (round-13 ADVICE 4: the caller never receives dg, so "caller owns
+    # the lifetime" was an orphan cache).
     dg = hwrel.select(
         "doc_id",
         F.explode(F.array_distinct(gram_hash_col(F.col("hw")))).alias("g"),
@@ -2496,7 +2499,7 @@ def text_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams") > 0,
         F.col("dup_grams").cast("double") / F.col("n_grams"),
     ).otherwise(F.lit(0.0))
-    return (
+    out = (
         docs.select("doc_id")
         .join(per, "doc_id", "left")
         .select(
@@ -2505,4 +2508,8 @@ def text_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
             F.round(frac, 4).alias("dup_frac"),
         )
+        .persist()
     )
+    out.count()  # materialize, then release the corpus-sized gram cache
+    dg.unpersist()
+    return out

@@ -71,7 +71,14 @@ def zscore_iter_udf(mean: float, std: float):
         m, s = mean, s_div
         for b in batches:
             # NULL value → NULL z (round-12 ADVICE 2: to_numpy turns
-            # None into NaN; the oracle's NULL arithmetic yields NULL)
+            # None into NaN; the oracle's NULL arithmetic yields NULL).
+            # NaN VALUES are OUT OF CONTRACT (round-13 ADVICE 2): isna()
+            # flags NaN like None, so a NaN value would z-score to NULL
+            # here while the DuckDB oracle ABORTS on CAST(NaN AS BIGINT)
+            # and Spark's own non-ANSI cast would quietly give v = 0 —
+            # there is no consistent cross-engine NaN story for the
+            # quantize step, so the events contract is "double or NULL,
+            # never NaN" (the fixture generator never emits NaN).
             mask = b.isna().to_numpy()
             v = np.floor(b.to_numpy(dtype=np.float64) * 100.0 + 0.5)
             vals = (v / 100.0 - m) / s
@@ -152,6 +159,18 @@ def event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     import math
 
+    if m["s1"] is None:
+        # Round-13 (ADVICE 1): count(*) counts rows, sum() skips NULLs —
+        # s1/s2 are NULL exactly when EVERY value is NULL. Each row's z
+        # is then NULL regardless of the moments (the UDF's NULL mask /
+        # the oracle's NULL arithmetic), so bind the degenerate model
+        # (mean 0, std 0 → the divide-by-1 branch) instead of crashing
+        # on int(None).
+        return e.select(
+            "event_id",
+            "value",
+            zscore_iter_udf(0.0, 0.0)(F.col("value")).alias("z"),
+        )
     s1, s2 = int(m["s1"]), int(m["s2"])
     mean = s1 / (100.0 * n)
     var = s2 / (10000.0 * n) - mean * mean

@@ -151,6 +151,11 @@ RISKY = [
     "join_asof_tol",
     "dedup_containment",
     "sim_ann_two_level",
+    # round-13: the uncapped IVF SemDeDup (empty fit → typed empty
+    # relation) and the ADC search (empty seed collect / missing
+    # query vector both short-circuit).
+    "dedup_semantic_ivf",
+    "sim_ann_pq",
 ]
 
 

@@ -1737,3 +1737,164 @@ def test_tar_roundtrip_property(payload, doc_id):
     assert b"".join(chunks) == payload
     assert all(len(c) == TAR_CHUNK for c in chunks[:-1])
     assert 1 <= len(chunks[-1]) <= TAR_CHUNK
+
+
+def test_two_level_leaf_assignment_matches_oracle_chain(spark):
+    """Round-13 (VERDICT item 1): the Spark leaf assignment the
+    switched consumers ride (`_assign_fine_cell` over the coarse
+    assignment) must match the unrolled fine CTE chain's `fleaves`
+    relation BIT-FOR-BIT — the exactness precondition for the
+    branched oracles of sim_knn_join / sim_ann_batch /
+    dedup_semantic_ivf above the switch."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from piper_spark.functions.similarity import (
+        _V_CTE,
+        _assign_fine_cell,
+        _fine_ctes,
+        _km_kk_udf,
+        _km_xq_col,
+        derived_coarse_k,
+        lloyd_centroids,
+    )
+    from piper_spark.session import row_count, table
+
+    vecs = (
+        table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", _km_xq_col().alias("xq"))
+        .persist()
+    )
+    n = vecs.count()
+    cents = lloyd_centroids(vecs, k=derived_coarse_k(n))
+    k1 = len(cents)
+    asg1 = vecs.select(
+        "vec_id", "xq", (_km_kk_udf(cents)(F.col("xq")) % k1).alias("cid1")
+    )
+    got = {
+        (r["vec_id"], r["cid"])
+        for r in asg1.groupBy("cid1")
+        .applyInPandas(_assign_fine_cell, "vec_id long, cid long")
+        .collect()
+    }
+    vecs.unpersist()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_SMOKE}/embeddings.parquet'"
+    )
+    want = {
+        (r[0], r[1])
+        for r in con.sql(
+            _V_CTE + _fine_ctes() + "\nSELECT vec_id, cid FROM fleaves"
+        ).fetchall()
+    }
+    con.close()
+    assert len(got) == n and got == want
+
+
+def test_clamped_consumers_switch_to_two_level(spark, monkeypatch):
+    """Round-13 (VERDICT item 1): past HIER_SWITCH_N, sim_knn_join and
+    sim_ann_batch must ride the two-level LEAF cells. Forcing the
+    switch at this corpus size must (a) execute the two-level branch
+    end to end, (b) keep the output contracts (per-vector <= KNN_K
+    dense-ranked neighbors; 10 rows per batch query), (c) stay
+    deterministic, and (d) keep batch recall against the single-level
+    answer (same corpus, finer cells — the probe sets overlap)."""
+    from piper_spark.functions import similarity as S
+
+    base_batch = {}
+    for r in S.sim_ann_batch(spark, SF_SMOKE).collect():
+        base_batch.setdefault(r.qid, set()).add(r.vec_id)
+
+    monkeypatch.setattr(S, "HIER_SWITCH_N", 0)
+    knn = S.sim_knn_join(spark, SF_SMOKE).collect()
+    per = {}
+    for r in knn:
+        per.setdefault(r.vec_id, []).append((r.rank, r.nbr_id, r.cos_sim))
+    assert per, "two-level knn returned nothing"
+    for vid, rows in per.items():
+        ranks = sorted(rank for rank, _, _ in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= S.KNN_K
+        assert all(-1.0001 <= cs <= 1.0001 for _, _, cs in rows)
+    knn2 = S.sim_knn_join(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, knn)) == sorted(map(tuple, knn2))
+
+    got_batch = {}
+    for r in S.sim_ann_batch(spark, SF_SMOKE).collect():
+        got_batch.setdefault(r.qid, set()).add(r.vec_id)
+    assert set(got_batch) == set(base_batch)
+    assert all(len(v) == 10 for v in got_batch.values())
+    mean_overlap = sum(
+        len(got_batch[q] & base_batch[q]) / 10 for q in base_batch
+    ) / len(base_batch)
+    assert mean_overlap >= 0.5
+
+    sem = S2 = None
+    from piper_spark.functions.dedup import dedup_semantic_ivf
+
+    sem = dedup_semantic_ivf(spark, SF_SMOKE)
+    rows = sem.collect()
+    sem.unpersist()
+    # leaf-scoped SemDeDup: drops reference a lower-id partner
+    assert all(r.dup_of < r.vec_id for r in rows)
+
+
+def test_sim_ann_pq_adc_self_consistency(spark):
+    """Round-13: the ADC distances must equal a driver-side
+    recomputation from the embed_pq codes and the query LUT (the
+    asymmetric-distance definition), ascending with vec_id ties."""
+    from piper_spark.functions.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        embed_pq,
+        sim_ann_pq,
+    )
+    from piper_spark.session import table
+    from pyspark.sql import functions as F
+
+    out = sim_ann_pq(spark, SF_SMOKE).collect()
+    assert len(out) == 10
+    dists = [r.adc_dist2 for r in out]
+    assert dists == sorted(dists)
+
+    vecs = {
+        r.vec_id: [int(v) for v in r.xq]
+        for r in table(spark, SF_SMOKE, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * 1_000_000.0 + F.lit(0.5)
+                ).cast("long"),
+            ).alias("xq"),
+        )
+        .collect()
+    }
+    seeds = [vecs[i] for i in sorted(vecs)[:PQ_K]]
+    books = [
+        [s[m * PQ_SUB : (m + 1) * PQ_SUB] for s in seeds] for m in range(PQ_M)
+    ]
+    qx = vecs[0]
+    lut = [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qx[m * PQ_SUB : (m + 1) * PQ_SUB], c)
+            )
+            for c in books[m]
+        ]
+        for m in range(PQ_M)
+    ]
+    codes = {
+        r.vec_id: [
+            (r.codes_packed // PQ_K**m) % PQ_K for m in range(PQ_M)
+        ]
+        for r in embed_pq(spark, SF_SMOKE).collect()
+    }
+    for r in out:
+        want = sum(lut[m][codes[r.vec_id][m]] for m in range(PQ_M))
+        assert r.adc_dist2 == want
