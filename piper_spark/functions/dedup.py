@@ -1043,7 +1043,10 @@ def near_dup_signature_stage(
 
 
 def near_dup_spine(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: StorageLevel = StorageLevel.DISK_ONLY,
 ) -> dict[str, DataFrame]:
     """All four near-dup signature relations off ONE shared persisted
     stage: ``{"stage", "minhash_sigs", "simhash_sigs",
@@ -1058,12 +1061,17 @@ def near_dup_spine(
     order-insensitive). Caller owns the stage's persist lifetime —
     unpersist ``out["stage"]`` after the consuming actions. Measured in
     SCALING.md ("shared signature stage") against running the four
-    standalone operators, at 1×/10×/100×."""
+    standalone operators, at 1×/10×/100×. ``level`` picks the persist
+    tier — round-13 (VERDICT item 6) measured DISK_ONLY vs
+    MEMORY_AND_DISK at the 500k-doc corpus WITHIN NOISE of each other
+    (~13.4s vs ~13.7s medians), so the round-12 100× spine share is
+    the hash pass + stage scan itself, inherent to corpus size, not
+    the disk round-trip; DISK_ONLY stays the default (no executor
+    memory held across the consuming jobs) and the written stage
+    TABLE remains the production shape past single-job scale."""
     from piper_spark.functions.text import gram_hash_col, winnow_fps_from_grams
 
-    stage = near_dup_signature_stage(docs, id_col, text_col).persist(
-        StorageLevel.DISK_ONLY
-    )
+    stage = near_dup_signature_stage(docs, id_col, text_col).persist(level)
     grams = stage.select(id_col, gram_hash_col(F.col("hw")).alias("grams"))
     wh = stage.select(id_col, F.explode("dwh").alias("wh"))
     return {

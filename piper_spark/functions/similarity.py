@@ -421,7 +421,7 @@ def sim_ann_ivf(
 ) -> DataFrame:
     """IVF approximate top-10 for the vec_id=0 query, probing
     derived_probes(NUM_CENTROIDS) = half of the 8 sample-trained cells
-    (the measured >= 0.8 recall operating point — see `derived_probes`).
+    (the staircase's sub-782 stair — see `derived_probes`).
 
     Codebook = k-means fit by `train_codebook` (driver-side numpy Lloyd,
     deterministic init/tie-breaks) on a DETERMINISTIC SAMPLE
@@ -970,17 +970,56 @@ def derived_kmeans_k(n: int) -> int:
     return min(KMEANS_K_MAX, max(KMEANS_K, want))
 
 
+#: The measured stair edges of the per-k recall model (round-13
+#: VERDICT item 4): held-out mean recall@10 on the isotropic corpora
+#: at scan fractions {1/8, 1/4, 1/2}, by fitted cell count —
+#:
+#:     k = 32   (1×,   2k vecs):  0.600   0.733   0.800
+#:     k = 782  (10×,  50k vecs): 0.698   0.863   0.965
+#:     k = 4096 (100×, 500k):     0.853   0.947   0.991
+#:
+#: Recall at a FIXED fraction rises monotonically with k (finer cells
+#: localize the true neighbors better), so the smallest fraction
+#: measured ≥ 0.8 at a stair's LEFT EDGE holds with at least that
+#: margin across the stair. SCALING.md ("per-k recall model") carries
+#: the curves; the stair edges ARE the measured k values, not round
+#: numbers.
+PROBE_STAIR_QUARTER, PROBE_STAIR_EIGHTH = 782, 4096
+
+
 def derived_probes(k: int) -> int:
-    """Probe width for the registered IVF defaults: ceil(k / 2),
-    floored at NUM_PROBES. The held-out operating curve (SCALING.md,
-    "ANN operating curve") measured recall@10 = 0.553 at a 1/4 scan
-    fraction and 0.808 at 1/2 on this ISOTROPIC synthetic corpus —
-    random embeddings are IVF's worst case (cell populations are
-    near-uniform and query-to-centroid distance is weakly informative),
-    so the stated ≥ 0.8 recall target needs the 1/2 fraction. On real
-    clustered data the same rule is conservative; callers with cluster
-    structure pass a smaller explicit ``n_probes``."""
-    return max(NUM_PROBES, (k + 1) // 2)
+    """Probe width for the registered IVF defaults — the smallest
+    measured scan fraction meeting the stated ≥ 0.8 mean recall@10
+    target at the stair's left edge (see PROBE_STAIR_*): ceil(k/2)
+    below k=782 (measured 0.800 at k=32), ceil(k/4) from 782
+    (measured 0.863), ceil(k/8) from 4096 (measured 0.853); floored
+    at NUM_PROBES. Round-13 replaces the flat ceil(k/2) — which
+    scanned HALF of a 100 TB index exactly where fine cells make wide
+    probing least necessary — with the fitted staircase; the oracles
+    derive the identical width in SQL (`_np_sql`). Isotropic random
+    embeddings are IVF's worst case (near-uniform cells, weakly
+    informative centroid distances), so on clustered real data the
+    staircase is conservative; callers with known structure pass a
+    smaller explicit ``n_probes``."""
+    if k >= PROBE_STAIR_EIGHTH:
+        want = (k + 7) // 8
+    elif k >= PROBE_STAIR_QUARTER:
+        want = (k + 3) // 4
+    else:
+        want = (k + 1) // 2
+    return max(NUM_PROBES, want)
+
+
+def _np_sql(kn: str) -> str:
+    """`derived_probes` as SQL over a 1-row (k) relation — the shared
+    derivation every ANN oracle mirrors (kn for the single-level
+    chain, tkn for the two-level coarse chain)."""
+    return (
+        f"SELECT GREATEST({NUM_PROBES}, CASE"
+        f" WHEN k >= {PROBE_STAIR_EIGHTH} THEN (k + 7) // 8"
+        f" WHEN k >= {PROBE_STAIR_QUARTER} THEN (k + 3) // 4"
+        f" ELSE (k + 1) // 2 END) AS np FROM {kn}"
+    )
 
 
 def _km_xq_col() -> Column:
@@ -1535,7 +1574,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Derived probe width as SQL — mirrors `derived_probes` off kn's
 #: ACTUAL seed count, shared by every ANN oracle on the kmeans chain.
-_NP_CTE = f"np AS (SELECT GREATEST({NUM_PROBES}, (k + 1) // 2) AS np FROM kn)"
+_NP_CTE = f"np AS ({_np_sql('kn')})"
 
 
 def _ann_kmeans_oracle() -> str:
@@ -1581,10 +1620,11 @@ def sim_ann_kmeans(
     ranking is float — bit-identical folds in both engines, the
     `sim_topk` precedent).  Cell count k is corpus-size-derived
     (`derived_kmeans_k`), and the default probe width is
-    ``derived_probes(k)`` = ceil(k/2) floored at NUM_PROBES — the
-    operating point the held-out curve puts at the stated >= 0.8
-    recall@10 target on this isotropic corpus (see `derived_probes`;
-    the oracle derives the identical width in SQL).  Probes = the
+    ``derived_probes(k)`` — the measured per-k recall staircase
+    (ceil(k/2) / ceil(k/4) / ceil(k/8) at the PROBE_STAIR edges), the
+    smallest scan fraction meeting the stated >= 0.8 recall@10 target
+    on this isotropic corpus (see `derived_probes`; the oracle derives
+    the identical width in SQL).  Probes = the
     ``n_probes`` cells nearest the vec_id=0 query by the same
     kk = dist²·k + cid order the assignment uses.
 
@@ -1993,7 +2033,7 @@ def _ann_batch_oracle() -> str:
 {_fine_ctes()},
 {_LVL_CTE},
 {_NP_CTE},
-tnp AS (SELECT GREATEST({NUM_PROBES}, (k + 1) // 2) AS np FROM tkn),
+tnp AS ({_np_sql('tkn')}),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
 q AS MATERIALIZED (
       SELECT vec_id AS qid, xq AS qx FROM v
@@ -2074,7 +2114,10 @@ WHERE rn <= 10
 
 @register("sim_ann_batch", oracle=_ann_batch_oracle())
 def sim_ann_batch(
-    spark: SparkSession, sf_dir: str, n_probes: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int | None = None,
+    _fit=None,
 ) -> DataFrame:
     """BATCHED multi-query IVF top-10 — the production search shape
     (`sim_topk`/`sim_ann_kmeans` serve ONE query; a retrieval or
@@ -2119,13 +2162,18 @@ def sim_ann_batch(
     n = row_count(spark, sf_dir, "embeddings")
     if n == 0:
         return spark.createDataFrame([], empty_schema)
+    # ``_fit`` swaps in a caller-owned fit (the SCALING build/search
+    # split): (vecs, cents) below the switch, (vecs, cents, fine_cb)
+    # above it; the caller keeps the fit caches' lifetimes.
+    owns_fit = _fit is None
     two_level = n > HIER_SWITCH_N
     if two_level:
-        vecs, cents, fine_cb = two_level_fit(spark, sf_dir)
+        vecs, cents, fine_cb = two_level_fit(spark, sf_dir) if owns_fit else _fit
     else:
-        vecs, cents = _km_fit(spark, sf_dir)
+        vecs, cents = _km_fit(spark, sf_dir) if owns_fit else _fit
     if not cents:
-        vecs.unpersist()
+        if owns_fit:
+            vecs.unpersist()
         return spark.createDataFrame([], empty_schema)
     k = len(cents)
     if n_probes is None:
@@ -2138,7 +2186,8 @@ def sim_ann_batch(
         .collect()  # bounded: ≤ ANN_BATCH_MAX query vectors
     )
     if not q_rows:
-        vecs.unpersist()
+        if owns_fit:
+            vecs.unpersist()
         return spark.createDataFrame([], empty_schema)
 
     def probes_of(xq: list) -> list[int]:
@@ -2224,7 +2273,8 @@ def sim_ann_batch(
         .persist()
     )
     out.count()  # materialize before releasing the quantized cache
-    vecs.unpersist()
+    if owns_fit:
+        vecs.unpersist()
     return out
 
 
@@ -2261,6 +2311,7 @@ def sim_knn_join(
     spark: SparkSession,
     sf_dir: str,
     _fit: "tuple[DataFrame, list[list[int]]] | None" = None,
+    _cells: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """k-NN SELF-JOIN over the whole corpus — every vector's KNN_K
     nearest same-cell neighbors: the candidate-generation primitive
@@ -2300,9 +2351,13 @@ def sim_knn_join(
 
     from piper_spark.session import row_count
 
-    owns_fit = _fit is None
+    owns_fit = _fit is None and _cells is None
     empty_schema = "vec_id long, nbr_id long, cos_sim double, rank long"
-    if owns_fit:
+    if _cells is not None:
+        # caller-owned (vecs, cells) from ivf_cell_assignment — the
+        # SCALING build/search split's pre-built index path.
+        vecs, cells = _cells
+    elif owns_fit:
         if row_count(spark, sf_dir, "embeddings") == 0:
             return spark.createDataFrame([], empty_schema)
         vecs, cells = ivf_cell_assignment(spark, sf_dir)
@@ -2356,7 +2411,7 @@ def sim_knn_join(
 def _two_level_oracle() -> str:
     t = KMEANS_ITERS
     return f"""{_V_CTE}{_fine_ctes()},
-tnp AS (SELECT GREATEST({NUM_PROBES}, (k + 1) // 2) AS np FROM tkn),
+tnp AS ({_np_sql('tkn')}),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
 qi AS (SELECT xq AS qx FROM v WHERE vec_id = 0),
 qd AS (SELECT ed AS qd FROM e WHERE vec_id = 0),

@@ -623,8 +623,10 @@ def test_derived_cell_counts_scale_with_corpus():
     """Round-12 (VERDICT item 1): the Lloyd/SemDeDup cell counts must
     DERIVE from corpus size — k tracks n at a fixed target cell size
     (so cell-sharded pair work is n·CELL_TARGET, linear), clamped at
-    both ends; probe width derives as ceil(k/2) (the measured ≥0.8
-    recall operating point), floored at NUM_PROBES."""
+    both ends; probe width derives from the MEASURED per-k recall
+    staircase (round-13: ceil(k/2) / ceil(k/4) / ceil(k/8) at the
+    782 / 4096 stair edges — each the smallest fraction measured
+    ≥ 0.8 recall at the edge), floored at NUM_PROBES."""
     from piper_spark.functions.dedup import (
         SEMDEDUP_K,
         derived_semdedup_k,
@@ -648,6 +650,10 @@ def test_derived_cell_counts_scale_with_corpus():
     assert derived_probes(1) == NUM_PROBES
     assert derived_probes(8) == 4
     assert derived_probes(32) == 16
+    # round-13 staircase: stairs sit AT the measured certification ks
+    assert derived_probes(781) == 391 and derived_probes(782) == 196
+    assert derived_probes(4095) == 1024 and derived_probes(4096) == 512
+    assert derived_probes(10**6) == 125_000  # 1/8 persists past the edge
     assert derived_semdedup_k(500) == SEMDEDUP_K
     assert derived_semdedup_k(1200) == 19
 
@@ -673,9 +679,12 @@ def test_derivation_formulas_agree_cross_engine():
         ).fetchone()[0]
         assert sql_k == derived_kmeans_k(n), n
         # np CTE derives off the ACTUAL seed count k (kn), 1 <= kn <= kd
-        for k in (1, 2, 8, 32, sql_k):
+        for k in (1, 2, 8, 32, 781, 782, 4095, 4096, 100_000, sql_k):
             sql_np = con.execute(
-                f"SELECT GREATEST(2, ({k} + 1) // 2)"
+                f"SELECT GREATEST(2, CASE"
+                f" WHEN {k} >= 4096 THEN ({k} + 7) // 8"
+                f" WHEN {k} >= 782 THEN ({k} + 3) // 4"
+                f" ELSE ({k} + 1) // 2 END)"
             ).fetchone()[0]
             assert sql_np == derived_probes(k), (n, k)
         sql_sem = con.execute(
