@@ -2408,6 +2408,72 @@ def sim_knn_join(
     return out
 
 
+def _two_level_query_candidates(
+    vecs: DataFrame,
+    cents: "list[list[int]]",
+    fine_cb: DataFrame,
+    qx_list: "list[int]",
+) -> "DataFrame | None":
+    """The hierarchical single-query candidate set shared by
+    `sim_ann_two_level` (cosine ranking) and `sim_ivf_pq`'s two-level
+    branch (ADC ranking): probe `derived_probes(k1)` coarse cells by
+    the kk order, rank the probed cells' leaves by the same integer
+    distance (a query-bounded ≤ probes·FINE_K fetch from the leaf
+    RELATION), keep the nearest half, and return the (vec_id) relation
+    of non-query rows assigned to a kept leaf — or None when the
+    probed cells hold no leaves (degenerate corpora)."""
+    import numpy as np
+
+    k1 = len(cents)
+    qx = np.array(qx_list, dtype=np.int64)
+    C1 = np.array(cents, dtype=np.float64)
+    d1 = ((qx[None, :] - C1) ** 2).sum(axis=1).astype(np.int64)
+    order = np.argsort(d1 * k1 + np.arange(k1))
+    probes = [int(c) for c in order[: derived_probes(k1)]]
+
+    leaves = fine_cb.filter(F.col("cid1").isin(probes)).collect()
+    if not leaves:
+        return None
+    # rank leaves by the same kk discipline; keep the nearest half
+    scored = sorted(
+        (
+            int(
+                ((qx.astype(np.float64) - np.array(r["fc"], dtype=np.float64)) ** 2).sum()
+            )
+            * (k1 * FINE_K)
+            + int(r["cid1"]) * FINE_K
+            + int(r["cid2"]),
+            int(r["cid1"]),
+            int(r["cid2"]),
+        )
+        for r in leaves
+    )
+    keep = scored[: max(1, (len(scored) + 1) // 2)]
+    kept_codes = [c1 * FINE_K + c2 for _, c1, c2 in keep]
+    cells = {}
+    for r in leaves:
+        cells.setdefault(int(r["cid1"]), []).append(r)
+    closure = {
+        c: (
+            np.array([x["fc"] for x in sorted(rs, key=lambda x: x["cid2"])], dtype=np.float64),
+            np.array([x["cid2"] for x in sorted(rs, key=lambda x: x["cid2"])], dtype=np.int64),
+        )
+        for c, rs in cells.items()
+    }
+    asg = vecs.select(
+        "vec_id", "xq", (_km_kk_udf(cents)(F.col("xq")) % k1).alias("cid1")
+    ).filter(F.col("cid1").isin(probes) & (F.col("vec_id") != 0))
+    return (
+        asg.withColumn(
+            "leaf",
+            F.col("cid1") * FINE_K
+            + _fine_code_udf(closure)(F.col("cid1"), F.col("xq")),
+        )
+        .filter(F.col("leaf").isin(kept_codes))
+        .select("vec_id")
+    )
+
+
 def _two_level_oracle() -> str:
     t = KMEANS_ITERS
     return f"""{_V_CTE}{_fine_ctes()},
@@ -2482,59 +2548,16 @@ def sim_ann_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cents:
         vecs.unpersist()
         return spark.createDataFrame([], empty_schema)
-    k1 = len(cents)
     q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
     if q_row is None:
         vecs.unpersist()
         return spark.createDataFrame([], empty_schema)
-    qx = np.array([int(v) for v in q_row["xq"]], dtype=np.int64)
-    C1 = np.array(cents, dtype=np.float64)
-    d1 = ((qx[None, :] - C1) ** 2).sum(axis=1).astype(np.int64)
-    order = np.argsort(d1 * k1 + np.arange(k1))
-    probes = [int(c) for c in order[: derived_probes(k1)]]
-
-    leaves = fine_cb.filter(F.col("cid1").isin(probes)).collect()
-    if not leaves:
+    cand = _two_level_query_candidates(
+        vecs, cents, fine_cb, [int(v) for v in q_row["xq"]]
+    )
+    if cand is None:
         vecs.unpersist()
         return spark.createDataFrame([], empty_schema)
-    # rank leaves by the same kk discipline; keep the nearest half
-    scored = sorted(
-        (
-            int(
-                ((qx.astype(np.float64) - np.array(r["fc"], dtype=np.float64)) ** 2).sum()
-            )
-            * (k1 * FINE_K)
-            + int(r["cid1"]) * FINE_K
-            + int(r["cid2"]),
-            int(r["cid1"]),
-            int(r["cid2"]),
-        )
-        for r in leaves
-    )
-    keep = scored[: max(1, (len(scored) + 1) // 2)]
-    kept_codes = [c1 * FINE_K + c2 for _, c1, c2 in keep]
-    cells = {}
-    for r in leaves:
-        cells.setdefault(int(r["cid1"]), []).append(r)
-    closure = {
-        c: (
-            np.array([x["fc"] for x in sorted(rs, key=lambda x: x["cid2"])], dtype=np.float64),
-            np.array([x["cid2"] for x in sorted(rs, key=lambda x: x["cid2"])], dtype=np.int64),
-        )
-        for c, rs in cells.items()
-    }
-    asg = vecs.select(
-        "vec_id", "xq", (_km_kk_udf(cents)(F.col("xq")) % k1).alias("cid1")
-    ).filter(F.col("cid1").isin(probes) & (F.col("vec_id") != 0))
-    cand = (
-        asg.withColumn(
-            "leaf",
-            F.col("cid1") * FINE_K
-            + _fine_code_udf(closure)(F.col("cid1"), F.col("xq")),
-        )
-        .filter(F.col("leaf").isin(kept_codes))
-        .select("vec_id")
-    )
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ed")
     )
@@ -2547,6 +2570,207 @@ def sim_ann_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("ed"), F.col("qd")), 4).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .persist()
+    )
+    out.count()  # materialize, then release the quantized cache
+    vecs.unpersist()
+    return out
+
+
+def _ivf_pq_oracle() -> str:
+    t = KMEANS_ITERS
+    return f"""{_kmeans_ctes()},
+{_fine_ctes()},
+{_LVL_CTE},
+{_NP_CTE},
+tnp AS ({_np_sql("tkn")}),
+vr AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xr
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+         xr AS c
+  FROM (SELECT vec_id, xr FROM vr ORDER BY vec_id LIMIT {PQ_K})
+),
+pkn AS (SELECT count(*) AS k FROM seeds),
+pasg AS (
+  SELECT v.vec_id, m.m,
+         min(CAST(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (v.xr[{PQ_SUB} * m.m + i] - s.c[{PQ_SUB} * m.m + i])
+                    * (v.xr[{PQ_SUB} * m.m + i] - s.c[{PQ_SUB} * m.m + i])))
+             AS BIGINT) * pkn.k + s.code) AS kk
+  FROM vr v, seeds s, pkn, range(0, {PQ_M}) m(m)
+  GROUP BY v.vec_id, m.m
+),
+qi AS (SELECT xq AS qx FROM v WHERE vec_id = 0),
+qr AS (SELECT xr AS qx FROM vr WHERE vec_id = 0),
+lut AS (
+  SELECT m.m, s.code,
+         CAST(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+              i -> (qr.qx[{PQ_SUB} * m.m + i] - s.c[{PQ_SUB} * m.m + i])
+                   * (qr.qx[{PQ_SUB} * m.m + i] - s.c[{PQ_SUB} * m.m + i])))
+            AS BIGINT) AS d2
+  FROM seeds s, qr, range(0, {PQ_M}) m(m)
+),
+pr AS (SELECT cid FROM (
+         SELECT fc.cid,
+                row_number() OVER (
+                  ORDER BY CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+                            i -> (qi.qx[i] - fc.c[i]) * (qi.qx[i] - fc.c[i])))
+                          AS BIGINT) * kn.k + fc.cid) AS rn
+         FROM c{t} fc, qi, kn) r, np
+       WHERE r.rn <= np.np),
+pr2 AS (SELECT cid FROM (
+          SELECT fc.cid,
+                 row_number() OVER (
+                   ORDER BY CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+                             i -> (qi.qx[i] - fc.c[i]) * (qi.qx[i] - fc.c[i])))
+                           AS BIGINT) * tkn.k + fc.cid) AS rn
+          FROM tc{t} fc, qi, tkn) r, tnp
+        WHERE r.rn <= tnp.np),
+lv2 AS (SELECT fc.cid1, fc.cid2,
+               CAST(list_sum(list_transform(range(1, {KM_DIMS + 1}),
+                    i -> (qi.qx[i] - fc.c[i]) * (qi.qx[i] - fc.c[i])))
+                  AS BIGINT) AS d2
+        FROM fc{FINE_ITERS} fc JOIN pr2 ON pr2.cid = fc.cid1, qi),
+keep2 AS (SELECT cid1 * {FINE_K} + cid2 AS cid FROM (
+            SELECT cid1, cid2,
+                   row_number() OVER (ORDER BY d2, cid1, cid2) AS rn,
+                   count(*) OVER () AS cnt
+            FROM lv2)
+          WHERE rn <= GREATEST(1, (cnt + 1) // 2)),
+cand AS (
+  SELECT a.vec_id FROM a{t} a, kn, lvl
+  WHERE a.kk % kn.k IN (SELECT cid FROM pr) AND a.vec_id <> 0
+    AND NOT lvl.two
+  UNION ALL
+  SELECT fl.vec_id FROM fleaves fl, keep2 k2, lvl
+  WHERE fl.cid = k2.cid AND fl.vec_id <> 0 AND lvl.two
+)
+SELECT p.vec_id, CAST(sum(lut.d2) AS BIGINT) AS adc_dist2
+FROM pasg p
+JOIN cand USING (vec_id)
+JOIN lut ON lut.m = p.m AND lut.code = p.kk % (SELECT k FROM pkn)
+GROUP BY p.vec_id
+ORDER BY adc_dist2, p.vec_id
+LIMIT {10}
+"""
+
+
+@register("sim_ivf_pq", oracle=_ivf_pq_oracle())
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ combined — the FAISS `IVFPQ` serving shape (Jégou et
+    al. 2011 §V), completing the production ANN stack: the coarse
+    stage prunes (probe ``derived_probes(k)`` nearest cells of the
+    corpus-size-derived Lloyd fit — on a cluster-bucketed layout,
+    directory pruning), and the fine stage ranks ONLY probed-cell
+    candidates by the ADC lookup-table distance over their 24-bit PQ
+    codes — the scan that reaches the ranking never touches a raw
+    vector: per row it reads a cell id and {PQ_M} codes, the
+    100 TB memory-bandwidth shape (`sim_ann_kmeans` ranks probed
+    candidates by exact cosine over raw vectors; `sim_ann_pq` ADC-
+    ranks the WHOLE corpus; this key composes prune × compress).
+
+    Fully INTEGER end to end — cells, probe order, candidates
+    (the `sim_ann_kmeans` discipline on the shared kk arithmetic),
+    PQ codes, LUT, and the summed ADC distance — so every surfaced
+    column hash-matches the oracle bit-for-bit; ties rank by vec_id
+    in both engines. Cells ride the KM_OFFSET grid, PQ codes the raw
+    10⁶ grid (distances are shift-invariant, so the two fits compose
+    without re-quantization).
+
+    Scale: one Lloyd fit + the one-pass PQ assign (both map-side
+    after the bounded model collects), a `cluster IN probes` filter,
+    and a LUT projection + global top-10 over probed rows only.
+    Past HIER_SWITCH_N the COARSE stage switches to the two-level fit
+    (the `ivf_cell_assignment` rule): candidates come from
+    `_two_level_query_candidates` (probe coarse, keep-half leaves —
+    the `sim_ann_two_level` set) and the ADC ranking is unchanged;
+    the oracle branches on the identical count (pr2/lv2/keep2 +
+    the gated cand union), value-exact on both sides."""
+    from piper_spark.session import row_count
+
+    empty_schema = "vec_id long, adc_dist2 long"
+    n = row_count(spark, sf_dir, "embeddings")
+    if n == 0:
+        return spark.createDataFrame([], empty_schema)
+    two_level = n > HIER_SWITCH_N
+    if two_level:
+        vecs, cents, fine_cb = two_level_fit(spark, sf_dir)
+    else:
+        vecs, cents = _km_fit(spark, sf_dir)
+    if not cents:
+        vecs.unpersist()
+        return spark.createDataFrame([], empty_schema)
+    k = len(cents)
+    q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
+    if q_row is None:
+        vecs.unpersist()
+        return spark.createDataFrame([], empty_schema)
+    qx = [int(v) for v in q_row["xq"]]
+
+    if two_level:
+        cand = _two_level_query_candidates(vecs, cents, fine_cb, qx)
+        if cand is None:
+            vecs.unpersist()
+            return spark.createDataFrame([], empty_schema)
+    else:
+
+        def d2c(c: list[int]) -> int:
+            return sum((a - b) * (a - b) for a, b in zip(qx, c))
+
+        probes = [
+            j
+            for j, _ in sorted(
+                enumerate(cents), key=lambda t: d2c(t[1]) * k + t[0]
+            )[: derived_probes(k)]
+        ]
+        cand = vecs.select(
+            "vec_id", (_km_kk_udf(cents)(F.col("xq")) % k).alias("cluster")
+        ).filter(F.col("cluster").isin(probes) & (F.col("vec_id") != 0))
+    vr = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1_000_000.0 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("xq"),
+    )
+    seed_rows = vr.orderBy("vec_id").limit(PQ_K).collect()
+    seeds = [[int(v) for v in r["xq"]] for r in seed_rows]
+    qraw = [v - KM_OFFSET for v in qx]  # shift back to the raw grid
+    codebooks = [
+        [s[m * PQ_SUB : (m + 1) * PQ_SUB] for s in seeds] for m in range(PQ_M)
+    ]
+    pk = len(codebooks[0])
+    lut = [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qraw[m * PQ_SUB : (m + 1) * PQ_SUB], c)
+            )
+            for c in codebooks[m]
+        ]
+        for m in range(PQ_M)
+    ]
+    kk_cols = [
+        F.expr(_pq_kk_sql(m, codebooks[m])).alias(f"kk{m}") for m in range(PQ_M)
+    ]
+    adc = " + ".join(
+        f"element_at(array({', '.join(f'{d}L' for d in lut[m])}), "
+        f"CAST(kk{m} % {pk}L AS INT) + 1)"
+        for m in range(PQ_M)
+    )
+    out = (
+        vr.join(cand.select("vec_id"), "vec_id")
+        .select("vec_id", *kk_cols)
+        .select("vec_id", F.expr(adc).cast("long").alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
         .limit(10)
         .persist()
     )

@@ -156,6 +156,7 @@ RISKY = [
     # query vector both short-circuit).
     "dedup_semantic_ivf",
     "sim_ann_pq",
+    "sim_ivf_pq",
 ]
 
 

@@ -1898,3 +1898,56 @@ def test_sim_ann_pq_adc_self_consistency(spark):
     for r in out:
         want = sum(lut[m][codes[r.vec_id][m]] for m in range(PQ_M))
         assert r.adc_dist2 == want
+
+
+def test_sim_ivf_pq_two_level_branch(spark, monkeypatch):
+    """Round-13: past HIER_SWITCH_N the IVFPQ coarse stage must ride
+    the two-level candidates; forcing the switch must execute that
+    branch end to end with the ADC values unchanged for vectors in
+    both candidate sets (same codes, same LUT)."""
+    from piper_spark.functions import similarity as S
+
+    base = {r.vec_id: r.adc_dist2 for r in S.sim_ivf_pq(spark, SF_SMOKE).collect()}
+    monkeypatch.setattr(S, "HIER_SWITCH_N", 0)
+    two = S.sim_ivf_pq(spark, SF_SMOKE).collect()
+    assert len(two) == 10
+    d = [r.adc_dist2 for r in two]
+    assert d == sorted(d)
+    for r in two:
+        if r.vec_id in base:
+            assert r.adc_dist2 == base[r.vec_id]
+
+
+def test_sim_ivf_pq_composes_prune_and_adc(spark):
+    """Round-13: the IVFPQ key must (a) return only vectors assigned
+    to the query's probed coarse cells (the prune contract), and
+    (b) rank them by exactly the ADC distances sim_ann_pq's LUT
+    defines (the compress contract) — i.e. its result equals the
+    full-corpus ADC ranking RESTRICTED to probed-cell members."""
+    from piper_spark.functions.similarity import (
+        cluster_kmeans,
+        derived_kmeans_k,
+        derived_probes,
+        sim_ann_pq,
+        sim_ivf_pq,
+    )
+    from piper_spark.session import row_count
+
+    out = sim_ivf_pq(spark, SF_SMOKE).collect()
+    assert len(out) == 10
+    dists = [r.adc_dist2 for r in out]
+    assert dists == sorted(dists)
+
+    clusters = {
+        r.vec_id: r.cluster for r in cluster_kmeans(spark, SF_SMOKE).collect()
+    }
+    probed = {clusters[r.vec_id] for r in out}
+    k = derived_kmeans_k(row_count(spark, SF_SMOKE, "embeddings"))
+    assert len(probed) <= derived_probes(k)
+
+    # every ADC distance agrees with the full-corpus ADC key's value
+    # for the same vec_id (same codes, same LUT)
+    full = {r.vec_id: r.adc_dist2 for r in sim_ann_pq(spark, SF_SMOKE).collect()}
+    for r in out:
+        if r.vec_id in full:
+            assert r.adc_dist2 == full[r.vec_id]
