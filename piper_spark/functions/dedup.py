@@ -2035,22 +2035,24 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the FULL corpus on the DISTRIBUTED IVF cells —
     the production-scale sibling of `dedup_semantic` (round-13 VERDICT
     item 1): clusters come from `ivf_cell_assignment` (the
-    corpus-size-derived Lloyd fit, switching to `two_level_fit`'s LEAF
-    cells past the single-level clamp at HIER_SWITCH_N vectors), so
+    corpus-size-derived Lloyd fit, switching to the HIERARCHICAL leaf
+    cells past the single-level clamp at HIER_SWITCH_N vectors —
+    recursive depth `derived_fine_depth(n)` since round 14), so
     within-cluster pair work stays n · KM_CELL_TARGET at ANY corpus
     size — no SEMDEDUP_CAP, no pinned seeds, no driver-side k·dims
     closure past the coarse level. The τ-gate, drop rule (lowest-id
     cluster-mate within cosine τ wins), and output shape are
     `semantic_drop_decisions`, shared with the registered capped key.
 
-    ORACLE-EXACT on both sides of the switch: cells are integer
+    ORACLE-EXACT on every side of every switch: cells are integer
     arithmetic mirrored by `_branched_cells_ctes` (single-level a{{T}}
-    assignment below the clamp, the unrolled two-level fa{{T}} leaf
-    chain above it), and the float cosines only gate — every surfaced
-    column is an integer (the `dedup_semantic` discipline).
+    assignment below the clamp, the unrolled depth-1/depth-2 leaf
+    chains above it, gated on the same corpus count), and the float
+    cosines only gate — every surfaced column is an integer (the
+    `dedup_semantic` discipline).
 
-    Scale shape: one Lloyd fit (bounded partial-agg shuffles) + at
-    most one grouped Arrow pass for the fine level; the pair stage
+    Scale shape: one Lloyd fit (bounded partial-agg shuffles) + one
+    grouped Arrow pass per fine level; the pair stage
     shuffles on the cell id only, each cell's work bounded at
     |cell|² ≈ KM_CELL_TARGET² by construction. Cites
     reference src/piper/loader.rs:21-45 (the ref's only clustering)

@@ -74,9 +74,27 @@ def plan_truncate(df: DataFrame) -> DataFrame:
     flavors return a LogicalRDD-rooted DataFrame, so every caller's
     plan-size bound is identical; reliable-checkpoint data is cleaned
     by the ContextCleaner when `spark.cleaner.referenceTracking.
-    cleanCheckpoints` is set, or with the directory's lifetime."""
+    cleanCheckpoints` is set, or with the directory's lifetime —
+    without that conf, per-round checkpoints from the iterative
+    callers ACCUMULATE for the directory's lifetime, so electing the
+    reliable flavor on such a session logs a one-time warning
+    (round-13 ADVICE 3)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
+        conf = "spark.cleaner.referenceTracking.cleanCheckpoints"
+        if sc.getConf().get(conf, "false") != "true" and not getattr(
+            plan_truncate, "_warned_ckpt_leak", False
+        ):
+            plan_truncate._warned_ckpt_leak = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "reliable checkpointing elected (checkpoint dir set) but "
+                "%s is not enabled: iterative graph ops checkpoint per "
+                "round and the files will accumulate until the directory "
+                "is deleted",
+                conf,
+            )
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 

@@ -1535,18 +1535,21 @@ def test_sim_ann_kmeans_recall_and_probe_subset(spark):
 
 
 def test_sim_ann_two_level_contract(spark):
-    """Round-12: the two-level IVF (the single-level clamp's next
-    rung made real) must keep the family's recall contract vs exact
-    sim_topk, its leaf relation must refine exactly the fitted coarse
-    cells (every cell ≤ FINE_K leaves with dense 0..k2-1 codes), and
-    the whole fit must be deterministic (two fits bit-equal — the
-    oracle-checkability precondition for a future exact twin)."""
+    """Round-12 (updated round-14 to the node-relation fit): the
+    hierarchical IVF must keep the family's recall contract vs exact
+    sim_topk; its leaf-codebook rows must refine exactly the fitted
+    coarse cells (every cell ≤ FINE_K leaves with dense 0..k2-1
+    codes); every MEMBER row must land in a leaf that exists in the
+    codebook (the one-pass union's internal consistency — round-14
+    item 2); and the whole fit must be deterministic (two fits
+    bit-equal — the oracle-exactness precondition)."""
     from piper_spark.functions.similarity import (
         FINE_K,
         derived_coarse_k,
+        derived_fine_depth,
+        hier_fit,
         sim_ann_two_level,
         sim_topk,
-        two_level_fit,
     )
     from piper_spark.session import row_count
 
@@ -1555,22 +1558,32 @@ def test_sim_ann_two_level_contract(spark):
     assert len(got) == 10
     assert len(exact & {r.vec_id for r in got}) / 10 >= 0.7
 
-    vecs, cents, fcb = two_level_fit(spark, SF_SMOKE)
-    rows1 = sorted((r.cid1, r.cid2, tuple(r.fc)) for r in fcb.collect())
+    n = row_count(spark, SF_SMOKE, "embeddings")
+    d = max(1, derived_fine_depth(n))
+    anc = FINE_K**d
+    vecs, cents, nodes = hier_fit(spark, SF_SMOKE)
+    all1 = nodes.collect()
     vecs.unpersist()
-    assert len(cents) == derived_coarse_k(
-        row_count(spark, SF_SMOKE, "embeddings")
-    )
+    assert len(cents) == derived_coarse_k(n)
+    cb1 = sorted((r.cid, tuple(r.fc)) for r in all1 if r.vec_id is None)
+    members1 = sorted((r.vec_id, r.cid) for r in all1 if r.vec_id is not None)
+    assert len(members1) == n
+    # leaf codes are dense 0..k2-1 within each IMMEDIATE parent cell,
+    # and every leaf's top ancestor is a fitted coarse cell
+    assert {cid // anc for cid, _ in cb1} <= set(range(len(cents)))
     per: dict[int, list[int]] = {}
-    for c1, c2, _fc in rows1:
-        per.setdefault(c1, []).append(c2)
-    assert set(per) <= set(range(len(cents)))
+    for cid, _fc in cb1:
+        per.setdefault(cid // FINE_K, []).append(cid % FINE_K)
     for c2s in per.values():
         assert sorted(c2s) == list(range(len(c2s))) and len(c2s) <= FINE_K
-    vecs2, _c2, fcb2 = two_level_fit(spark, SF_SMOKE)
-    rows2 = sorted((r.cid1, r.cid2, tuple(r.fc)) for r in fcb2.collect())
+    cb_cids = {cid for cid, _ in cb1}
+    assert {cid for _, cid in members1} <= cb_cids
+    vecs2, _c2, nodes2 = hier_fit(spark, SF_SMOKE)
+    all2 = nodes2.collect()
     vecs2.unpersist()
-    assert rows1 == rows2
+    cb2 = sorted((r.cid, tuple(r.fc)) for r in all2 if r.vec_id is None)
+    members2 = sorted((r.vec_id, r.cid) for r in all2 if r.vec_id is not None)
+    assert cb1 == cb2 and members1 == members2
 
 
 def test_kmeans_keys_leave_no_orphan_cache(spark):
@@ -1752,7 +1765,7 @@ def test_two_level_leaf_assignment_matches_oracle_chain(spark):
     from piper_spark.functions.similarity import (
         _V_CTE,
         _assign_fine_cell,
-        _fine_ctes,
+        _hier_ctes,
         _km_kk_udf,
         _km_xq_col,
         derived_coarse_k,
@@ -1766,14 +1779,14 @@ def test_two_level_leaf_assignment_matches_oracle_chain(spark):
         .persist()
     )
     n = vecs.count()
-    cents = lloyd_centroids(vecs, k=derived_coarse_k(n))
+    cents = lloyd_centroids(vecs, k=derived_coarse_k(n, 1))
     k1 = len(cents)
     asg1 = vecs.select(
-        "vec_id", "xq", (_km_kk_udf(cents)(F.col("xq")) % k1).alias("cid1")
+        "vec_id", "xq", (_km_kk_udf(cents)(F.col("xq")) % k1).alias("pcid")
     )
     got = {
         (r["vec_id"], r["cid"])
-        for r in asg1.groupBy("cid1")
+        for r in asg1.groupBy("pcid")
         .applyInPandas(_assign_fine_cell, "vec_id long, cid long")
         .collect()
     }
@@ -1786,7 +1799,7 @@ def test_two_level_leaf_assignment_matches_oracle_chain(spark):
     want = {
         (r[0], r[1])
         for r in con.sql(
-            _V_CTE + _fine_ctes() + "\nSELECT vec_id, cid FROM fleaves"
+            _V_CTE + _hier_ctes(1) + "\nSELECT vec_id, cid FROM tleaves"
         ).fetchall()
     }
     con.close()
@@ -1807,7 +1820,10 @@ def test_clamped_consumers_switch_to_two_level(spark, monkeypatch):
     for r in S.sim_ann_batch(spark, SF_SMOKE).collect():
         base_batch.setdefault(r.qid, set()).add(r.vec_id)
 
-    monkeypatch.setattr(S, "HIER_SWITCH_N", 0)
+    # 400 < 500 <= 400·FINE_K: forces depth exactly 1 (the round-13
+    # switch shape; depth 2 is forced cross-engine in
+    # test_forced_recursion_matches_regenerated_oracle)
+    monkeypatch.setattr(S, "HIER_SWITCH_N", 400)
     knn = S.sim_knn_join(spark, SF_SMOKE).collect()
     per = {}
     for r in knn:
@@ -1831,7 +1847,6 @@ def test_clamped_consumers_switch_to_two_level(spark, monkeypatch):
     ) / len(base_batch)
     assert mean_overlap >= 0.5
 
-    sem = S2 = None
     from piper_spark.functions.dedup import dedup_semantic_ivf
 
     sem = dedup_semantic_ivf(spark, SF_SMOKE)
@@ -1908,7 +1923,7 @@ def test_sim_ivf_pq_two_level_branch(spark, monkeypatch):
     from piper_spark.functions import similarity as S
 
     base = {r.vec_id: r.adc_dist2 for r in S.sim_ivf_pq(spark, SF_SMOKE).collect()}
-    monkeypatch.setattr(S, "HIER_SWITCH_N", 0)
+    monkeypatch.setattr(S, "HIER_SWITCH_N", 400)  # forces depth 1 at 500 rows
     two = S.sim_ivf_pq(spark, SF_SMOKE).collect()
     assert len(two) == 10
     d = [r.adc_dist2 for r in two]
@@ -1951,3 +1966,188 @@ def test_sim_ivf_pq_composes_prune_and_adc(spark):
     for r in out:
         if r.vec_id in full:
             assert r.adc_dist2 == full[r.vec_id]
+
+
+def test_derived_fine_depth_keeps_leaf_target():
+    """Round-14 (VERDICT item 1): the hierarchical depth derivation
+    must keep expected leaf population ≈ KM_CELL_TARGET at ANY corpus
+    size — the coarse clamp never binds (one coarse cell per
+    KM_CELL_TARGET·FINE_K^d vectors fits under KMEANS_K_MAX by the
+    depth's construction), and the depth is minimal (one level less
+    would clamp). This is the math that retired the round-13
+    two-level fit's own ~2M-vector ceiling."""
+    from piper_spark.functions.similarity import (
+        FINE_K,
+        HIER_SWITCH_N,
+        KM_CELL_TARGET,
+        KMEANS_K_MAX,
+        derived_coarse_k,
+        derived_fine_depth,
+    )
+
+    assert HIER_SWITCH_N == KMEANS_K_MAX * KM_CELL_TARGET
+    for n in [
+        1,
+        500,
+        HIER_SWITCH_N,
+        HIER_SWITCH_N + 1,
+        HIER_SWITCH_N * FINE_K,
+        HIER_SWITCH_N * FINE_K + 1,  # the round-13 ceiling, crossed
+        HIER_SWITCH_N * FINE_K**2,
+        HIER_SWITCH_N * FINE_K**2 + 1,
+        10**9,
+        10**12,
+    ]:
+        d = derived_fine_depth(n)
+        if n <= HIER_SWITCH_N:
+            assert d == 0
+            continue
+        per = KM_CELL_TARGET * FINE_K**d
+        k1 = derived_coarse_k(n, d)
+        # the clamp never binds and leaves average <= KM_CELL_TARGET
+        assert (n + per - 1) // per <= KMEANS_K_MAX
+        assert k1 * FINE_K**d * KM_CELL_TARGET >= n
+        # minimality: one level less would clamp the coarse k
+        assert n > HIER_SWITCH_N * FINE_K ** (d - 1)
+
+
+def test_forced_recursion_matches_regenerated_oracle(spark, monkeypatch):
+    """Round-14 (VERDICT item 1 + ADVICE 1): the hierarchical branches
+    of the registered oracles must be EXECUTED in DuckDB, not just
+    reachable — lowering the switch constant makes the 500-row fixture
+    run at depth 1 AND depth 2 on BOTH engines (the oracle generators
+    read HIER_SWITCH_N at call time, so the regenerated SQL carries
+    the lowered gates), and every switched key's values must match
+    exactly: the cells relation, the pair consumers, the batched and
+    single-query searches, and the IVFPQ composition."""
+    import duckdb
+
+    from piper_spark.functions import dedup as D
+    from piper_spark.functions import similarity as S
+    from piper_spark.session import row_count
+
+    n = row_count(spark, SF_SMOKE, "embeddings")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_SMOKE}/embeddings.parquet'"
+    )
+
+    def duck(sql: str) -> list:
+        return sorted(tuple(r) for r in con.sql(sql).fetchall())
+
+    for switch, depth in [(400, 1), (32, 2)]:
+        monkeypatch.setattr(S, "HIER_SWITCH_N", switch)
+        assert S.derived_fine_depth(n) == depth
+
+        vecs, cells = S.ivf_cell_assignment(spark, SF_SMOKE)
+        got_cells = sorted((r.vec_id, r.cid) for r in cells.collect())
+        vecs.unpersist()
+        assert got_cells == duck(
+            S._branched_cells_ctes() + "\nSELECT vec_id, cid FROM cells"
+        ), f"cells mismatch at depth {depth}"
+
+        out = S.sim_knn_join(spark, SF_SMOKE)
+        got = sorted(
+            (r.vec_id, r.nbr_id, r.cos_sim, r.rank) for r in out.collect()
+        )
+        out.unpersist()
+        assert got == duck(S._knn_join_oracle()), f"knn depth {depth}"
+
+        out = S.sim_ann_batch(spark, SF_SMOKE)
+        got = sorted((r.qid, r.vec_id, r.cos_sim) for r in out.collect())
+        out.unpersist()
+        assert got == duck(S._ann_batch_oracle()), f"batch depth {depth}"
+
+        out = S.sim_ann_two_level(spark, SF_SMOKE)
+        got = sorted((r.vec_id, r.cos_sim) for r in out.collect())
+        out.unpersist()
+        assert got == duck(S._two_level_oracle()), f"two_level depth {depth}"
+
+        out = S.sim_ivf_pq(spark, SF_SMOKE)
+        got = sorted((r.vec_id, r.adc_dist2) for r in out.collect())
+        out.unpersist()
+        assert got == duck(S._ivf_pq_oracle()), f"ivf_pq depth {depth}"
+
+        out = D.dedup_semantic_ivf(spark, SF_SMOKE)
+        got = sorted(
+            (r.vec_id, r.cluster, r.dup_of, r.n_dups) for r in out.collect()
+        )
+        out.unpersist()
+        assert got == duck(D._semantic_ivf_oracle()), f"semantic depth {depth}"
+    con.close()
+
+
+def test_adc_search_on_trained_codebooks(spark):
+    """Round-14 (VERDICT item 4): the registered ADC/IVFPQ serving
+    shapes must consume `pq_train_codebooks`' per-subspace distributed
+    Lloyd fits end to end — same schema, ascending integer distances,
+    a recall floor, and ADC values that are SELF-CONSISTENT with the
+    trained codes and LUT (the asymmetric-distance definition, the
+    sim_ann_pq contract applied to the trained books). Honest caveat,
+    measured on both 500-row fixtures: at 24-bit codes on isotropic
+    data the trained books do NOT reliably beat the pinned seeds on
+    top-k overlap (sf0.001: 6 vs 7 within exact-top-50; sf0.01: 9 vs
+    8) — quantization SSE improves (pinned by
+    test_embed_pq_registered_shape_runs_on_trained_codebooks) but
+    recall at this code budget is tie-noise, so the floor, not a
+    strict ordering, is the stable retrieval contract."""
+    import numpy as np
+
+    from piper_spark.functions.similarity import (
+        pq_train_codebooks,
+        sim_ann_pq,
+        sim_ivf_pq,
+    )
+    from piper_spark.session import table
+
+    rows = (
+        table(spark, SF_SMOKE, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .collect()
+    )
+    X = {
+        r.vec_id: np.floor(np.array(r.e) * 1_000_000.0 + 0.5).astype(np.int64)
+        for r in rows
+    }
+    q = X[0]
+    exact = sorted(
+        (int(((v - q) ** 2).sum()), vid) for vid, v in X.items() if vid != 0
+    )
+    truth50 = {vid for _, vid in exact[:50]}
+
+    books = pq_train_codebooks(spark, SF_SMOKE)
+    trained_rows = sim_ann_pq(spark, SF_SMOKE, codebooks=books).collect()
+    assert len(trained_rows) == 10
+    dists = [r.adc_dist2 for r in trained_rows]
+    assert dists == sorted(dists)
+    trained = {r.vec_id for r in trained_rows}
+    # recall floor (measured 6/10 within exact-top-50 on this fixture)
+    assert len(trained & truth50) >= 5
+
+    # ADC self-consistency on the TRAINED books: codes = per-subspace
+    # argmin vs the trained centroids, distance = Sum lut[m][code_m]
+    from piper_spark.functions.similarity import PQ_M, PQ_SUB
+
+    B = [[np.array(c, dtype=np.int64) for c in books[m]] for m in range(PQ_M)]
+    lut = [
+        [int(((q[m * PQ_SUB : (m + 1) * PQ_SUB] - c) ** 2).sum()) for c in B[m]]
+        for m in range(PQ_M)
+    ]
+    for r in trained_rows:
+        v = X[r.vec_id]
+        want = 0
+        for m in range(PQ_M):
+            sub = v[m * PQ_SUB : (m + 1) * PQ_SUB]
+            d = [int(((sub - c) ** 2).sum()) for c in B[m]]
+            want += lut[m][int(np.argmin(d))]
+        assert r.adc_dist2 == want
+
+    out = sim_ivf_pq(spark, SF_SMOKE, codebooks=books)
+    rows2 = out.collect()
+    out.unpersist()
+    assert len(rows2) == 10
+    d2 = [r.adc_dist2 for r in rows2]
+    assert d2 == sorted(d2)
