@@ -42,7 +42,7 @@ from piper_spark.functions.numeric import (
 )
 from piper_spark.functions.graphs import plan_truncate
 from piper_spark.registry import register
-from piper_spark.session import table
+from piper_spark.session import fan_out, table
 
 SHINGLE_SIZE = 3
 NUM_MINHASHES = 8
@@ -462,6 +462,9 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     integer discipline (MINHASH_MIXERS), so signatures are bit-exact
     in DuckDB — `dedup_minhash` is oracle-checkable end to end.
     """
+    # fan_out: the gram/word hash fold is CPU-bound — see
+    # `simhash_signatures` (no-op when the input already spreads).
+    docs = fan_out(docs)
     if unit == "shingle":
         from piper_spark.functions.text import _gram_arrays
 
@@ -560,10 +563,13 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     # Word hash = one Arrow crossing (text.py closed-form fold,
     # bit-identical to the `_winnow_word_hash` HOF) — the round-10
     # hash-tax recovery; everything downstream stays JVM codegen.
+    # fan_out: the explode→hash→partial-vote chain is CPU-bound and
+    # otherwise inherits the INPUT split count (1 task on a one-split
+    # corpus); no-op when the scan already feeds every core.
     words = F.slice(
         F.array_distinct(F.split(text_col, " ")), 1, SIMHASH_MAX_WORDS
     )
-    wh = docs.select(id_col, F.explode(words).alias("w")).select(
+    wh = fan_out(docs).select(id_col, F.explode(words).alias("w")).select(
         id_col, word_hash_scalar_udf()(F.col("w")).alias("wh")
     )
     return _simhash64_from_wh(wh, id_col, bits=bits)
@@ -886,10 +892,11 @@ def simhash128_signatures(
     preserved, and random BAND collisions fall from n²/2¹⁶ to n²/2³²."""
     from piper_spark.functions.text import word_hash_scalar_udf
 
+    # fan_out: same parallelism insurance as `simhash_signatures`.
     words = F.slice(
         F.array_distinct(F.split(text_col, " ")), 1, SIMHASH_MAX_WORDS
     )
-    wh = docs.select(id_col, F.explode(words).alias("w")).select(
+    wh = fan_out(docs).select(id_col, F.explode(words).alias("w")).select(
         id_col, word_hash_scalar_udf()(F.col("w")).alias("wh")
     )
     return _simhash128_from_wh(wh, id_col)
@@ -1190,10 +1197,22 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty set.
     """
     # persist: one cast/projection pass shared by both self-join aliases.
+    # Round 14 (guide §2.6/§1.2): the norm is computed per ROW here —
+    # the interpreted-HOF sum was previously inlined in `cos` and
+    # re-evaluated per PAIR (2·n²/2 array folds instead of n), and the
+    # pair join streams over e's partitions, so fan_out spreads the
+    # quadratic verify across cores instead of one parquet split.
+    # sqrt/product/division are the same IEEE expressions in the same
+    # order, so round(cos, 4) stays bit-identical to the oracle.
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
     e = (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 150)
+        fan_out(table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
+        .withColumn("nrm", norm(F.col("ed")))
         .persist()
     )
     a, b = e.alias("a"), e.alias("b")
@@ -1202,12 +1221,7 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    cos = dot / (norm(F.col("a.ed")) * norm(F.col("b.ed")))
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

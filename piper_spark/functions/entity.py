@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from piper_spark.registry import register
-from piper_spark.session import table
+from piper_spark.session import fan_out, table
 
 
 def _lev_le1(s: str, t: str) -> bool:
@@ -194,7 +194,13 @@ def er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_match_pairs(records: DataFrame) -> DataFrame:
     """Blocked candidate pairs verified at Levenshtein ≤ {ER_MAX_LEV}.
     The block equi-join is the ONLY pair generator; the edit-distance
-    verify runs on the bounded in-block candidates."""
+    verify runs on the bounded in-block candidates.
+
+    fan_out (round 14): the verify is CPU-bound (levenshtein per
+    candidate) and the broadcast-join STREAM side otherwise inherits
+    the union-of-scans split count — 3 tasks on a one-split local
+    corpus (measured 5.3 s); no-op at scale."""
+    records = fan_out(records)
     a = records.select(
         F.col("rec_id").alias("id1"), F.col("name").alias("name1"), "blk"
     )

@@ -16,13 +16,41 @@ folds match DuckDB bit-for-bit.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from piper_spark.registry import register
-from piper_spark.session import table
+from piper_spark.session import fan_out, table
+
+
+@contextmanager
+def _no_aqe(spark: SparkSession):
+    """Scope AQE OFF around a MODEL-SIZED reduction (round 14, guide
+    §1.2/§2.4): the Lloyd-family per-iteration aggregate shuffles at
+    most k ≤ KMEANS_K_MAX rows per map partition and reduces to k rows
+    collected on the driver. AQE has nothing to adapt there — no skew,
+    nothing to coalesce that matters — but it materializes every
+    Exchange as its OWN job plus a re-optimization round-trip, which
+    doubles the driver scheduling cost of each fixed iteration (an
+    iterative fit pays it KMEANS_ITERS times per fit, per query). At
+    cluster scale the static plan is identical work: the exchange
+    carries k·(dims+2) int64s per map partition either way. Data-sized
+    shuffles keep AQE; only bounded model reductions opt out."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # One reduce task for the ≤ k-row reduction — exactly the partition
+    # count AQE's coalescing picks for it, now statically.
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 NUM_CENTROIDS = 8
 #: Probe-width floor. The registered ANN defaults DERIVE the probe
@@ -626,8 +654,12 @@ def cov_partials(e: DataFrame) -> DataFrame:
     triangle — the bounded (d² rows) sufficient statistic for
     covariance/PCA. Exact int64 end-to-end; per-(i,j) sums of the
     per-batch partials are associative, so the map-side combine does
-    most of the work and the shuffle is d(d+1)/2 keys total."""
-    part = quantized_vectors(e).mapInPandas(
+    most of the work and the shuffle is d(d+1)/2 keys total.
+
+    fan_out (round 14): the per-batch numpy matmul is the whole cost
+    and inherits the input split count — serial on a one-split local
+    corpus, no-op at scale (guide §2.6)."""
+    part = fan_out(quantized_vectors(e)).mapInPandas(
         _gram_partial_batches,
         schema="i int, j int, g long, si long, sj long, n long",
     )
@@ -1101,28 +1133,40 @@ def lloyd_centroids(
     KM_OFFSET-shifted grid, so the unrolled-CTE oracle matches
     bit-for-bit.
     """
-    seeds = vecs.orderBy("vec_id").limit(k).collect()
-    cents = [[int(v) for v in r["xq"]] for r in seeds]
-    if not cents:
-        return cents
-    k = len(cents)  # a corpus smaller than k seeds fewer cells
-    sum_aggs = [
-        F.sum(F.element_at("xq", i + 1)).alias(f"s{i}") for i in range(dims)
-    ]
-    for _ in range(KMEANS_ITERS):
-        rows = (
-            vecs.select((_km_kk_udf(cents)(F.col("xq")) % k).alias("cid"), "xq")
-            .groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("n"), *sum_aggs)
-            .collect()  # bounded: ≤ k rows × (dims + 2)
-        )
-        by_cid = {int(r["cid"]): r for r in rows}
-        cents = [
-            [int(by_cid[j][f"s{i}"]) // int(by_cid[j]["n"]) for i in range(dims)]
-            if j in by_cid
-            else cents[j]  # empty cell keeps its previous centroid
-            for j in range(k)
+    # _no_aqe: the seeds TakeOrdered and each iteration's reduction are
+    # ONE static job each instead of AQE's exchange-job + re-planned
+    # result-job chain (measured: 3 jobs for the seeds collect alone) —
+    # the exchange carries ≤ k·(dims+2) int64s per map partition, so
+    # there is nothing for AQE to adapt (see _no_aqe).
+    with _no_aqe(vecs.sparkSession):
+        seeds = vecs.orderBy("vec_id").limit(k).collect()
+        cents = [[int(v) for v in r["xq"]] for r in seeds]
+        if not cents:
+            return cents
+        k = len(cents)  # a corpus smaller than k seeds fewer cells
+        sum_aggs = [
+            F.sum(F.element_at("xq", i + 1)).alias(f"s{i}")
+            for i in range(dims)
         ]
+        for _ in range(KMEANS_ITERS):
+            rows = (
+                vecs.select(
+                    (_km_kk_udf(cents)(F.col("xq")) % k).alias("cid"), "xq"
+                )
+                .groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"), *sum_aggs)
+                .collect()  # bounded: ≤ k rows × (dims + 2)
+            )
+            by_cid = {int(r["cid"]): r for r in rows}
+            cents = [
+                [
+                    int(by_cid[j][f"s{i}"]) // int(by_cid[j]["n"])
+                    for i in range(dims)
+                ]
+                if j in by_cid
+                else cents[j]  # empty cell keeps its previous centroid
+                for j in range(k)
+            ]
     return cents
 
 
@@ -1246,7 +1290,9 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caller OWNS a cache it can actually unpersist (the graph_pagerank
     # convention; previously the caller got a projection of a cache it
     # had no handle on, leaking one corpus-sized relation per call).
-    out.count()
+    # _no_aqe: narrow exchange-free materialization (see _km_fit).
+    with _no_aqe(spark):
+        out.count()
     vecs.unpersist()
     return out
 
@@ -1271,7 +1317,10 @@ def _km_fit(spark: SparkSession, sf_dir: str):
         .select("vec_id", _km_xq_col().alias("xq"))
         .persist()
     )
-    vecs.count()
+    # _no_aqe: the cache-fill count is a narrow exchange-free plan; AQE
+    # only adds its stage-wrapper jobs around it (measured 3 jobs → 1).
+    with _no_aqe(spark):
+        vecs.count()
     return vecs, lloyd_centroids(vecs, k=k)
 
 

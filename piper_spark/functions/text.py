@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from piper_spark.registry import register
-from piper_spark.session import table
+from piper_spark.session import fan_out, table
 
 #: High-frequency filler words in the synthetic corpus (FIXTURES.md vocab).
 STOPWORDS = ("the", "a")
@@ -1138,8 +1138,13 @@ def winnow_fps(d: DataFrame) -> DataFrame:
     window array_min → array_distinct → explode. No Python, no window
     exchange: the whole selection runs inside whole-stage codegen, so
     at 100 TB this is embarrassingly parallel over parquet splits.
-    See `_gram_arrays` for the expression-structure constraints."""
-    return winnow_fps_from_grams(_gram_arrays(d))
+    See `_gram_arrays` for the expression-structure constraints.
+
+    fan_out (round 14): "parallel over parquet splits" is exactly the
+    problem on a SMALL corpus — one split = one core for the whole
+    interpreted-HOF selection (measured 4.8 s single-task at sf0.1);
+    the conditional repartition is a no-op at scale."""
+    return winnow_fps_from_grams(_gram_arrays(fan_out(d)))
 
 
 def winnow_fps_from_grams(t2: DataFrame) -> DataFrame:

@@ -31,29 +31,139 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Input-size threshold (bytes) below which adaptive query execution is
+#: more overhead than help (round 14, guide §1.2): AQE materializes
+#: every Exchange as its own job plus a driver re-optimization
+#: round-trip. On a multi-TB input those round-trips are noise and the
+#: runtime coalescing/skew handling is essential — AQE stays ON. On a
+#: sub-GB input every exchange is a few MB, stages run in milliseconds,
+#: and AQE's per-stage scheduling dominates the queries themselves
+#: (measured on the r14 bench host: 1389 jobs for the 244-query suite
+#: with AQE, ~0.1-0.4 s driver overhead per job). Below the threshold
+#: plans are STATIC with an input-size-derived shuffle-partition count —
+#: the "derive partitioning from input size instead of a constant"
+#: posture, applied to the adaptivity switch itself. Env-overridable so
+#: a deployment can force either mode.
+ADAPTIVE_MIN_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_ADAPTIVE_MIN_BYTES", str(1 << 30))
+)
+
+
+def _dir_bytes(d: str) -> int:
+    """Total bytes under a local input dir (0 if unreadable — e.g. a
+    remote scheme — which keeps the AQE-on default)."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        return 0
+    return total
+
+
+def _derived_shuffle_partitions(input_bytes: int, cpus: int) -> int:
+    """Static shuffle-partition count for a small input: one partition
+    per 4 MiB, clamped to [max(2, cpus/4), 4·cpus].
+
+    Division of responsibility (round 14, measured): CPU-heavy MAP
+    stages (hash folds, Arrow passes, pair verifies) take their
+    parallelism from the operators' explicit `fan_out`, NOT from this
+    default — so the session default serves the remaining
+    shuffle-bound stages, where a sub-GB input's exchanges carry a few
+    MB and per-task scheduling overhead dominates. Median-of-3 A/B on
+    the 26 heaviest sf0.1 keys: 8 partitions 111.1 s total vs 16:
+    119.9 s vs 32: 133.5 s (the iterative graph family is the extreme:
+    `graph_cc` 2.7 s at 8 vs 6.1 s at 32 — ~10 tiny shuffles per run).
+    The cpus/4 floor keeps reduce stages from serializing outright;
+    the 4·cpus cap bounds task count once the byte-derived count takes
+    over (≥ 128 MiB input); past 1 GiB AQE coalescing owns the
+    problem."""
+    return max(2, cpus // 4, min(4 * cpus, input_bytes // (4 << 20)))
+
+
 def get_spark(app_name: str = "piper_spark") -> SparkSession:
     """Create (or reuse) a local SparkSession tuned for this engine.
 
     On a real cluster the master/memory settings come from spark-submit;
-    everything set here is safe to carry over (AQE, UTC, Arrow).
+    everything set here is safe to carry over (AQE policy, UTC, Arrow).
+    Adaptivity is INPUT-SIZE-DERIVED (see ADAPTIVE_MIN_INPUT_BYTES):
+    AQE on — with partition coalescing — for real inputs, static plans
+    with `_derived_shuffle_partitions` for sub-threshold ones.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    input_bytes = _dir_bytes(sf_dir)
+    small = 0 < input_bytes < ADAPTIVE_MIN_INPUT_BYTES
+    aqe = "false" if small else "true"
+    if small:
+        shuffle_parts = _derived_shuffle_partitions(input_bytes, int(cpus))
+    else:
+        # AQE branch: coalescing only merges DOWN from the configured
+        # count, so start it byte-derived (~128 MiB per partition,
+        # floored at 2·cpus) rather than at the local core count —
+        # the guide §2.2 "fewer, larger reduce partitions" target with
+        # headroom for AQE to pick the final number at runtime.
+        shuffle_parts = max(2 * int(cpus), input_bytes // (128 << 20))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
     # The driver may hand us a session it built itself; enforce the two
-    # settings correctness depends on (runtime-settable).
+    # settings correctness depends on (runtime-settable), and the
+    # adaptivity policy (getOrCreate ignores builder confs on reuse).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
     return spark
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism IFF the
+    relation currently has fewer partitions — parallelism insurance
+    for CPU-heavy per-row stages (interpreted HOF folds, Arrow/numpy
+    passes, non-equi pair verification) whose cost is compute, not
+    bytes (round 14, guide §2.6/§6: stragglers + input split sizing).
+
+    A small corpus arrives as ONE parquet split, so without this the
+    whole downstream stage runs on a single core (multimodal's
+    `spread_for_decode` measured 6 s → <1 s from the same move). The
+    partition-count guard is what makes it scale-safe: a 100 TB input
+    is already split into thousands of scan partitions, so the
+    round-robin exchange — a full pass over the corpus — is never
+    paid where the input layout already feeds every core; locally it
+    is the difference between 1 busy core and all of them.
+    """
+    sess = df.sparkSession
+    p = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
+#: (session, sf_dir, table) → analyzed DataFrame. Session-lifetime PLAN
+#: memo (round 14, guide §1/§6): `spark.read.parquet` pays a driver-side
+#: file listing + footer schema read EVERY call, and a 244-query bench
+#: (or any multi-query session) re-reads the same footers hundreds of
+#: times — measured 80-300 ms per call on a busy driver. A DataFrame is
+#: an immutable logical plan, so handing every caller the SAME analyzed
+#: plan is pure driver-overhead removal: the parquet SCAN still runs per
+#: query (no data or results are cached), exactly like a catalog table
+#: resolved from a shared metastore schema. Keyed on the live session
+#: object (plans are session-bound) + path, so a restarted session or a
+#: different sf_dir re-reads the footer.
+_TABLE_MEMO: "dict[tuple[SparkSession, str, str], DataFrame]" = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,6 +185,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session the caller (e.g. the driver) hands us, or every
     # date_trunc/window bucket shifts on a non-UTC host.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    memo_key = (spark, sf_dir, name)
+    cached = _TABLE_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
@@ -97,8 +211,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        _TABLE_MEMO[memo_key] = df
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_MEMO[memo_key] = df
+    return df
 
 
 #: (sf_dir, table) → row count. Session-lifetime memo: corpus-size-derived

@@ -359,11 +359,16 @@ def test_text_pack_shuffles_once_on_the_stream_key(spark):
 
 
 def test_winnow_fingerprints_are_shuffle_free(spark):
-    """Winnowing fingerprint selection is pure per-row HOFs — the plan
-    up to the explode must contain NO Exchange (the selection scales
-    with the scan, like text_chunks)."""
+    """Winnowing fingerprint selection is pure per-row HOFs — no KEYED
+    Exchange anywhere (the selection scales with the scan, like
+    text_chunks). The single allowed Exchange is fan_out's round-robin
+    parallelism spread (round 14), which is conditional on the input
+    split count and absent at scale."""
     plan = plan_of(spark, "text_winnow")
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1, plan
+    if "Exchange" in plan:
+        assert "roundrobin" in plan.lower(), plan
 
 
 def test_dedup_winnow_candidates_come_from_equi_join(spark):
@@ -595,7 +600,11 @@ def test_embed_cov_shuffles_only_gram_partials(spark):
     # regardless of corpus size — with a map-side partial agg before it.
     plan = plan_of(spark, "embed_cov")
     assert "MapInPandas" in plan
-    assert plan.count("Exchange") == 1
+    # Exactly one KEYED exchange — the (i, j) hash-agg key; fan_out's
+    # conditional round-robin spread (round 14) may add one more
+    # locally but never a keyed shuffle of the corpus.
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count("Exchange") <= 2
     assert plan.count("HashAggregate") == 2  # partial + final
     assert "CartesianProduct" not in plan
 
