@@ -598,24 +598,23 @@ def _simhash64_from_wh(
     mask = 0x0001000100010001
     g = ex.groupBy(id_col).agg(
         *[
-            F.sum(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(mask))).alias(
-                f"c{k}"
-            )
+            F.expr(f"sum(shiftright(h, {k}) & {mask})").alias(f"c{k}")
             for k in range(16)
         ],
         F.count(F.lit(1)).alias("n"),
     )
     # Disjoint bit patterns OR together via long addition (never overflows:
-    # adding bit 63's pattern is adding a negative).
-    sh = F.lit(0).cast("long")
-    for j in range(bits):
-        k, m = j % 16, j // 16
-        cnt = F.shiftright(F.col(f"c{k}"), 16 * m).bitwiseAND(F.lit(0xFFFF))
-        sh = sh + F.when(
-            cnt * 2 > F.col("n"),
-            F.shiftleft(F.lit(1).cast("long"), j),
-        ).otherwise(F.lit(0).cast("long"))
-    return g.select(id_col, sh.alias("sh"))
+    # adding bit 63's pattern is adding a negative). Built as ONE SQL
+    # string: the Column-by-Column form cost ~64×6 py4j round-trips of
+    # pure driver time per call (round 14, guide §7.3 plan-construction
+    # cost); F.expr parses the identical expression tree in one call.
+    terms = " + ".join(
+        f"(CASE WHEN (shiftright(c{j % 16}, {16 * (j // 16)}) & 65535) * 2"
+        f" > n THEN shiftleft(CAST(1 AS BIGINT), {j})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return g.select(id_col, F.expr(f"CAST(0 AS BIGINT) + {terms}").alias("sh"))
 
 
 from piper_spark.functions.text import _GRAM_SQL as _GRAM_SQL_MH  # noqa: E402
@@ -922,27 +921,25 @@ def _simhash128_from_wh(wh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     mask = 0x0001000100010001
     g = ex.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.shiftright(F.col(f"h{half}"), k).bitwiseAND(F.lit(mask))
-            ).alias(f"c{half}_{k}")
+            F.expr(f"sum(shiftright(h{half}, {k}) & {mask})").alias(
+                f"c{half}_{k}"
+            )
             for half in (0, 1)
             for k in range(16)
         ],
         F.count(F.lit(1)).alias("n"),
     )
 
+    # ONE SQL string per half (see `_simhash64_from_wh`: the 2×64-term
+    # Column form was ~2.2 s of pure py4j driver time per call).
     def vote(half: int):
-        sh = F.lit(0).cast("long")
-        for j in range(64):
-            k, m = j % 16, j // 16
-            cnt = F.shiftright(F.col(f"c{half}_{k}"), 16 * m).bitwiseAND(
-                F.lit(0xFFFF)
-            )
-            sh = sh + F.when(
-                cnt * 2 > F.col("n"),
-                F.shiftleft(F.lit(1).cast("long"), j),
-            ).otherwise(F.lit(0).cast("long"))
-        return sh
+        terms = " + ".join(
+            f"(CASE WHEN (shiftright(c{half}_{j % 16}, {16 * (j // 16)})"
+            f" & 65535) * 2 > n THEN shiftleft(CAST(1 AS BIGINT), {j})"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for j in range(64)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
     return g.select(id_col, vote(0).alias("sh_lo"), vote(1).alias("sh_hi"))
 
@@ -1038,11 +1035,15 @@ def near_dup_signature_stage(
     same characters four times."""
     from piper_spark.functions.text import text_word_hash_udf, words_hash_udf
 
+    # fan_out: the word-hash Arrow pass AND every vote/fold consumer of
+    # the persisted stage inherit this relation's partitioning — on a
+    # one-split local corpus the whole spine ran on a single core
+    # (round 14; no-op at scale, see session.fan_out).
     t = F.col(text_col)
     distinct_words = F.slice(
         F.array_distinct(F.split(t, " ")), 1, SIMHASH_MAX_WORDS
     )
-    return docs.select(
+    return fan_out(docs).select(
         id_col,
         text_word_hash_udf()(t).alias("hw"),
         words_hash_udf()(distinct_words).alias("dwh"),
@@ -1427,8 +1428,13 @@ def _winnow_verified_pairs(
     # aliases (x and y) — without this the documents scan + shingle
     # build evaluates twice, the same multi-consumer re-eval the fps
     # persist above guards against.
+    # fan_out on the SCAN side (never on the join plan — .rdd on an
+    # adaptive join plan can trigger eager stage execution): the
+    # candidate-bounded shingle build is the CPU cost of the verify
+    # and otherwise runs on the docs scan's split count (one core
+    # locally; no-op at scale).
     sh = (
-        docs.join(cand_ids, "doc_id", "semi")
+        fan_out(docs).join(cand_ids, "doc_id", "semi")
         .select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
         .persist()
     )

@@ -128,14 +128,26 @@ def with_fmix32(df: DataFrame, cols: dict[str, Column], keep: list[str]) -> Data
     names = list(cols)
     d = df.select(*keep, *[c.alias(n) for n, c in cols.items()])
 
-    def step(d: DataFrame, f) -> DataFrame:
-        return d.select(*keep, *[f(F.col(n)).alias(n) for n in names])
+    # The five stages are emitted as SQL strings (one selectExpr call
+    # per stage) instead of Column compositions: the Column form cost
+    # ~15 py4j round-trips per column per stage of pure driver time
+    # (round 14, guide §7.3) — same expression tree either way, and
+    # `_mul32_spark_sql` mirrors :func:`mul32` token for token.
+    def _mul32_spark_sql(x: str, c: int) -> str:
+        return (
+            f"((({x} & 65535) * {c}) % {M32} + "
+            f"(((shiftright({x}, 16) & 65535) * {c}) % 65536) * 65536) "
+            f"% {M32}"
+        )
 
-    d = step(d, lambda x: x.bitwiseXOR(F.shiftright(x, 16)))
-    d = step(d, lambda x: mul32(x, FMIX_MUL1))
-    d = step(d, lambda x: x.bitwiseXOR(F.shiftright(x, 13)))
-    d = step(d, lambda x: mul32(x, FMIX_MUL2))
-    d = step(d, lambda x: x.bitwiseXOR(F.shiftright(x, 16)))
+    def step(d: DataFrame, f) -> DataFrame:
+        return d.selectExpr(*keep, *[f"{f(n)} AS {n}" for n in names])
+
+    d = step(d, lambda x: f"{x} ^ shiftright({x}, 16)")
+    d = step(d, lambda x: _mul32_spark_sql(x, FMIX_MUL1))
+    d = step(d, lambda x: f"{x} ^ shiftright({x}, 13)")
+    d = step(d, lambda x: _mul32_spark_sql(x, FMIX_MUL2))
+    d = step(d, lambda x: f"{x} ^ shiftright({x}, 16)")
     return d
 
 
