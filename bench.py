@@ -146,8 +146,8 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(detail))
-    # Compact summary printed LAST: a tail capture that truncates the long
-    # detail line above still retains this whole (~300 B) parseable line.
+    # Compact summary: a tail capture that truncates the long detail
+    # line above still retains this whole (~300 B) parseable line.
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
@@ -165,6 +165,42 @@ def main() -> None:
             }
         )
     )
+    # Round 15 (VERDICT item 2 — measurement fix, no timing change):
+    # the driver's capture keeps only a ~2000-char TAIL of stdout and
+    # parses the last JSON line(s), so the full per-query map — which
+    # previously lived only in the (clipped) first line and in
+    # BENCH_DETAIL.json — never reached PERF_*.json (`per_query: {}`
+    # both rounds). Re-emit the SAME map as short FINAL lines: each a
+    # complete JSON object with the headline fields plus a "queries"
+    # CHUNK (alphabetical, "queries_part": "i/n"), sized so any tail
+    # window >= one line carries parseable per-query timings and a
+    # full-stdout parser can reassemble the whole map from the chunked
+    # lines. Strictly additive: the first detail line, the compact
+    # summary above, BENCH_DETAIL.json and the pin files keep their
+    # round-13/14 shapes, so historical comparisons stay valid.
+    names = sorted(timings)
+    chunk_size = 50
+    chunks = [
+        names[i : i + chunk_size] for i in range(0, len(names), chunk_size)
+    ]
+    for i, chunk in enumerate(chunks, start=1):
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "total wall-clock for all registered queries, noop sink"
+                    ),
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "n_queries": len(timings),
+                    "calib_sec": calib_sec,
+                    "queries_part": f"{i}/{len(chunks)}",
+                    "queries": {k: timings[k] for k in chunk},
+                },
+                separators=(",", ":"),
+            )
+        )
 
 
 if __name__ == "__main__":

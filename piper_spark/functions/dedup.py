@@ -42,7 +42,7 @@ from piper_spark.functions.numeric import (
 )
 from piper_spark.functions.graphs import plan_truncate
 from piper_spark.registry import register
-from piper_spark.session import fan_out, table
+from piper_spark.session import eager_fill, fan_out, table
 
 SHINGLE_SIZE = 3
 NUM_MINHASHES = 8
@@ -663,8 +663,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consuming action. Long-lived sessions should
     # `spark.catalog.clearCache()` (or unpersist the input lineage)
     # after consuming the pairs, as bench.py and the pipeline do.
-    sigs = minhash_signatures(table(spark, sf_dir, "documents")).persist(
-        StorageLevel.DISK_ONLY
+    # eager_fill (round 15, VERDICT items 1+3): the LSH self-join's two
+    # aliases otherwise RACE to fill this cache inside one job — both
+    # concurrently recompute the whole gram-fold signature build, and
+    # the contention grows with core count (this key's r13→r14 ~4×
+    # "regression" was exactly this race on a 32-core run, not a plan
+    # change: the dedup.py diff across those rounds is docstring-only).
+    sigs = eager_fill(
+        minhash_signatures(table(spark, sf_dir, "documents")).persist(
+            StorageLevel.DISK_ONLY
+        )
     )
     return lsh_candidate_pairs(sigs)
 
@@ -827,8 +835,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider bands over 64 bits, which would break the recall guarantee."""
     # Materialized once — see dedup_minhash note (caller owns the cache
     # lifetime; clearCache()/unpersist after the consuming action).
-    d = simhash_signatures(table(spark, sf_dir, "documents")).persist(
-        StorageLevel.DISK_ONLY
+    # eager_fill: the banded self-join reads this from two aliases —
+    # without the fill both race to compute the vote build (VERDICT 1).
+    d = eager_fill(
+        simhash_signatures(table(spark, sf_dir, "documents")).persist(
+            StorageLevel.DISK_ONLY
+        )
     )
     return _simhash64_pairs(d)
 
@@ -980,8 +992,11 @@ def dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationship between the two widths is pinned by property tests
     (a pair at 64-bit Hamming 0 from identical text is at 128-bit
     Hamming 0 too, and the pigeonhole test runs at both widths)."""
-    d = simhash128_signatures(table(spark, sf_dir, "documents")).persist(
-        StorageLevel.DISK_ONLY
+    # eager_fill: same two-alias cache-fill race as dedup_simhash.
+    d = eager_fill(
+        simhash128_signatures(table(spark, sf_dir, "documents")).persist(
+            StorageLevel.DISK_ONLY
+        )
     )
     band_vals = [
         F.col("sh_lo").bitwiseAND(F.lit(0xFFFFFFFF)),
@@ -1079,7 +1094,16 @@ def near_dup_spine(
     TABLE remains the production shape past single-job scale."""
     from piper_spark.functions.text import gram_hash_col, winnow_fps_from_grams
 
-    stage = near_dup_signature_stage(docs, id_col, text_col).persist(level)
+    # eager_fill (round 15, VERDICT item 1): the signature relations
+    # below are consumed TOGETHER in one fan-in action by every spine
+    # caller, so without the fill the three/four consumer subtrees race
+    # to compute the Arrow hash stage concurrently — the round-14
+    # driver paid up to 3× for it on its single-pass 32-core run
+    # (pipeline_near_dedup 34.6 s vs 3.4 s at 8 cores). One extra job
+    # fills the stage once; every family then reads the cache.
+    stage = eager_fill(
+        near_dup_signature_stage(docs, id_col, text_col).persist(level)
+    )
     grams = stage.select(id_col, gram_hash_col(F.col("hw")).alias("grams"))
     wh = stage.select(id_col, F.explode("dwh").alias("wh"))
     return {
@@ -1373,7 +1397,9 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the pair-sized result, then release the fingerprint
     # cache AND the verify stage's internal (cand, sh) caches — the
     # caller gets one owned handle, no orphans.
-    fps = winnow_fps(docs).persist()
+    # eager_fill: the df-cap aggregate and BOTH self-join aliases fan
+    # in on this cache inside the single consuming action (VERDICT 1).
+    fps = eager_fill(winnow_fps(docs).persist())
     caches: list[DataFrame] = [fps]
     out = _winnow_verified_pairs(docs, fps, caches=caches).persist()
     out.count()
@@ -1409,7 +1435,7 @@ def _winnow_verified_pairs(
     )
     f = fps.join(rare, "fp")
     a, b = f.alias("a"), f.alias("b")
-    cand = (
+    cand = eager_fill(
         a.join(b, "fp")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
@@ -1417,7 +1443,9 @@ def _winnow_verified_pairs(
         )
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= WINNOW_MIN_SHARED)
-        .persist()  # read by the id-set derivation AND the verify join
+        # read by the id-set derivation AND the verify join — eagerly
+        # filled so those consumers don't race the fp self-join twice
+        .persist()
     )
     cand_ids = (
         cand.select(F.col("id1").alias("doc_id"))
@@ -1433,9 +1461,10 @@ def _winnow_verified_pairs(
     # candidate-bounded shingle build is the CPU cost of the verify
     # and otherwise runs on the docs scan's split count (one core
     # locally; no-op at scale).
-    sh = (
+    sh = eager_fill(
         fan_out(docs).join(cand_ids, "doc_id", "semi")
         .select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
+        # read by BOTH verify aliases (x and y) — filled once eagerly
         .persist()
     )
     if caches is not None:
@@ -1536,6 +1565,9 @@ def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = near_dup_spine(docs)
     # Each signature relation feeds a SELF-join (two aliases) — persist
     # so the aggregate runs once per family (the dedup_minhash lesson).
+    # No per-family eager fill: with the spine stage already filled,
+    # each family build is a cheap agg off the cache and the r15 A/B
+    # measured the three extra fill jobs as a net cost (1.22x).
     fps = spine["winnow_fps"].persist(StorageLevel.DISK_ONLY)
     mh_sigs = spine["minhash_sigs"].persist(StorageLevel.DISK_ONLY)
     mh = (
@@ -1555,15 +1587,33 @@ def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
         .withColumn("in_winnow", F.lit(1).cast("long"))
     )
+    # ONE union-tagged aggregation instead of two pair-keyed full-outer
+    # joins (round 15, VERDICT item 5): each family emits its pairs at
+    # most once (every generator ends in a distinct/group-by), so a
+    # full-outer join tree with coalesce-to-0 flags is value-identical
+    # to summing one-hot flag columns over the union — and it costs a
+    # single (id1, id2) exchange with map-side partial aggregation
+    # where the join tree shuffled every family relation into two
+    # separate join exchanges.
+    zero = F.lit(0).cast("long")
+    tagged = (
+        mh.select("id1", "id2", "in_minhash",
+                  zero.alias("in_simhash"), zero.alias("in_winnow"))
+        .unionByName(
+            sh.select("id1", "id2", zero.alias("in_minhash"),
+                      "in_simhash", zero.alias("in_winnow"))
+        )
+        .unionByName(
+            wn.select("id1", "id2", zero.alias("in_minhash"),
+                      zero.alias("in_simhash"), "in_winnow")
+        )
+    )
     votes = (
-        mh.join(sh, ["id1", "id2"], "full")
-        .join(wn, ["id1", "id2"], "full")
-        .select(
-            "id1",
-            "id2",
-            F.coalesce(F.col("in_minhash"), F.lit(0)).alias("in_minhash"),
-            F.coalesce(F.col("in_simhash"), F.lit(0)).alias("in_simhash"),
-            F.coalesce(F.col("in_winnow"), F.lit(0)).alias("in_winnow"),
+        tagged.groupBy("id1", "id2")
+        .agg(
+            F.sum("in_minhash").alias("in_minhash"),
+            F.sum("in_simhash").alias("in_simhash"),
+            F.sum("in_winnow").alias("in_winnow"),
         )
         .withColumn(
             "n_votes",
@@ -1648,7 +1698,9 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piper_spark.functions.text import gram_rel
 
     # Spread before the positioned-gram fold (see dedup_winnow), and
-    # persist: the df-cap aggregate + both self-join aliases read it.
+    # persist: the df-cap aggregate + both self-join aliases read it
+    # (no eager fill: the r15 A/B measured it a net cost here — the
+    # local block locks already serialize the race).
     v = gram_rel(
         table(spark, sf_dir, "documents").repartition(
             spark.sparkContext.defaultParallelism
@@ -2085,15 +2137,20 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_id long, cluster long, dup_of long, n_dups long"
         )
     vecs, cells = ivf_cell_assignment(spark, sf_dir)
-    e = (
+    e = eager_fill(
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
         .select("vec_id", "ed", _vec_norm(F.col("ed")).alias("nrm"))
         .persist()
     )
     # persist: the decision stage reads the assignment from both pair
-    # aliases (the dedup_semantic discipline).
-    asg = cells.select("vec_id", F.col("cid").alias("cluster")).persist()
+    # aliases (the dedup_semantic discipline) — eagerly filled so the
+    # aliases don't race the whole cell-assignment chain (which past
+    # the hierarchy switch is one grouped Arrow pass per fine level)
+    # inside the consuming action (round 15, VERDICT item 1).
+    asg = eager_fill(
+        cells.select("vec_id", F.col("cid").alias("cluster")).persist()
+    )
     out = semantic_drop_decisions(asg, e, SEMDEDUP_TAU).persist()
     out.count()  # materialize, then release the stage caches
     asg.unpersist()
@@ -2354,6 +2411,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     hwrel = docs.select(
         "doc_id", text_word_hash_udf()(F.col("text")).alias("hw")
     )
+    # persist both: sh feeds the explode AND both verify aliases; x
+    # feeds the df-cap agg AND both candidate-join aliases (no eager
+    # fill — measured a net cost in the r15 A/B).
     sh = hwrel.select(
         "doc_id",
         F.array_distinct(gram_hash_col(F.col("hw"), n=SHINGLE_SIZE)).alias(

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from piper_spark.registry import register
-from piper_spark.session import row_count, table
+from piper_spark.session import eager_fill, row_count, table
 
 #: PageRank geometry: ranks are integers scaled by 10¹² (exact across
 #: engines — no float sums), damping 0.85 as the exact rational
@@ -393,7 +393,9 @@ def triangle_counts(sym: DataFrame) -> DataFrame:
     dg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     du = dg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
     dv = dg.select(F.col("u").alias("_v"), F.col("d").alias("dv"))
-    # persist: read from three aliases by the wedge + closing joins.
+    # persist: read from three aliases by the wedge + closing joins —
+    # eagerly filled so the three consumer subtrees don't race the
+    # degree-orientation build inside one job (round 15, VERDICT 1).
     ori = (
         sym.join(du, sym["u"] == du["_u"])
         .join(dv, sym["v"] == dv["_v"])
@@ -404,6 +406,7 @@ def triangle_counts(sym: DataFrame) -> DataFrame:
         .select("u", "v")
         .persist()
     )
+    eager_fill(ori)
     e1 = ori.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = ori.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = ori.select(F.col("u").alias("x"), F.col("v").alias("z"))

@@ -335,7 +335,12 @@ def lsh_near_dup_pairs(
     exact-cosine verify over any (vec_id, ed array<double>) frame."""
     from piper_spark.functions.similarity import dot, l2_norm
 
-    bands = band_signatures(un, n_planes, bits_per_band)
+    # persist: BOTH candidate self-join aliases read the signature
+    # relation — without this each alias re-ran the n_planes-dot-
+    # product Arrow pass over the whole union (round 15; the plan
+    # showed sig(ed) twice). Caller-owned lifetime via clearCache,
+    # the dedup_minhash convention.
+    bands = band_signatures(un, n_planes, bits_per_band).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -405,7 +410,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall deterministically (tests/test_properties.py).
     """
     un = planted_union(spark, sf_dir).persist()
-    bands = band_signatures(un, _ANN_PLANES, _ANN_BITS)
+    # persist: the query-signature filter AND the bucket probe both
+    # read the signature relation — one Arrow signature pass, not two
+    # (round 15; see lsh_near_dup_pairs).
+    bands = band_signatures(un, _ANN_PLANES, _ANN_BITS).persist()
     qb = bands.filter(F.col("vec_id") == 0).select(
         F.col("band_id").alias("qband_id"), F.col("band_val").alias("qband_val")
     )

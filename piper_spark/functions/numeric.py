@@ -140,8 +140,17 @@ def with_fmix32(df: DataFrame, cols: dict[str, Column], keep: list[str]) -> Data
             f"% {M32}"
         )
 
+    # Backtick-quote every interpolated identifier (round-14 ADVICE 5):
+    # a `keep`/`cols` name that is a SQL reserved word or carries
+    # dots/spaces parsed fine under the old Column API and must keep
+    # doing so through selectExpr.
+    def q(n: str) -> str:
+        return f"`{n}`"
+
     def step(d: DataFrame, f) -> DataFrame:
-        return d.selectExpr(*keep, *[f"{f(n)} AS {n}" for n in names])
+        return d.selectExpr(
+            *[q(k_) for k_ in keep], *[f"{f(q(n))} AS {q(n)}" for n in names]
+        )
 
     d = step(d, lambda x: f"{x} ^ shiftright({x}, 16)")
     d = step(d, lambda x: _mul32_spark_sql(x, FMIX_MUL1))

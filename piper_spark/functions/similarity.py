@@ -39,7 +39,15 @@ def _no_aqe(spark: SparkSession):
     iterative fit pays it KMEANS_ITERS times per fit, per query). At
     cluster scale the static plan is identical work: the exchange
     carries k·(dims+2) int64s per map partition either way. Data-sized
-    shuffles keep AQE; only bounded model reductions opt out."""
+    shuffles keep AQE; only bounded model reductions opt out.
+
+    SINGLE-THREADED-SESSION ASSUMPTION (round-14 ADVICE 4): the
+    overrides are session-global runtime conf, not per-plan — a
+    concurrent query on the same session during a fit would plan with
+    AQE off and one reduce partition. The bench, the driver, and every
+    registered key run queries serially on the session; a deployment
+    sharing one session across threads must scope fits differently
+    (e.g. a dedicated session for model fitting)."""
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -171,9 +179,15 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + c_sq[None, :]
         return pd.Series(cids[np.argmin(d2, axis=1)])
 
-    return vectors.withColumn("cid", nearest(F.col("ed"))).select(
-        "vec_id", "ed", "cid"
-    )
+    # asNondeterministic (round 15, guide §4.4): the fn is
+    # deterministic, but the downstream probe join's inferred
+    # isnotnull(cid) filter was pushed below this node's projection and
+    # DUPLICATED the whole Arrow matmul pass (sim_ann_ivf's plan showed
+    # nearest(...) twice). The flag forbids the clone; values are
+    # identical.
+    return vectors.withColumn(
+        "cid", nearest.asNondeterministic()(F.col("ed"))
+    ).select("vec_id", "ed", "cid")
 
 
 #: Hard cap on codebook-training input: the sample is a bounded model-
@@ -1111,7 +1125,10 @@ def _km_kk_udf(cents: list[list[int]]):
 
 
 def lloyd_centroids(
-    vecs: DataFrame, dims: int = KM_DIMS, k: int = KMEANS_K
+    vecs: DataFrame,
+    dims: int = KM_DIMS,
+    k: int = KMEANS_K,
+    seeds_out: "list | None" = None,
 ) -> list[list[int]]:
     """Fixed-iteration Lloyd over the FULL (vec_id, xq) relation — the
     distributed production path `train_codebook`'s docstring promised:
@@ -1138,8 +1155,17 @@ def lloyd_centroids(
     # result-job chain (measured: 3 jobs for the seeds collect alone) —
     # the exchange carries ≤ k·(dims+2) int64s per map partition, so
     # there is nothing for AQE to adapt (see _no_aqe).
+    # The seeds TakeOrdered is a full pass over every partition, so on
+    # a freshly persisted `vecs` it doubles as the cache-fill action —
+    # callers no longer pay a separate count() job (round 15, VERDICT
+    # item 4). `seeds_out` hands the seed ROWS back to the caller: the
+    # k lowest vec_ids, so a consumer needing the vec_id = 0 query
+    # vector reads it from seeds_out[0] instead of running its own
+    # filter/head job (vec_id 0, when present, is the global minimum).
     with _no_aqe(vecs.sparkSession):
         seeds = vecs.orderBy("vec_id").limit(k).collect()
+        if seeds_out is not None:
+            seeds_out.extend(seeds)
         cents = [[int(v) for v in r["xq"]] for r in seeds]
         if not cents:
             return cents
@@ -1297,18 +1323,20 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _km_fit(spark: SparkSession, sf_dir: str):
+def _km_fit(spark: SparkSession, sf_dir: str, seeds_out: "list | None" = None):
     """Shared Lloyd preamble: the quantized vector relation (persisted
-    + eagerly counted — seeds, the sum rounds, and the downstream
-    assign all read it) and the fitted centroids.  EVERY caller must
-    unpersist `vecs` before returning: either immediately (codebook
-    consumers — the centroids are driver-side) or after materializing
-    its own, smaller result to hand the caller as the owned cache
-    (cluster_kmeans / sim_ann_kmeans, round-10 ADVICE 2).
+    and FILLED BY the seeds TakeOrdered — a full pass over every
+    partition, so the previous dedicated count() job is folded away;
+    round 15, VERDICT item 4) and the fitted centroids.  EVERY caller
+    must unpersist `vecs` before returning: either immediately
+    (codebook consumers — the centroids are driver-side) or after
+    materializing its own, smaller result to hand the caller as the
+    owned cache (cluster_kmeans / sim_ann_kmeans, round-10 ADVICE 2).
 
     The cell count is corpus-size-DERIVED (`derived_kmeans_k` over the
     parquet-footer row count — no Spark job), so every consumer of the
-    fit inherits the fixed-target-cell-size scale shape."""
+    fit inherits the fixed-target-cell-size scale shape. `seeds_out`
+    forwards the seed rows (see `lloyd_centroids`)."""
     from piper_spark.session import row_count
 
     k = derived_kmeans_k(row_count(spark, sf_dir, "embeddings"))
@@ -1317,11 +1345,7 @@ def _km_fit(spark: SparkSession, sf_dir: str):
         .select("vec_id", _km_xq_col().alias("xq"))
         .persist()
     )
-    # _no_aqe: the cache-fill count is a narrow exchange-free plan; AQE
-    # only adds its stage-wrapper jobs around it (measured 3 jobs → 1).
-    with _no_aqe(spark):
-        vecs.count()
-    return vecs, lloyd_centroids(vecs, k=k)
+    return vecs, lloyd_centroids(vecs, k=k, seeds_out=seeds_out)
 
 
 def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1696,7 +1720,10 @@ def sim_ann_kmeans(
     query.  Recall@10 vs exact `sim_topk` is asserted in tests.
     """
     owns_fit = _fit is None
-    vecs, cents = _km_fit(spark, sf_dir) if owns_fit else _fit
+    seed_rows: list = []
+    vecs, cents = (
+        _km_fit(spark, sf_dir, seeds_out=seed_rows) if owns_fit else _fit
+    )
     if not cents:
         if owns_fit:
             vecs.unpersist()
@@ -1704,7 +1731,19 @@ def sim_ann_kmeans(
     k = len(cents)
     if n_probes is None:
         n_probes = derived_probes(k)
-    q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
+    # The query vector is vec_id = 0; the seeds are the k LOWEST
+    # vec_ids, so when vec_id 0 exists it is seeds[0] — read it from
+    # the fit's own seed rows instead of a filter/head job (round 15,
+    # VERDICT item 4). A caller-supplied fit has no seed rows; that
+    # path keeps the (cache-backed) filter job.
+    if owns_fit:
+        q_row = (
+            seed_rows[0]
+            if seed_rows and int(seed_rows[0]["vec_id"]) == 0
+            else None
+        )
+    else:
+        q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
     if q_row is None:  # no query vector in a degenerate corpus
         if owns_fit:
             vecs.unpersist()
@@ -2171,7 +2210,7 @@ def ivf_cell_assignment(
         .select("vec_id", _km_xq_col().alias("xq"))
         .persist()
     )
-    vecs.count()
+    # Cache fill rides the seeds TakeOrdered inside lloyd_centroids.
     cents = lloyd_centroids(vecs, k=k1)
     k1 = len(cents)
     asg = vecs.select(
@@ -2182,7 +2221,7 @@ def ivf_cell_assignment(
 
 
 def hier_fit(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, seeds_out: "list | None" = None
 ) -> "tuple[DataFrame, list[list[int]], DataFrame]":
     """(vecs, coarse_cents, nodes): the hierarchical IVF fit whose
     LEVEL-≥2 MODEL STATE IS A RELATION — the scale move past the
@@ -2219,8 +2258,9 @@ def hier_fit(
         .select("vec_id", _km_xq_col().alias("xq"))
         .persist()
     )
-    vecs.count()
-    cents = lloyd_centroids(vecs, k=k1)
+    # Cache fill rides the seeds TakeOrdered inside lloyd_centroids
+    # (full pass over every partition) — no dedicated count() job.
+    cents = lloyd_centroids(vecs, k=k1, seeds_out=seeds_out)
     if not cents:
         return vecs, cents, spark.createDataFrame(
             [], "vec_id long, cid long, fc array<long>"
@@ -2750,11 +2790,18 @@ def sim_ann_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     empty_schema = "vec_id long, cos_sim double"
     n = row_count(spark, sf_dir, "embeddings")
-    vecs, cents, nodes = hier_fit(spark, sf_dir)
+    seed_rows: list = []
+    vecs, cents, nodes = hier_fit(spark, sf_dir, seeds_out=seed_rows)
     if not cents:
         vecs.unpersist()
         return spark.createDataFrame([], empty_schema)
-    q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
+    # vec_id = 0, when present, is the first seed row — no filter/head
+    # job (round 15, VERDICT item 4; see sim_ann_kmeans).
+    q_row = (
+        seed_rows[0]
+        if seed_rows and int(seed_rows[0]["vec_id"]) == 0
+        else None
+    )
     if q_row is None:
         vecs.unpersist()
         return spark.createDataFrame([], empty_schema)
@@ -2908,15 +2955,22 @@ def sim_ivf_pq(
     if n == 0:
         return spark.createDataFrame([], empty_schema)
     two_level = n > HIER_SWITCH_N
+    seed_rows: list = []
     if two_level:
-        vecs, cents, nodes = hier_fit(spark, sf_dir)
+        vecs, cents, nodes = hier_fit(spark, sf_dir, seeds_out=seed_rows)
     else:
-        vecs, cents = _km_fit(spark, sf_dir)
+        vecs, cents = _km_fit(spark, sf_dir, seeds_out=seed_rows)
     if not cents:
         vecs.unpersist()
         return spark.createDataFrame([], empty_schema)
     k = len(cents)
-    q_row = vecs.filter(F.col("vec_id") == 0).select("xq").head()
+    # vec_id = 0, when present, is the first seed row — no filter/head
+    # job (round 15, VERDICT item 4; see sim_ann_kmeans).
+    q_row = (
+        seed_rows[0]
+        if seed_rows and int(seed_rows[0]["vec_id"]) == 0
+        else None
+    )
     if q_row is None:
         vecs.unpersist()
         return spark.createDataFrame([], empty_schema)

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from piper_spark.registry import register
-from piper_spark.session import fan_out, table
+from piper_spark.session import eager_fill, fan_out, table
 
 #: High-frequency filler words in the synthetic corpus (FIXTURES.md vocab).
 STOPWORDS = ("the", "a")
@@ -1033,7 +1033,19 @@ def text_word_hash_udf():
                     off += c
             return pd.Series(res, dtype=object)
 
-        _WORD_HASH_UDFS["text_arr"] = text_word_hashes
+        # asNondeterministic (round 15, guide §4.4): the UDF IS
+        # deterministic, but leaving it eligible for optimizer
+        # duplication meant every Generate over a gram fold derived
+        # from this column INFERRED a size/notnull filter and pushed
+        # it below the fan-out Exchange — re-evaluating the WHOLE
+        # Arrow pass a second time below the shuffle and the zip_with
+        # gram fold twice more inside the filter condition (measured
+        # on dedup_substring: 2× ArrowEvalPython + 3× fold → 1× + 1×,
+        # wall ~4.3–7 s → ~3.0–3.4 s; same shape on every
+        # _gram_arrays/winnow consumer). Results are value-identical —
+        # the flag only forbids the optimizer from duplicating or
+        # reordering the call.
+        _WORD_HASH_UDFS["text_arr"] = text_word_hashes.asNondeterministic()
     return _WORD_HASH_UDFS["text_arr"]
 
 
@@ -1065,7 +1077,11 @@ def words_hash_udf():
                     off += c
             return pd.Series(res, dtype=object)
 
-        _WORD_HASH_UDFS["words_arr"] = words_hashes
+        # asNondeterministic: same §4.4 duplication guard as
+        # text_word_hash_udf — the spine consumers explode this
+        # column, and the Generate-inferred filter would otherwise
+        # clone the Arrow pass below the fan-out exchange.
+        _WORD_HASH_UDFS["words_arr"] = words_hashes.asNondeterministic()
     return _WORD_HASH_UDFS["words_arr"]
 
 
@@ -1544,7 +1560,10 @@ def substring_clean_rel(d: DataFrame) -> DataFrame:
     from piper_spark.functions.dedup import SUBSTR_MAX_DF, SUBSTR_MIN_RUN
 
     spread = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
-    v = gram_rel(spread).persist()
+    # eager_fill: the df-cap aggregate + both self-join aliases fan in
+    # on this cache in one action — filled once instead of raced 3×
+    # (round 15, VERDICT items 1+6).
+    v = eager_fill(gram_rel(spread).persist())
     rare = (
         v.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -2069,7 +2088,8 @@ def text_self_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # persist: occurrence-cap agg + both self-join aliases read it.
+    # persist: occurrence-cap agg + both self-join aliases read it
+    # (no eager fill — measured a net cost in the r15 A/B).
     v = gram_rel(docs).persist()
     occ = (
         v.groupBy("doc_id", "g")

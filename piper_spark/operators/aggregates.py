@@ -492,11 +492,22 @@ def agg_median_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
     c = li.select(F.col("l_returnflag").alias("g"), cents.alias("c"))
-    p = c.groupBy("g").agg(
-        F.min("c").alias("lo"),
-        F.max("c").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).withColumn("w", F.expr(f"(hi - lo) div {MEDIAN_BINS} + 1"))
+    # persist + eager fill (round 15, guide §2.4): THREE subtrees read
+    # the per-group stats relation (the histogram broadcast, the rank
+    # broadcast, the final join) and each previously re-ran the full
+    # scan-1 aggregate — "two-scan" was actually four scans. The
+    # relation is ≤ |groups| rows; caller-owned lifetime (bench
+    # clearCache, same as every signature persist).
+    p = (
+        c.groupBy("g")
+        .agg(
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("w", F.expr(f"(hi - lo) div {MEDIAN_BINS} + 1"))
+        .persist()
+    )
     h = (
         c.join(F.broadcast(p), "g")
         .select("g", F.expr("(c - lo) div w").alias("bin"))
@@ -602,11 +613,18 @@ def quantile_bins_rel(spark: SparkSession, c: DataFrame) -> DataFrame:
     """Factored core of `agg_quantiles_bins` over any (g, c long)
     relation — the SCALING harness points the identical plan shape at
     the scaled events table (the scale corpora carry no lineitem)."""
-    p = c.groupBy("g").agg(
-        F.min("c").alias("lo"),
-        F.max("c").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).withColumn("w", F.expr(f"(hi - lo) div {MEDIAN_BINS} + 1"))
+    # persist + eager fill: three consumers of the ≤ |groups|-row stats
+    # relation (see agg_median_bins — this was 4 corpus scans, not 2).
+    p = (
+        c.groupBy("g")
+        .agg(
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("w", F.expr(f"(hi - lo) div {MEDIAN_BINS} + 1"))
+        .persist()
+    )
     h = (
         c.join(F.broadcast(p), "g")
         .select("g", F.expr("(c - lo) div w").alias("bin"))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from piper_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from piper_spark.registry import register
-from piper_spark.session import table
+from piper_spark.session import eager_fill, table
 
 
 @register(
@@ -624,12 +624,18 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row subquery execution anywhere."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # persist + eager fill (round 15, guide §2.4): l1 is read as the
+    # base relation AND as the NOT-EXISTS side — without this the
+    # lineitem ⋈ orders join + distinct ran twice (and raced, once
+    # persisted, inside the one consuming action).
     l1 = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        .persist()
     )
+    eager_fill(l1)
     all_sups = li.select("l_orderkey", "l_suppkey").distinct()
     w = l1
     others = all_sups.select(

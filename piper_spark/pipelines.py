@@ -40,7 +40,7 @@ from piper_spark.functions.dedup import (
     minhash_signatures,
 )
 from piper_spark.registry import register
-from piper_spark.session import table
+from piper_spark.session import eager_fill, table
 from piper_spark.sources.sinks import write_partitioned
 
 
@@ -329,6 +329,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     gated = g.filter(F.col("doc_id") % 97 != 0).persist()
+    eager_fill(gated)  # read by the decontam probe + the anti-join (VERDICT 1)
     # Size-gated strategy (decontam_semi_join): broadcast only while
     # the footer-derived eval gram bound fits — this fixture's % 97
     # eval set grows WITH the corpus, so an unconditional broadcast
@@ -349,6 +350,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = gated.join(contaminated, "doc_id", "left_anti").persist()
+    eager_fill(clean)  # read by the keeper agg + the dedup semi-join
     keeper = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     ded = clean.join(keeper, ["text", "doc_id"], "left_semi")
     split = F.when(F.col("doc_id") % 100 < 80, F.lit("train")).otherwise(

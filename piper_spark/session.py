@@ -78,6 +78,11 @@ def _derived_shuffle_partitions(input_bytes: int, cpus: int) -> int:
     the 26 heaviest sf0.1 keys: 8 partitions 111.1 s total vs 16:
     119.9 s vs 32: 133.5 s (the iterative graph family is the extreme:
     `graph_cc` 2.7 s at 8 vs 6.1 s at 32 — ~10 tiny shuffles per run).
+    RE-PINNED round 15 on the current host (VERDICT item 7,
+    interleaved median-of-5 over the same key set,
+    `scripts/ab_shuffle_floor.py`, artifact AB_FLOOR_r15.json):
+    totals 8 → 66.0 s, 16 → 69.9 s, 32 → 88.1 s — cpus/4 stands
+    (graph_cc again the extreme: 2.06 / 3.20 / 5.85 s).
     The cpus/4 floor keeps reduce stages from serializing outright;
     the 4·cpus cap bounds task count once the byte-derived count takes
     over (≥ 128 MiB input); past 1 GiB AQE coalescing owns the
@@ -95,19 +100,25 @@ def get_spark(app_name: str = "piper_spark") -> SparkSession:
     with `_derived_shuffle_partitions` for sub-threshold ones.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # `local[*]` is valid for the master string but not int() — map it
+    # to the machine's core count for the partition math (ADVICE r14).
+    try:
+        n_cpus = int(cpus)
+    except ValueError:
+        n_cpus = os.cpu_count() or 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     input_bytes = _dir_bytes(sf_dir)
     small = 0 < input_bytes < ADAPTIVE_MIN_INPUT_BYTES
     aqe = "false" if small else "true"
     if small:
-        shuffle_parts = _derived_shuffle_partitions(input_bytes, int(cpus))
+        shuffle_parts = _derived_shuffle_partitions(input_bytes, n_cpus)
     else:
         # AQE branch: coalescing only merges DOWN from the configured
         # count, so start it byte-derived (~128 MiB per partition,
         # floored at 2·cpus) rather than at the local core count —
         # the guide §2.2 "fewer, larger reduce partitions" target with
         # headroom for AQE to pick the final number at runtime.
-        shuffle_parts = max(2 * int(cpus), input_bytes // (128 << 20))
+        shuffle_parts = max(2 * n_cpus, input_bytes // (128 << 20))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -144,12 +155,64 @@ def fan_out(df: DataFrame) -> DataFrame:
     round-robin exchange — a full pass over the corpus — is never
     paid where the input layout already feeds every core; locally it
     is the difference between 1 busy core and all of them.
+
+    PRECONDITION (round 15, ADVICE 2): the partition probe
+    (`df.rdd.getNumPartitions()`) is only safe on NARROW plans — on a
+    plan containing an Exchange under AQE, `.rdd` eagerly executes the
+    query stages and discards the result (silent double-execution).
+    Every call site passes a scan-rooted projection; the guard below
+    enforces it structurally: a plan that already contains an Exchange
+    is returned unchanged WITHOUT the `.rdd` probe (its partitioning
+    was set by that shuffle — `spark.sql.shuffle.partitions` or a
+    repartition — so the spread would be redundant anyway). The probe
+    inspects `executedPlan` — the PREPARED physical plan, after
+    EnsureRequirements has inserted the join/aggregate exchanges that
+    `sparkPlan` does not yet show — which is planned but NOT executed
+    (under AQE it is the unexecuted AdaptiveSparkPlan wrapper; query
+    stages only run on a real action).
     """
     sess = df.sparkSession
     p = sess.sparkContext.defaultParallelism
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     if df.rdd.getNumPartitions() >= p:
         return df
     return df.repartition(p)
+
+
+def eager_fill(df: DataFrame) -> DataFrame:
+    """Materialize a PERSISTED multi-consumer relation with one
+    dedicated job BEFORE its consumers fan in (guide §5 persist
+    discipline; round 15, VERDICT item 1).
+
+    When several subtrees of ONE action read the same
+    persisted-but-unfilled relation, the independent stages race to
+    fill the cache: each racing task recomputes the partition it needs,
+    so k consumers pay up to k× the build — and the more cores, the
+    more concurrent racers (the round-14 driver measured
+    `pipeline_near_dedup` at 34.6 s on 32 cores vs 3.4 s on 8 for the
+    same code; the spread of the race is the whole gap). One `count()`
+    fills every partition exactly once; every consumer then reads the
+    cache. Costs one scheduling round-trip, which is worth paying
+    exactly when the persisted build is expensive — i.e. whenever
+    persisting it was worth it in the first place. Returns the same
+    DataFrame for chaining; the caller still owns the cache lifetime.
+
+    Local-mode caveat, measured this round: a single executor's
+    per-block compute locks already serialize racing fills (the second
+    task BLOCKS and then reads the block), so locally a fill mostly
+    costs its one extra job — the A/B in OPTIMIZATION_r15.md decides
+    per site. On a multi-executor cluster the racing stages sit on
+    DIFFERENT executors and genuinely duplicate the build, which is
+    where this discipline pays. `SPARK_GRAFT_EAGER_FILL=0` disables
+    every fill (the measurement hook for that A/B).
+    """
+    if _EAGER_FILL_ENABLED:
+        df.count()
+    return df
+
+
+_EAGER_FILL_ENABLED = os.environ.get("SPARK_GRAFT_EAGER_FILL", "1") != "0"
 
 
 #: (session, sf_dir, table) → analyzed DataFrame. Session-lifetime PLAN
@@ -163,7 +226,16 @@ def fan_out(df: DataFrame) -> DataFrame:
 #: resolved from a shared metastore schema. Keyed on the live session
 #: object (plans are session-bound) + path, so a restarted session or a
 #: different sf_dir re-reads the footer.
-_TABLE_MEMO: "dict[tuple[SparkSession, str, str], DataFrame]" = {}
+#: Weak-keyed on the session (round-14 ADVICE 3): a stopped session's
+#: plans must not stay pinned for process lifetime. Data under sf_dir
+#: is assumed immutable for the session's lifetime — the standing
+#: testdata contract (the driver generates each SF once); a deployment
+#: rewriting inputs mid-session must use a fresh session (or path).
+import weakref
+
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -185,8 +257,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session the caller (e.g. the driver) hands us, or every
     # date_trunc/window bucket shifts on a non-UTC host.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    memo_key = (spark, sf_dir, name)
-    cached = _TABLE_MEMO.get(memo_key)
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    memo_key = (sf_dir, name)
+    cached = per_session.get(memo_key)
     if cached is not None:
         return cached
     if name == "events":
@@ -211,10 +284,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        _TABLE_MEMO[memo_key] = df
+        per_session[memo_key] = df
         return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    _TABLE_MEMO[memo_key] = df
+    per_session[memo_key] = df
     return df
 
 

@@ -3880,9 +3880,13 @@ def dedup_phash_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_for_decode(
         with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
     )
+    # persist: the probe side AND the band side both read the hash
+    # relation — without this the whole image-decode Arrow pass ran
+    # once per join side (round 15; the plan showed the MapInPandas
+    # twice). Two longs per doc; caller-owned lifetime via clearCache.
     hashes = d.mapInPandas(
         _phash_int_plant_batches, schema="doc_id long, phash long"
-    )
+    ).persist()
 
     def window(w: int):
         return F.shiftrightunsigned("phash", 16 * w).bitwiseAND(F.lit(65535))

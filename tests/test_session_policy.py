@@ -75,3 +75,61 @@ def test_table_memo_keyed_on_dir_and_name(spark):
         table(spark, "/root/testdata/sf0.01", "lineitem").count()
         != table(spark, SF_SMOKE, "lineitem").count()
     )
+
+
+def test_fan_out_skips_shuffled_plans(spark):
+    """Round-15 (ADVICE 2): a plan already containing an Exchange comes
+    back UNCHANGED and unprobed — `.rdd` on an Exchange-bearing plan
+    under AQE eagerly executes its query stages, so fan_out must never
+    touch one (its partitioning was set by the shuffle anyway)."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        spark.range(0, 100, 1, 2)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .count()
+    )
+    assert fan_out(agg) is agg
+    rep = spark.range(0, 100, 1, 2).repartition(3)
+    assert fan_out(rep) is rep
+
+
+def test_eager_fill_returns_same_relation(spark):
+    """Round-15 (VERDICT 1): eager_fill is a pure materialization — the
+    SAME DataFrame comes back (caller keeps the cache handle) and the
+    rows are untouched."""
+    from piper_spark.session import eager_fill
+
+    df = spark.range(0, 57).selectExpr("id", "id * 3 AS t").persist()
+    out = eager_fill(df)
+    assert out is df
+    assert sorted(r["t"] for r in out.collect()) == [
+        3 * i for i in range(57)
+    ]
+    df.unpersist()
+
+
+def test_lloyd_seeds_out_rows_are_lowest_vec_ids(spark):
+    """Round-15 (VERDICT 4): lloyd_centroids hands the seed ROWS back —
+    the k lowest vec_ids with their xq — so consumers read the
+    vec_id = 0 query vector from seeds_out[0] instead of running a
+    filter/head job. Seeds must equal the initial centroids."""
+    from piper_spark.functions.similarity import (
+        _km_xq_col,
+        lloyd_centroids,
+    )
+
+    vecs = (
+        table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", _km_xq_col().alias("xq"))
+        .persist()
+    )
+    seeds: list = []
+    cents = lloyd_centroids(vecs, k=4, seeds_out=seeds)
+    assert [int(r["vec_id"]) for r in seeds] == sorted(
+        int(r["vec_id"]) for r in seeds
+    )
+    assert int(seeds[0]["vec_id"]) == 0  # fixture vec_ids are 0-based
+    assert len(seeds) == len(cents) == 4
+    assert all(len(r["xq"]) > 0 for r in seeds)  # rows carry xq
+    vecs.unpersist()
