@@ -1305,9 +1305,12 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
+    # persist: the MODEL aggregate and the scoring join's probe side
+    # both read the bigram relation — one explode pass instead of two
+    # (round 15; the text_dup_grams persist discipline).
     b = d.select("doc_id", F.explode(bigrams).alias("bg")).select(
         "doc_id", "bg.w1", "bg.w2"
-    )
+    ).persist()
     model = (
         b.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
@@ -1392,25 +1395,25 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-finder — the other half of the dedup story: near-dup ops drop
     whole documents, this removes repeated fragments inside kept ones.
 
-    Shape: zero-shuffle gram explode → gram-keyed df agg (the boiler
-    relation) → gram equi-join back → covered-position explode +
-    distinct → (doc_id, pos)-keyed left join onto the token stream →
-    one per-doc agg that rebuilds the cleaned text ORDER-DETERMINISTIC
-    via array_sort over (pos, word, keep) structs (collect_list alone
-    has no order guarantee). Every stage is a keyed shuffle; the boiler
-    relation is corpus-derived state sharded by gram — never broadcast
-    blindly at 100 TB."""
+    Shape: zero-shuffle gram explode (persisted — the df agg AND the
+    join-back read the same relation, one Generate instead of two) →
+    gram-keyed df agg (the boiler relation) → gram equi-join back →
+    covered-position explode → ONE doc-keyed collect_set of covered
+    positions → doc-LEVEL left join onto the documents table, where the
+    cleaned text is rebuilt with array functions over the words array
+    (filter by 1-based index). Token rows never cross an exchange: the
+    old shape shuffled EVERY token through a (doc_id, pos) join plus a
+    collect_list/array_sort aggregate; now only boiler-covered
+    positions (a small fraction) are shuffled, keyed by doc_id. Every
+    stage is a keyed shuffle; the boiler relation is corpus-derived
+    state sharded by gram — never broadcast blindly at 100 TB."""
     # Round-robin spread before the explode-heavy map side (the
     # pipeline_curate pattern): a one-split test input would otherwise
     # run the gram explosion on a single core; at real scale the
     # input's own splits make this shuffle noise next to the work.
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    base = table(spark, sf_dir, "documents")
+    d = base.repartition(spark.sparkContext.defaultParallelism)
     w = words_col()
-    toks = d.select(
-        "doc_id", F.posexplode(w).alias("pos0", "word")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
     n5 = F.greatest(F.size(w) - (BOILER_N - 1), F.lit(0))
     gram5 = F.transform(
         F.sequence(F.lit(1), n5),
@@ -1421,14 +1424,18 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.when(n5 >= 1, gram5).otherwise(F.array().cast("array<string>"))
         ).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram").persist()
     boiler = (
         valid.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= BOILER_DF)
         .select("gram")
     )
-    hits = (
+    # Per-doc covered-position SET (collect_set dedups overlapping
+    # covers, replacing the old row-level distinct + its extra
+    # exchange); cpos is always within [1, n_words] because pos <=
+    # n_words - (BOILER_N - 1), so size(cov) IS the boiler word count.
+    covers = (
         valid.join(boiler, "gram")
         .select(
             "doc_id",
@@ -1436,33 +1443,33 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("pos"), F.col("pos") + (BOILER_N - 1))
             ).alias("cpos"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("cpos").alias("cov"))
     )
-    marked = toks.join(
-        hits,
-        (toks.doc_id == hits.doc_id) & (toks.pos == hits.cpos),
-        "left",
-    ).select(
-        toks.doc_id, toks.pos, "word", F.col("cpos").isNull().alias("keep")
+    # Doc-level reassembly: rebuild the cleaned text from the words
+    # array in place (pos order = array order), no token-level shuffle.
+    # The isNotNull filter mirrors the old explode semantics: a NULL
+    # text produced zero token rows (and no output row) before.
+    docs = base.filter(F.col("text").isNotNull()).select(
+        "doc_id", w.alias("ws")
     )
-    ordered = F.array_sort(
-        F.collect_list(F.struct("pos", "word", "keep"))
+    joined = docs.join(covers, "doc_id", "left").select(
+        "doc_id", "ws", F.coalesce("cov", F.array().cast("array<int>")).alias("cov")
     )
+    n_boiler = F.size("cov")
     cleaned = F.concat_ws(
         " ",
-        F.transform(
-            F.filter(ordered, lambda x: x.keep), lambda x: x.word
+        F.filter(
+            F.col("ws"),
+            lambda x, i: ~F.array_contains(F.col("cov"), i + F.lit(1)),
         ),
     )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_boiler_words"),
+    return joined.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        n_boiler.cast("long").alias("n_boiler_words"),
         F.round(
-            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
-            4,
+            n_boiler.cast("double") / F.size("ws"), 4
         ).alias("boiler_ratio"),
         cleaned.alias("cleaned"),
     )
@@ -1599,34 +1606,42 @@ def substring_clean_rel(d: DataFrame) -> DataFrame:
         )
         .filter(F.col("run_len") >= SUBSTR_MIN_RUN)
     )
-    hits = (
+    # Per-doc covered-position SET (collect_set dedups overlapping
+    # island spans — the old row-level distinct + token join without
+    # either exchange); covered positions are within [1, n_words] by
+    # construction (a 3-gram at p2 exists only when p2+2 <= n_words).
+    covers = (
         ext.select(
             F.col("id2").alias("doc_id"),
             F.explode(F.sequence(F.col("s2"), F.col("e2"))).alias("cpos"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("cpos").alias("cov"))
     )
+    # Doc-level reassembly (the text_boilerplate round-15 shape):
+    # rebuild the cleaned text from the words array in place — token
+    # rows never cross an exchange. isNotNull mirrors the old explode
+    # semantics (NULL text produced no token rows, hence no output row).
     w = words_col()
-    toks = spread.select(
-        "doc_id", F.posexplode(w).alias("pos0", "word")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    marked = toks.join(
-        hits,
-        (toks.doc_id == hits.doc_id) & (toks.pos == hits.cpos),
-        "left",
-    ).select(
-        toks.doc_id, toks.pos, "word", F.col("cpos").isNull().alias("keep")
+    docs = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", w.alias("ws")
     )
-    ordered = F.array_sort(F.collect_list(F.struct("pos", "word", "keep")))
+    joined = docs.join(covers, "doc_id", "left").select(
+        "doc_id",
+        "ws",
+        F.coalesce("cov", F.array().cast("array<int>")).alias("cov"),
+    )
     cleaned = F.concat_ws(
         " ",
-        F.transform(F.filter(ordered, lambda x: x.keep), lambda x: x.word),
+        F.filter(
+            F.col("ws"),
+            lambda x, i: ~F.array_contains(F.col("cov"), i + F.lit(1)),
+        ),
     )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_removed_words"),
+    return joined.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size("cov").cast("long").alias("n_removed_words"),
         cleaned.alias("cleaned"),
     )
 
@@ -1747,9 +1762,8 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     no covered-position explode is needed at all (lines don't
     overlap). Real corpora with physical newlines swap the chunker for
     split(text, '\\n') — every stage downstream is unchanged."""
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    base = table(spark, sf_dir, "documents")
+    d = base.repartition(spark.sparkContext.defaultParallelism)
     t = d.select("doc_id", words_col().alias("ws"))
     ws = F.col("ws")
     nl = F.expr(f"(size(ws) + {LINE_WORDS - 1}) div {LINE_WORDS}")
@@ -1759,26 +1773,42 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(ws, i * LINE_WORDS + 1, F.lit(LINE_WORDS))
         ),
     )
-    l = t.select("doc_id", F.posexplode(lines).alias("lno", "line"))
+    # persist: the df aggregate AND the hit join's probe side read the
+    # line relation — one chunk+explode pass instead of two (round 15).
+    l = t.select("doc_id", F.posexplode(lines).alias("lno", "line")).persist()
     boiler = (
         l.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= BOILER_DF)
-        .select("line", F.lit(1).alias("hit"))
+        .select("line")
     )
-    marked = l.join(boiler, "line", "left").select(
-        "doc_id", "lno", "line", F.col("hit").isNull().alias("keep")
+    # Doc-level reassembly (the text_boilerplate round-15 shape): only
+    # REMOVED line numbers cross an exchange; the cleaned text is
+    # rebuilt from the recomputed lines array in place (lno order =
+    # array order, lno is 0-based).
+    covers = (
+        l.join(boiler, "line")
+        .groupBy("doc_id")
+        .agg(F.collect_set("lno").alias("cov"))
     )
-    ordered = F.array_sort(F.collect_list(F.struct("lno", "line", "keep")))
+    docs = base.filter(F.col("text").isNotNull()).select(
+        "doc_id", words_col().alias("ws")
+    )
+    joined = docs.join(covers, "doc_id", "left").select(
+        "doc_id",
+        "ws",
+        F.coalesce("cov", F.array().cast("array<int>")).alias("cov"),
+    )
     cleaned = F.concat_ws(
         " ",
-        F.transform(F.filter(ordered, lambda x: x.keep), lambda x: x.line),
+        F.filter(
+            lines, lambda x, i: ~F.array_contains(F.col("cov"), i)
+        ),
     )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_removed_lines"),
+    return joined.select(
+        "doc_id",
+        nl.cast("long").alias("n_lines"),
+        F.size("cov").cast("long").alias("n_removed_lines"),
         cleaned.alias("cleaned"),
     )
 
@@ -2085,9 +2115,8 @@ def text_self_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     inspection (the Gopher dup-fraction gates already kill it). Every
     stage is keyed by doc_id — embarrassingly parallel over the scan,
     window state bounded by matches per diagonal."""
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    base = table(spark, sf_dir, "documents")
+    docs = base.repartition(spark.sparkContext.defaultParallelism)
     # persist: occurrence-cap agg + both self-join aliases read it
     # (no eager fill — measured a net cost in the r15 A/B).
     v = gram_rel(docs).persist()
@@ -2128,7 +2157,7 @@ def text_self_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        docs.select("doc_id")
+        base.select("doc_id")
         .join(r, "doc_id", "left")
         .select(
             "doc_id",
@@ -2388,14 +2417,21 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side collect.
 
     Scale: one vocabulary shuffle for word freqs (Heaps-law sublinear),
-    one bounded pair aggregate, then a per-word codegen replace chain —
-    a free rider on the scan, the `text_tokens` profile.
+    one bounded pair aggregate, then the char-split + replace chain
+    applied ONCE PER DISTINCT WORD (the persisted vocabulary relation —
+    its result is a pure function of the word, so running it per
+    occurrence paid the regex + 5 replaces corpus-many times for
+    vocab-many distinct answers; guide §1.2 per-task work). Per-doc
+    sums come from one equi-join of the token stream against the
+    vocab-sized (w, n_tokens) relation — the join is by the same key
+    the freq aggregate already shuffles on.
     """
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(words_col()).alias("w")).filter(
         F.length("w") >= 1
     )
-    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    # Persisted: feeds the merge-table chain AND the per-word encode.
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f")).persist()
     pos = wf.filter(F.length("w") >= 2).select(
         "w", "f", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
     )
@@ -2420,11 +2456,6 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("a", "b")
         ]
     )
-    enc0 = words.select(
-        "doc_id",
-        F.length("w").alias("n_chars_w"),
-        F.concat(F.lit(" "), F.regexp_replace("w", "(?s)(.)", "$1 ")).alias("e"),
-    )
     apply_expr = "e"
     for r in range(1, BPE_ENCODE_MERGES + 1):
         # NULL-guarded like the oracle: a missing rank is a no-op, not
@@ -2434,17 +2465,35 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE replace(({apply_expr}), concat(' ', a{r}, ' ', b{r}, ' '), "
             f"concat(' ', a{r}, b{r}, ' ')) END"
         )
-    enc = enc0.crossJoin(F.broadcast(merges)).select(
-        "doc_id", "n_chars_w", F.expr(apply_expr).alias("e")
+    # Per-DISTINCT-word encode: same char-split + replace chain the
+    # per-occurrence form ran, now over the vocab relation only.
+    enc_w = (
+        wf.select(
+            "w",
+            F.concat(
+                F.lit(" "), F.regexp_replace("w", "(?s)(.)", "$1 ")
+            ).alias("e"),
+        )
+        .crossJoin(F.broadcast(merges))
+        .select("w", F.expr(apply_expr).alias("e"))
     )
     toks = (
         F.length(F.trim(F.col("e")))
         - F.length(F.regexp_replace(F.trim(F.col("e")), " ", ""))
         + 1
     )
-    return enc.groupBy("doc_id").agg(
-        F.sum("n_chars_w").cast("long").alias("n_chars"),
-        F.sum(toks).cast("long").alias("n_tokens"),
+    wtok = enc_w.select(
+        "w",
+        F.length("w").alias("n_chars_w"),
+        toks.alias("n_tokens_w"),
+    )
+    return (
+        words.join(wtok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_chars_w").cast("long").alias("n_chars"),
+            F.sum("n_tokens_w").cast("long").alias("n_tokens"),
+        )
     )
 
 

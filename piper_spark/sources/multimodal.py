@@ -35,6 +35,7 @@ Numeric semantics mirrored from the reference (tested in tests/):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import numpy as np
@@ -589,6 +590,26 @@ _JPEG_ACP_VALS = _JPEG_AC_VALS + [n << 4 for n in range(1, 15)]
 _JPEG_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_ACP_VALS)] + [0] * 8
 
 
+@functools.lru_cache(maxsize=1)
+def _jpeg_encoder_codes() -> tuple[dict, dict]:
+    """The encoder's inverted sym → (code, len) dicts for the fixed
+    engine tables — a pure function of module constants, built once
+    instead of per encode_jpeg call (round-15 profile)."""
+    dc = {
+        sym: (code, ln)
+        for (ln, code), sym in _jpeg_canonical_codes(
+            _JPEG_DC_BITS, _JPEG_DC_VALS
+        ).items()
+    }
+    ac = {
+        sym: (code, ln)
+        for (ln, code), sym in _jpeg_canonical_codes(
+            _JPEG_AC_BITS, _JPEG_AC_VALS
+        ).items()
+    }
+    return dc, ac
+
+
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
     unstuffing and restart-marker awareness."""
@@ -626,11 +647,31 @@ class _JpegBitReader:
         return v
 
     def huff(self, table: dict[tuple[int, int], int]) -> int:
+        # Bit-identical to the one-bits(1)-per-bit walk, with the bit
+        # accumulator held in locals: the per-symbol method-call and
+        # masking overhead was ~half the scan-decode time (round-15
+        # profile). Fills stay lazy — one byte at a time, only when the
+        # accumulator runs dry — so a restart marker directly after a
+        # completed symbol is still never touched mid-symbol.
+        acc = self.acc
+        nbits = self.nbits
         code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bits(1)
-            sym = table.get((length, code))
+        length = 0
+        get = table.get
+        while length < 16:
+            if nbits == 0:
+                self.acc = 0
+                self.nbits = 0
+                self._fill()
+                acc = self.acc
+                nbits = self.nbits
+            nbits -= 1
+            code = (code << 1) | ((acc >> nbits) & 1)
+            length += 1
+            sym = get((length, code))
             if sym is not None:
+                self.acc = acc & ((1 << nbits) - 1)
+                self.nbits = nbits
                 return sym
         raise ValueError("invalid huffman code in JPEG stream")
 
@@ -1033,39 +1074,51 @@ class _JpegBitWriter:
 
 def _jpeg_encode_block(
     writer: _JpegBitWriter,
-    zz: np.ndarray,
+    zz: "np.ndarray | list[int]",
     pred: int,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
 ) -> int:
-    """Entropy-encode one zigzagged quantized block; returns its DC."""
-    diff = int(zz[0]) - pred
-    t = int(abs(diff)).bit_length()
+    """Entropy-encode one zigzagged quantized block; returns its DC.
+
+    Pure-Python over a plain int list: the per-block numpy reductions
+    (np.any / np.nonzero / per-element int() extraction) were ~2/3 of
+    the encoder's time on 64-element blocks (round-15 profile; guide
+    §4.2 — per-batch numpy pays off on big arrays, not 64 ints)."""
+    vals = zz if isinstance(zz, list) else zz.tolist()
+    dc = vals[0]
+    diff = dc - pred
+    t = abs(diff).bit_length()
     code, ln = dc_codes[t]
     writer.put(code, ln)
     if t:
         writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    # Last nonzero AC index (0 when the ACs are all zero, matching the
+    # old max(nonzero) semantics for the EOB decision).
+    last = 0
+    for k in range(63, 0, -1):
+        if vals[k]:
+            last = k
+            break
     run = 0
-    last = max(np.nonzero(zz)[0]) if np.any(zz) else 0
-    for k in range(1, 64):
-        v = int(zz[k])
+    for k in range(1, last + 1):
+        v = vals[k]
         if v == 0:
-            if k > last:
-                code, ln = ac_codes[0x00]  # EOB
-                writer.put(code, ln)
-                break
             run += 1
             continue
         while run >= 16:
             code, ln = ac_codes[0xF0]  # ZRL
             writer.put(code, ln)
             run -= 16
-        size = int(abs(v)).bit_length()
+        size = abs(v).bit_length()
         code, ln = ac_codes[(run << 4) | size]
         writer.put(code, ln)
         writer.put(v if v >= 0 else v + (1 << size) - 1, size)
         run = 0
-    return int(zz[0])
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        writer.put(code, ln)
+    return dc
 
 
 class _JpegProgAC:
@@ -1358,14 +1411,7 @@ def encode_jpeg(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    dc_codes = {
-        sym: (code, ln)
-        for (ln, code), sym in _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS).items()
-    }
-    ac_codes = {
-        sym: (code, ln)
-        for (ln, code), sym in _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS).items()
-    }
+    dc_codes, ac_codes = _jpeg_encoder_codes()
 
     comp_blocks = []
     for (hs, vs), plane in zip(samps, planes):
@@ -2262,6 +2308,62 @@ def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _avi_jpeg_header() -> bytes:
+    """The constant JPEG header (SOI through SOS) every AVI frame
+    shares: AVI_H×AVI_W gray, quant step 1, no restart interval —
+    the exact bytes `encode_jpeg` writes for those parameters, built
+    once (the geometry and tables never vary per frame)."""
+    import struct
+
+    qz = np.full(64, 1, dtype=np.int64)
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = bytes([0]) + bytes(qz.astype(np.uint8))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, AVI_H, AVI_W, 1) + bytes([1, (1 << 4) | 1, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tclass, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        seg = bytes([tclass << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    return bytes(out)
+
+
+def _encode_jpeg_const_frame(vals: list[int]) -> bytes:
+    """Byte-identical fast path for `encode_jpeg` on an AVI frame —
+    an AVI_HB×AVI_WB grid of CONSTANT 8×8 blocks (value `vals[i]`
+    repeated 64×), gray, quant step 1.
+
+    A constant block's DCT has exactly one nonzero coefficient,
+    8·(v−128) at DC (the `_jpeg_dct_matrix` docstring's identity); the
+    generic path's float DCT lands within ~1e-10 of that integer and
+    np.round recovers it exactly, with every AC rounding to 0 — so the
+    quantized stream is analytic: per block one DC diff plus EOB. This
+    path writes that stream directly, skipping the per-frame pad /
+    einsum / round; equality with `encode_jpeg` over the full byte
+    range is pinned by a unit test (round 15, guide §4.2)."""
+    dc_codes, ac_codes = _jpeg_encoder_codes()
+    eob_code, eob_len = ac_codes[0x00]
+    writer = _JpegBitWriter()
+    put = writer.put
+    pred = 0
+    for v in vals:
+        dc = 8 * v - 1024
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        code, ln = dc_codes[t]
+        put(code, ln)
+        if t:
+            put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        put(eob_code, eob_len)
+    return _avi_jpeg_header() + writer.flush() + b"\xff\xd9"
+
+
 def encode_avi(payload: bytes) -> bytes:
     """Payload bytes → canonical MJPEG AVI: RIFF('AVI ', LIST hdrl
     (avih + LIST strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)),
@@ -2277,12 +2379,12 @@ def encode_avi(payload: bytes) -> bytes:
     n_frames = len(payload) // AVI_FRAME_BYTES
     frames = []
     for f in range(n_frames):
-        vals = np.frombuffer(
-            payload[f * AVI_FRAME_BYTES : (f + 1) * AVI_FRAME_BYTES],
-            dtype=np.uint8,
-        ).reshape(AVI_HB, AVI_WB)
-        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-        frames.append(encode_jpeg(img))
+        vals = list(
+            payload[f * AVI_FRAME_BYTES : (f + 1) * AVI_FRAME_BYTES]
+        )
+        # Byte-identical to encode_jpeg(np.repeat(np.repeat(vals_2d,
+        # 8, 0), 8, 1)) — pinned by test; see _encode_jpeg_const_frame.
+        frames.append(_encode_jpeg_const_frame(vals))
     avih = struct.pack(
         "<10I", 33333, 0, 0, 0, n_frames, 0, 1, 0, AVI_W, AVI_H
     ) + b"\x00" * 16

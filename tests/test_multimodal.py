@@ -749,6 +749,30 @@ def test_avi_roundtrip_and_frame_exactness():
     assert len(decode_avi(encode_avi(bytes(AVI_FRAME_BYTES - 1)))) == 0
 
 
+def test_avi_const_frame_fast_path_matches_generic_encoder():
+    """`_encode_jpeg_const_frame` (the round-15 analytic DC-only fast
+    path encode_avi rides) must stay BYTE-IDENTICAL to the generic
+    `encode_jpeg` on the constant-8×8-block frames AVI packs — across
+    every byte value and random frames."""
+    import numpy as np
+
+    from piper_spark.sources.multimodal import (
+        AVI_HB,
+        AVI_WB,
+        _encode_jpeg_const_frame,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(1234)
+    frames = [bytes([v] * 64) for v in range(0, 256, 17)]
+    frames.append(bytes(range(64)))
+    frames += [rng.randint(0, 256, 64, dtype=np.uint8).tobytes() for _ in range(24)]
+    for payload in frames:
+        vals = np.frombuffer(payload, dtype=np.uint8).reshape(AVI_HB, AVI_WB)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        assert _encode_jpeg_const_frame(list(payload)) == encode_jpeg(img)
+
+
 def test_avi_strict_parser_rejects_malformed_containers():
     """Every container field the chunk walk depends on must be
     validated — ingest rejects malformed AVIs loudly instead of
