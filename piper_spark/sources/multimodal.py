@@ -1017,8 +1017,29 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         dq = c["coef"] * qt[c["tq"]][None, :]
         blocks = np.zeros((len(dq), 64), dtype=np.float64)
         blocks[:, _JPEG_ZIGZAG] = dq  # de-zigzag
+        # DC-only blocks (every AC coefficient zero — the common case
+        # for flat regions, and what real decoders special-case): the
+        # IDCT sum has exactly one nonzero term, (A[0,x]·dc)·A[0,y],
+        # so the analytic product IS the einsum's value bit-for-bit
+        # (single term — no summation-order ambiguity; product order
+        # matches the C loop's, pinned by test). Skips the O(64·64)
+        # einsum for those blocks; mixed batches run einsum on the
+        # AC-bearing subset only (per-block independence).
+        dc_only = ~np.any(dq[:, 1:], axis=1)  # zigzag index 0 IS the DC
         blocks = blocks.reshape(-1, 8, 8)
-        spatial = np.einsum("ux,nuv,vy->nxy", _JPEG_A, blocks, _JPEG_A) + 128.0
+        spatial = np.empty_like(blocks)
+        if dc_only.any():
+            a0 = _JPEG_A[0]
+            dcs = blocks[dc_only, 0, 0]
+            spatial[dc_only] = (a0[None, :, None] * dcs[:, None, None]) * a0[
+                None, None, :
+            ]
+        rest = ~dc_only
+        if rest.any():
+            spatial[rest] = np.einsum(
+                "ux,nuv,vy->nxy", _JPEG_A, blocks[rest], _JPEG_A
+            )
+        spatial += 128.0
         bw = c["bw"]
         bh = len(dq) // bw
         plane = (

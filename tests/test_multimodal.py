@@ -749,6 +749,32 @@ def test_avi_roundtrip_and_frame_exactness():
     assert len(decode_avi(encode_avi(bytes(AVI_FRAME_BYTES - 1)))) == 0
 
 
+def test_dc_only_idct_fast_path_matches_einsum():
+    """The decoder's DC-only IDCT shortcut (round 15) must equal the
+    generic einsum bit-for-bit — single nonzero term, so the analytic
+    product (A[0,x]·dc)·A[0,y] IS the sum; pinned across the dequant
+    DC range and against a mixed DC-only/AC-bearing image decode."""
+    import numpy as np
+
+    from piper_spark.sources.multimodal import _JPEG_A, decode_image, encode_jpeg
+
+    rng = np.random.RandomState(77)
+    for dc in list(range(-2040, 2041, 97)) + [int(v) for v in rng.randint(-20000, 20000, 200)]:
+        blocks = np.zeros((1, 8, 8))
+        blocks[0, 0, 0] = float(dc)
+        ein = np.einsum("ux,nuv,vy->nxy", _JPEG_A, blocks, _JPEG_A)[0]
+        a0 = _JPEG_A[0]
+        fast = (a0[:, None] * float(dc)) * a0[None, :]
+        assert (ein == fast).all(), dc
+    # Mixed image: flat 8×8 tiles (DC-only) next to noise (AC-bearing);
+    # a max-quality round trip of the flat region is pixel-exact, which
+    # only holds if the shortcut's floats match the old path's.
+    img = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    img[:8, :8] = 200
+    out = decode_image(encode_jpeg(img))
+    assert (out[:8, :8, 0] == 200).all()
+
+
 def test_avi_const_frame_fast_path_matches_generic_encoder():
     """`_encode_jpeg_const_frame` (the round-15 analytic DC-only fast
     path encode_avi rides) must stay BYTE-IDENTICAL to the generic
