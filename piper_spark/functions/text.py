@@ -298,7 +298,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(words_col()).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: the df aggregate AND the scoring join both read tf —
+    # one explode + tf-agg pass instead of two (round 15).
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
     scored = tf.join(df, "word").crossJoin(F.broadcast(n_docs)).select(
@@ -2237,7 +2241,11 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the dl projection. Top-k is an output-sized sort-limit.
     """
     d = table(spark, sf_dir, "documents")
-    dl = d.select("doc_id", F.size(words_col()).cast("long").alias("dl"))
+    # persist: the totals aggregate AND the scoring join both read dl,
+    # whose build is a full text split — one pass instead of two.
+    dl = d.select(
+        "doc_id", F.size(words_col()).cast("long").alias("dl")
+    ).persist()
     totals = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("l_total"),
@@ -2245,11 +2253,15 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.expr("10000L * l_total div n_docs").alias("a_q"),
     )
+    # persist: the df aggregate AND the scoring join both read tf, and
+    # tf is query-term-sized while its BUILD is a corpus explode — one
+    # pass instead of two (round 15, the text_tfidf discipline).
     tf = (
         d.select("doc_id", F.explode(words_col()).alias("word"))
         .filter(F.col("word").isin(*BM25_QUERY_TERMS))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = (
